@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine capability: a Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) a DuckDB oracle query over the same parquet
+  * tables. Reference capability surface: /root/reference (steampipe-sqlite);
+  * SQLite provides the relational surface, `table.go`/`cursor.go` the
+  * connector surface. */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // nanos bigint (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    // GraftSession/Verify/Bench). Surface it as a proper micros timestamp;
+    // `div 1000` floors like DuckDB's ns→us conversion.
+    df.schema.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql-based entries). */
+  def views(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Shared exactness helpers (SURVEY §6): money-ish doubles in the test data
+  * are 2-decimal exact, so casting to DECIMAL and summing is exact in both
+  * Spark and DuckDB; the final cast to DOUBLE is then bit-identical. */
+object Exact {
+  def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** 1 - discount as an exact decimal factor. */
+  def oneMinus(c: Column): Column =
+    lit(1).cast(DecimalType(4, 2)) - c.cast(DecimalType(4, 2))
+  def onePlus(c: Column): Column =
+    lit(1).cast(DecimalType(4, 2)) + c.cast(DecimalType(4, 2))
+  /** Exact decimal sum surfaced as a stable double. */
+  def sumd(c: Column): Column = sum(c).cast("double")
+}
