@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row hot loops of the dedup /
+  * similarity operators (SURVEY §2.3). Higher-order-function lambdas are
+  * interpreted per element; these evaluate one tight JVM loop per row
+  * (~100× faster for 64-hash signatures) while remaining deterministic and
+  * distributable. Each is a scalar expression, so Catalyst still prunes /
+  * pushes down around them. */
+
+/** MinHash signature of a shingle set: sig[j] = min over shingles of
+  * (h1(s) + j * h2(s)) — the standard 2-hash affine family, base hashes
+  * from Spark's XXH64. Input array<string>, output array<long>(64). */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  private val numHashes = 64
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 2L) | 1L
+      var j = 0
+      var h = h1
+      while (j < numHashes) {
+        if (h < sig(j)) sig(j) = h
+        h += h2 // h1 + j*h2 built incrementally
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** SimHash-64 of a token list: per-token XXH64, ±1 votes per bit. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) >= 0) fp |= (1L << k); k += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Strict left-fold dot product of two double arrays — same accumulation
+  * order as DuckDB's list_reduce, so results are bit-identical across
+  * engines (SURVEY §6). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Sign-LSH signatures: one small-int signature per hash table, from
+  * seeded deterministic Gaussian hyperplanes (data-independent, identical
+  * on every executor). Input array<double>(64) → array<int>(numTables). */
+case class LshSigs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val planes = LshSigs.planes
+    val sigs = new Array[Int](LshSigs.numTables)
+    var t = 0
+    while (t < LshSigs.numTables) {
+      var sig = 0
+      var p = 0
+      while (p < LshSigs.planesPerTable) {
+        val plane = planes(t * LshSigs.planesPerTable + p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
+  override protected def withNewChildInternal(c: Expression): LshSigs = copy(c)
+}
+
+object LshSigs {
+  val numTables = 3
+  val planesPerTable = 8
+  val dims = 64
+  /** Seeded once; identical on driver and executors. */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numTables * planesPerTable)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+}
+
+/** Session registration so query plans can reference these via expr("..."). */
+object F {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", (es: Seq[Expression]) => MinHashSig(es.head)),
+    ("simhash64", (es: Seq[Expression]) => SimHash64(es.head)),
+    ("dot_product", (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("lsh_sigs", (es: Seq[Expression]) => LshSigs(es.head)))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name),
+      builder)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.F
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — embedding similarity + hash-based near-dup operators.
+  *
+  * Scale posture (100 TB): nothing here is globally O(n²). Exact pairwise
+  * work is confined to blocking keys (label) or LSH buckets; the ANN query
+  * set is a broadcast; signatures are native Catalyst expressions
+  * (graft.functions) evaluating one tight loop per row. Candidate pairs are
+  * deduplicated as bare (id, id) pairs before vectors are re-joined, so the
+  * distinct shuffle never carries array payloads.
+  *
+  * Float parity: dot_product is a strict left fold; the DuckDB oracles use
+  * list_reduce with the same order, so both engines produce bit-identical
+  * doubles and thresholds cannot flip (SURVEY §6). */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Embeddings with double vector and squared norm (computed pre-join). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    F.register(s)
+    emb(s, d).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("n2", expr("dot_product(v, v)"))
+  }
+
+  /** DuckDB-side dot with identical left-fold accumulation order. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (s, x) -> s + x)"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 45. embedding near-dup: cosine >= 0.35 within blocking key (label).
+    // One shuffle on the blocking key; pairwise only inside blocks.
+    GraftQuery("dd_embed_cosine", (s, d) => {
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("v").as("va"), col("n2").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("label"),
+        col("v").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("label"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.35)
+        .select("label", "ia", "ib", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, label, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |p AS (SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+             |    ${duckDot("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT label, ia, ib, cos FROM p WHERE cos >= 0.35""".stripMargin)),
+
+    // 46. brute-force cosine top-k (k=5) for a broadcast query set — the
+    // exact baseline every ANN variant is measured against.
+    GraftQuery("ann_topk", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v"), col("n2")),
+          col("n_id") =!= col("q_id"))
+        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "n_id", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
+             |p AS (SELECT q_id, b.vec_id AS n_id,
+             |    ${duckDot("qv", "b.v")} / (sqrt(qn) * sqrt(b.n2)) AS cos
+             |  FROM q JOIN n b ON b.vec_id <> q_id),
+             |r AS (SELECT q_id, n_id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+             |  FROM p)
+             |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5""".stripMargin)),
+
+    // 47. sign-LSH bucketed ANN (the scale path): 3 tables × 8 hyperplanes
+    // (native lsh_sigs expression, seeded planes), bucket equijoin for
+    // candidates, exact-cosine verify. Rows-only oracle (hyperplane hashing
+    // is not DuckDB-expressible).
+    GraftQuery("ann_lsh", (s, d) => {
+      val e = vecs(s, d)
+        .select(col("vec_id"), col("v"), col("n2"),
+          posexplode(expr("lsh_sigs(v)")).as(Seq("t", "sig")))
+      val cand = e.select(col("t"), col("sig"), col("vec_id").as("ia"))
+        .join(e.select(col("t"), col("sig"), col("vec_id").as("ib")), Seq("t", "sig"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val va = vecs(s, d).select(col("vec_id").as("ia"), col("v").as("va"), col("n2").as("na"))
+      val vb = vecs(s, d).select(col("vec_id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
+      cand.join(va, "ia").join(vb, "ib")
+        .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.25)
+        .select("ia", "ib", "cos")
+    }, None),
+
+    // 42. MinHash + LSH banding: 64 hashes (native minhash_sig expression),
+    // 16 bands × 4 rows, band equijoin for candidates, exact shingle-Jaccard
+    // verify >= 0.7. Output = verified near-dup pairs.
+    GraftQuery("dd_minhash_lsh", (s, d) => {
+      F.register(s)
+      val sh = docs(s, d).select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("sh"))
+      val bands = sh
+        .withColumn("sig", expr("minhash_sig(sh)"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 15), b ->
+            |  named_struct('band', b,
+            |    'bh', xxhash64(b, element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
+            |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4))))""".stripMargin)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("ia"))
+        .join(bands.select(col("band"), col("bh"), col("doc_id").as("ib")), Seq("band", "bh"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+        .withColumn("jacc",
+          expr("CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb))"))
+        .filter(col("jacc") >= 0.7)
+        .select("ia", "ib", "jacc")
+    }, None),
+
+    // 43. SimHash: 64-bit fingerprint per doc (native simhash64 expression)
+    // + 4 × 16-bit band keys for hamming-radius blocking (pigeonhole: any
+    // pair within hamming distance 3 shares at least one intact band).
+    GraftQuery("dd_simhash", (s, d) => {
+      F.register(s)
+      docs(s, d)
+        .withColumn("simhash", expr("simhash64(filter(split(text, ' '), t -> t <> ''))"))
+        .select(col("doc_id"), col("simhash"),
+          expr("shiftright(simhash, 48) & 65535").as("b3"),
+          expr("shiftright(simhash, 32) & 65535").as("b2"),
+          expr("shiftright(simhash, 16) & 65535").as("b1"),
+          expr("simhash & 65535").as("b0"))
+    }, None)
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — text analysis + text dedup for training-data pipelines.
+  * All heuristics are pure integer/rational arithmetic over built-in
+  * (codegen'd) collection functions, so DuckDB oracles reproduce results
+  * bit-for-bit; nothing here shuffles except the final pair joins, and
+  * candidate generation is blocked (linear, never O(n²)). */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Non-empty whitespace tokens. */
+  private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+  private val stopSet = "('the','a','of','and','to')"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 50. token counting: whitespace tokens + BPE-ish regex tokens.
+    GraftQuery("ta_tokens",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        expr(s"size($toksExpr)").cast("long").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("len")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens,
+             |  CAST(length(text) AS BIGINT) AS len
+             |FROM documents""".stripMargin)),
+
+    // 48. language ID: stopword-hit heuristic (deterministic rational math).
+    GraftQuery("ta_langid",
+      (s, d) => docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          expr(s"size(filter(toks, t -> t IN $stopSet))").cast("long").as("en_hits"),
+          expr("size(toks)").cast("long").as("n_toks"))
+        .withColumn("pred_lang",
+          when(col("en_hits") / col("n_toks") >= 0.15, "en")
+            .when(col("en_hits") / col("n_toks") >= 0.05, "en_low")
+            .otherwise("unk")),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(toks, t -> t IN $stopSet)) AS BIGINT) AS en_hits,
+             |  CAST(len(toks) AS BIGINT) AS n_toks,
+             |  CASE WHEN CAST(len(list_filter(toks, t -> t IN $stopSet)) AS BIGINT)
+             |            / CAST(len(toks) AS BIGINT) >= 0.15 THEN 'en'
+             |       WHEN CAST(len(list_filter(toks, t -> t IN $stopSet)) AS BIGINT)
+             |            / CAST(len(toks) AS BIGINT) >= 0.05 THEN 'en_low'
+             |       ELSE 'unk' END AS pred_lang
+             |FROM t""".stripMargin)),
+
+    // 49. quality scoring: uniqueness/length/token-shape ratios combined in
+    // a fixed double-arithmetic order (bit-identical across engines).
+    GraftQuery("ta_quality",
+      (s, d) => docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (s, x) -> s + x)"))
+        .select(
+          col("doc_id"), col("n_toks"),
+          (col("n_uniq") / col("n_toks")).as("uniq_ratio"),
+          (lit(0.4) * (col("n_uniq") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(col("sum_len") / col("n_toks") / lit(10.0), lit(1.0)))
+            .as("quality")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+             |  FROM t)
+             |SELECT doc_id, n_toks,
+             |  n_uniq / n_toks AS uniq_ratio,
+             |  0.4 * (n_uniq / n_toks)
+             |    + 0.3 * least(n_toks / 200.0, 1.0)
+             |    + 0.3 * least(sum_len / n_toks / 10.0, 1.0) AS quality
+             |FROM m""".stripMargin)),
+
+    // 51. document fingerprint: normalized md5 + 64-bit prefix.
+    GraftQuery("ta_fingerprint",
+      (s, d) => docs(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp64")),
+      Some("""SELECT doc_id, md5(text) AS fp,
+             |  SUBSTR(md5(text), 1, 16) AS fp64 FROM documents""".stripMargin)),
+
+    // 41. exact dedup: content-hash groupBy, keep min doc_id per group.
+    // (Map-side partial agg; at 100 TB this is one shuffle on the 128-bit
+    // content hash — the canonical exact-dedup plan.)
+    GraftQuery("dd_exact",
+      (s, d) => docs(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // 44. n-gram Jaccard verification over blocked candidate pairs
+    // (delta-blocking keeps candidate generation equi-joinable and linear;
+    // char-3-gram shingle sets are exact ints, so jacc is bit-identical).
+    GraftQuery("dd_ngram_jaccard", (s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("sh"))
+      val deltas = s.range(1, 11).select(col("id").as("dd"))
+      val a = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("ib"), col("sh").as("shb"))
+      a.crossJoin(broadcast(deltas))
+        .join(b, col("ib") === col("ia") + col("dd"))
+        .withColumn("jacc",
+          expr("CAST(size(array_distinct(array_intersect(sha, shb))) AS DOUBLE)") /
+            expr("size(array_union(sha, shb))"))
+        .filter(col("jacc") >= 0.62)
+        .select("ia", "ib", "jacc")
+    },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, length(text) - 1),
+             |      i -> substr(text, i, 3))) AS sh
+             |  FROM documents),
+             |deltas AS (SELECT unnest(range(1, 11)) AS dd)
+             |SELECT a.doc_id AS ia, b.doc_id AS ib,
+             |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+             |FROM d a JOIN deltas ON true JOIN d b ON b.doc_id = a.doc_id + dd
+             |WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62""".stripMargin))
+  )
+}
