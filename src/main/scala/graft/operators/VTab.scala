@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.api.GraftConfigure
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.2 — the virtual-table/connector layer exercised through the
+  * public read path. The `seq` demo plugin is a deterministic functional
+  * API (row = f(key)), so DuckDB reproduces the data via range() and the
+  * driver's oracle hash-checks connector semantics end to end. */
+object VTab {
+
+  private def numbers(s: SparkSession): DataFrame =
+    s.read.format("graft").option("plugin", "seq").option("table", "numbers").load()
+
+  /** All computed columns of `numbers` for row ids drawn from `src`
+    * (DuckDB side; mirrors SeqPlugin.NumbersTable.row exactly). */
+  private def duckNumbers(src: String): String =
+    s"""SELECT i AS id, (i * 7) % 97 AS x, 'row_' || i AS s, i % 2 = 0 AS flag,
+       |  i / 100.0 AS ratio,
+       |  TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 minute' AS ts,
+       |  '{"k":' || (i % 10) || '}' AS j,
+       |  '10.' || ((i // 65536) % 256) || '.' || ((i // 256) % 256) || '.' || (i % 256) AS ip,
+       |  '192.168.' || (i % 256) || '.0/24' AS cidr,
+       |  'root.n' || (i % 10) || '.leaf' AS path
+       |FROM $src t(i)""".stripMargin
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 32. full scan through the connector: schema mapping + row conversion.
+    GraftQuery("vt_scan",
+      (s, d) => numbers(s).select("id", "x", "s", "flag", "ratio"),
+      Some("""SELECT i AS id, (i * 7) % 97 AS x, 'row_' || i AS s,
+             |  i % 2 = 0 AS flag, i / 100.0 AS ratio
+             |FROM range(0, 10000) t(i)""".stripMargin)),
+
+    // 33. qual pushdown: the id range reaches the plugin (splits narrow to
+    // one page — spec-asserted); non-key quals are re-checked both sides.
+    GraftQuery("vt_pushdown_quals",
+      (s, d) => numbers(s)
+        .filter(col("id") >= 2000L && col("id") < 2100L && col("flag") === true)
+        .select("id", "x", "flag", "s"),
+      Some("""SELECT i AS id, (i * 7) % 97 AS x, i % 2 = 0 AS flag, 'row_' || i AS s
+             |FROM range(2000, 2100) t(i) WHERE i % 2 = 0""".stripMargin)),
+
+    // 34. LIMIT pushdown (safe path: key-only quals). Deterministic because
+    // the pushed key range fits one ordered split.
+    GraftQuery("vt_limit",
+      (s, d) => numbers(s).filter(col("id") >= 100L).select("id", "s").limit(50),
+      Some("SELECT i AS id, 'row_' || i AS s FROM range(100, 150) t(i)")),
+
+    // 35. column pruning: only (id, j) cross the connector (spec asserts
+    // the plugin saw exactly these columns).
+    GraftQuery("vt_column_prune",
+      (s, d) => numbers(s)
+        .select(col("id"), get_json_object(col("j"), "$.k").cast("long").as("jk"))
+        .filter(col("id") < 500L),
+      Some("""SELECT i AS id, i % 10 AS jk FROM range(0, 500) t(i)""".stripMargin)),
+
+    // 36. the full reference type surface over the connector
+    // (mapping.go:66-84): bool/int/double/string/timestamp/json/ip/cidr/ltree.
+    GraftQuery("vt_types",
+      (s, d) => numbers(s).filter(col("id") < 100L),
+      Some(duckNumbers("range(0, 100)"))),
+
+    // 39. connection config → different table contents (reference
+    // configure_fn.go). Applied via GraftConfigure on a dedicated alias so
+    // other queries' config snapshots are untouched.
+    GraftQuery("vt_configure", (s, d) => {
+      GraftConfigure.configure(s, "seq", """{"n": 700, "tag": "round1"}""")
+      val df = numbers(s).select("id", "x")
+      GraftConfigure.configure(s, "seq", """{"n": 10000}""")
+      df
+    },
+      Some("SELECT i AS id, (i * 7) % 97 AS x FROM range(0, 700) t(i)")),
+
+    // 40. TableCatalog path: SQL over graft.<plugin>.<table> (the Spark
+    // analog of the reference's dynamically registered vtables).
+    GraftQuery("vt_catalog", (s, d) => {
+      GraftConfigure.ensureCatalog(s)
+      s.sql("SELECT id, s, ratio FROM graft.seq.numbers WHERE id >= 9990")
+    },
+      Some("SELECT i AS id, 'row_' || i AS s, i / 100.0 AS ratio FROM range(9990, 10000) t(i)"))
+  )
+}

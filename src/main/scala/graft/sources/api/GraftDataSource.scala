@@ -1,0 +1,199 @@
+package graft.sources.api
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 provider — the Spark-idiomatic re-expression of the
+  * reference's SQLite virtual-table module (module.go + table.go):
+  *
+  *   - SupportsPushDownFilters      ↔ xBestIndex qual pushdown (table.go:75)
+  *   - SupportsPushDownRequiredColumns ↔ ColUsed bitmask (table.go:262)
+  *   - SupportsPushDownLimit        ↔ SQLITE_INDEX_CONSTRAINT_LIMIT (table.go:56)
+  *   - InputPartition (serialized QueryContext) ↔ IndexString JSON (table.go:224)
+  *   - required-key validation at build() ↔ allRequiredKeyColsInConstraints
+  *
+  * Like the reference (ConstraintUsage.Omit=false keeps SQLite re-checking
+  * every constraint), ALL filters are also returned as residual: the source
+  * prunes, Spark re-verifies — belt and braces at zero extra shuffle cost.
+  *
+  * Usage: spark.read.format("graft").option("plugin","seq")
+  *        .option("table","numbers").load()             — or —
+  *        spark.sql("SELECT ... FROM graft.seq.numbers") via GraftCatalog. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def resolve(options: CaseInsensitiveStringMap): (Plugin, ApiTable) = {
+    val plugin = PluginRegistry.plugin(
+      Option(options.get("plugin")).getOrElse("seq"))
+    val table = plugin.table(
+      Option(options.get("table")).getOrElse(
+        throw new IllegalArgumentException("option 'table' is required")))
+    (plugin, table)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options)._2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (plugin, table) = resolve(opts)
+    // Config snapshot at load() time: one DataFrame = one connection view,
+    // later GraftConfigure calls don't mutate plans already handed out.
+    GraftTable(plugin.name, table, PluginRegistry.config(plugin.name))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+case class GraftTable(pluginAlias: String, table: ApiTable, config: PluginConfig)
+    extends Table with SupportsRead {
+  override def name(): String = s"$pluginAlias.${table.name}"
+  override def schema(): StructType = table.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(pluginAlias, table, config)
+}
+
+class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfig)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = table.schema
+  private var limit: Option[Long] = None
+
+  /** sources.Filter → Qual, for the 5 operators the reference plugin
+    * protocol understands (mapping.go:34-60). */
+  private def toQual(f: Filter): Option[Qual] = f match {
+    case sources.EqualTo(a, v) => norm(v).map(Qual(a, "=", _))
+    case sources.GreaterThan(a, v) => norm(v).map(Qual(a, ">", _))
+    case sources.GreaterThanOrEqual(a, v) => norm(v).map(Qual(a, ">=", _))
+    case sources.LessThan(a, v) => norm(v).map(Qual(a, "<", _))
+    case sources.LessThanOrEqual(a, v) => norm(v).map(Qual(a, "<=", _))
+    case _ => None
+  }
+  private def norm(v: Any): Option[Any] = v match {
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long => Some(l)
+    case s: java.lang.Short => Some(s.longValue())
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f.doubleValue())
+    case s: String => Some(s)
+    case b: java.lang.Boolean => Some(b)
+    case _ => None // timestamps etc: leave to Spark's residual filter
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => toQual(f).isDefined)
+    // Exactly-handled quals are accepted (no residual) so Limit can reach
+    // the scan; everything else stays residual (reference: Omit=false).
+    filters.filterNot(f => toQual(f).exists(table.exactlyHandled))
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+  override def pushLimit(l: Int): Boolean = { limit = Some(l.toLong); true }
+  override def isPartiallyPushed: Boolean = true // Spark keeps its own LIMIT
+
+  override def build(): Scan = {
+    val quals = pushed.flatMap(toQual).toSeq
+    // Only push LIMIT to the source when it cannot change results: with
+    // residual quals the source's early cut could starve Spark's re-check.
+    // (Spark only calls pushLimit in that shape anyway; this is defensive.)
+    val qc = QueryContext(requiredSchema.fieldNames.toSeq, quals,
+      limit.filter(_ => quals.forall(table.exactlyHandled)))
+    // Required-key enforcement (reference table.go:180-215; it responds
+    // with a max-cost plan so the plugin errors richly — we fail fast).
+    val missing = table.keyColumns.filter(_.required)
+      .filterNot(k => quals.exists(q => q.field == k.name && k.operators.contains(q.op)))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"table '${table.name}' of plugin '$pluginAlias' requires quals on key column(s) " +
+        s"${missing.map(_.name).mkString(", ")} (e.g. WHERE ${missing.head.name} = ...)")
+    val spark = SparkSession.active
+    val cacheEnabled = spark.conf.get("spark.graft.cache.enabled", "true").toBoolean
+    val cacheTtl = spark.conf.get("spark.graft.cache.ttl", "300").toLong
+    GraftScan(pluginAlias, table, config, qc, requiredSchema, cacheEnabled, cacheTtl)
+  }
+}
+
+case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
+    qc: QueryContext, prunedSchema: StructType, cacheEnabled: Boolean, cacheTtl: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan($pluginAlias.${table.name}, quals=[${qc.quals.mkString(", ")}], " +
+      s"limit=${qc.limit.getOrElse(-1L)}, columns=[${qc.columns.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ss = table.splits(qc, config)
+    ScanLedger.lastSplitCount = ss.length
+    ss.map(s => GraftInputPartition(s, qc): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(pluginAlias, table, config, cacheEnabled, cacheTtl)
+}
+
+case class GraftInputPartition(split: ApiSplit, qc: QueryContext) extends InputPartition
+
+case class GraftReaderFactory(pluginAlias: String, table: ApiTable,
+    config: PluginConfig, cacheEnabled: Boolean, cacheTtl: Long)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[Array[Any]] = {
+        def fetch = { ScanLedger.record(p.qc); table.scan(p.split, p.qc, config) }
+        if (cacheEnabled)
+          QueryCache.getOrFetch(s"$pluginAlias/${table.name}/${p.split}/${p.qc}", cacheTtl)(fetch)
+        else fetch
+      }
+      private var current: Array[Any] = _
+      override def next(): Boolean = { if (it.hasNext) { current = it.next(); true } else false }
+      override def get(): InternalRow = new GenericInternalRow(current.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** TableCatalog exposing every registered plugin as a namespace:
+  * `SELECT ... FROM graft.<plugin>.<table>` — the Spark analog of the
+  * reference's dynamic-schema table registration (configure_fn.go:150+,
+  * setupTables). Register once per session:
+  * spark.conf spark.sql.catalog.graft = graft.sources.api.GraftCatalog */
+class GraftCatalog extends TableCatalog {
+  private var catalogName = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val plugin = PluginRegistry.plugin(namespace.head)
+    plugin.tables.map(t => Identifier.of(namespace, t.name)).toArray
+  }
+  override def loadTable(ident: Identifier): Table = {
+    val plugin = PluginRegistry.plugin(ident.namespace().head)
+    GraftTable(plugin.name, plugin.table(ident.name), PluginRegistry.config(plugin.name))
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft tables are plugin-defined (read-only)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables are read-only")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft tables are read-only")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables are read-only")
+}

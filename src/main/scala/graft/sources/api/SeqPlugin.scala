@@ -1,0 +1,135 @@
+package graft.sources.api
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Built-in demo plugin: a deterministic functional "API" (every row is a
+  * pure function of its key), so DuckDB oracles can reproduce the data via
+  * range(). Mirrors the reference's plugin surface: a paginated list table
+  * (`numbers`, key-range pushdown) and a required-key get table (`kv`,
+  * reference table.go:180-215 required key columns).
+  *
+  * Exercises the full reference type surface (mapping.go:66-84): BOOL, INT,
+  * DOUBLE, STRING, TIMESTAMP (NTZ micros), JSON, IPADDR, CIDR, LTREE. */
+object SeqPlugin extends Plugin {
+  override def name: String = "seq"
+  override def tables: Seq[ApiTable] = Seq(NumbersTable, KvTable)
+}
+
+final case class RangeSplit(start: Long, end: Long) extends ApiSplit
+
+object NumbersTable extends ApiTable {
+  override def name: String = "numbers"
+  /** epoch micros of 2024-01-01T00:00:00Z */
+  private val baseTs = 1704067200000000L
+
+  override def schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),        // INT
+    StructField("x", LongType, nullable = false),         // INT (derived)
+    StructField("s", StringType, nullable = false),       // STRING
+    StructField("flag", BooleanType, nullable = false),   // BOOL
+    StructField("ratio", DoubleType, nullable = false),   // DOUBLE
+    StructField("ts", TimestampNTZType, nullable = false),// TIMESTAMP
+    StructField("j", StringType, nullable = false),       // JSON
+    StructField("ip", StringType, nullable = false),      // IPADDR
+    StructField("cidr", StringType, nullable = false),    // CIDR
+    StructField("path", StringType, nullable = false)))   // LTREE
+
+  override def keyColumns: Seq[KeyColumn] =
+    Seq(KeyColumn("id", required = false, operators = Seq("=", ">", ">=", "<", "<=")))
+
+  /** id quals are enforced exactly by key-range narrowing in splits(). */
+  override def exactlyHandled(q: Qual): Boolean =
+    q.field == "id" && Seq("=", ">", ">=", "<", "<=").contains(q.op) &&
+      q.value.isInstanceOf[Long]
+
+  /** Narrow the key range with the pushed id quals (the reference's
+    * xBestIndex cost model made key-column quals cheap for the same
+    * reason: they shrink what the plugin must fetch), then page it. */
+  override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
+    var lo = 0L
+    var hi = config.n // exclusive
+    qc.quals.filter(_.field == "id").foreach { q =>
+      val v = q.value.asInstanceOf[Long]
+      q.op match {
+        case "=" => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+        case ">" => lo = math.max(lo, v + 1)
+        case ">=" => lo = math.max(lo, v)
+        case "<" => hi = math.min(hi, v)
+        case "<=" => hi = math.min(hi, v + 1)
+        case _ =>
+      }
+    }
+    (lo until hi by config.pageSize)
+      .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+  }
+
+  override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
+    val RangeSplit(lo, hi) = split: @unchecked
+    val residual = qc.quals.filterNot(_.field == "id") // id handled by range
+    val limit = qc.limit.getOrElse(Long.MaxValue)
+    Iterator.range(lo, hi)
+      .map(row)
+      .filter(r => residual.forall(q => satisfies(r, q)))
+      .take(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)
+      .map(r => qc.columns.map(c => r(colIdx(c))).toArray)
+  }
+
+  private val colIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+
+  /** The row generator — the "API response" for one key. */
+  private def row(i: Long): Array[Any] = Array[Any](
+    i,
+    (i * 7) % 97,
+    UTF8String.fromString(s"row_$i"),
+    i % 2 == 0,
+    i / 100.0,
+    baseTs + i * 60000000L,
+    UTF8String.fromString(s"""{"k":${i % 10}}"""),
+    UTF8String.fromString(s"10.${(i / 65536) % 256}.${(i / 256) % 256}.${i % 256}"),
+    UTF8String.fromString(s"192.168.${i % 256}.0/24"),
+    UTF8String.fromString(s"root.n${i % 10}.leaf"))
+
+  private def satisfies(r: Array[Any], q: Qual): Boolean = {
+    val v = r(colIdx(q.field))
+    (v, q.value) match {
+      case (a: Long, b: Long) => cmp(java.lang.Long.compare(a, b), q.op)
+      case (a: Double, b: Double) => cmp(java.lang.Double.compare(a, b), q.op)
+      case (a: Boolean, b: Boolean) => q.op == "=" && a == b
+      case (a: UTF8String, b) => cmp(a.toString.compareTo(b.toString), q.op)
+      case _ => true // unknown comparison: let Spark's residual filter decide
+    }
+  }
+  private def cmp(c: Int, op: String): Boolean = op match {
+    case "=" => c == 0
+    case ">" => c > 0
+    case ">=" => c >= 0
+    case "<" => c < 0
+    case "<=" => c <= 0
+    case _ => true
+  }
+}
+
+/** A "get" table: the required key column MUST be constrained, like an API
+  * that can only GET by id (reference table.go:allRequiredKeyColsInConstraints). */
+object KvTable extends ApiTable {
+  override def name: String = "kv"
+  override def schema: StructType = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("val", StringType, nullable = false),
+    StructField("k2", LongType, nullable = false)))
+  override def keyColumns: Seq[KeyColumn] =
+    Seq(KeyColumn("k", required = true, operators = Seq("=")))
+
+  final case class KeySplit(k: Long) extends ApiSplit
+
+  override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] =
+    qc.quals.collect { case Qual("k", "=", v: Long) => KeySplit(v) }
+
+  override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
+    val KeySplit(k) = split: @unchecked
+    val full = Map[String, Any]("k" -> k,
+      "val" -> UTF8String.fromString(s"v$k"), "k2" -> k * k)
+    Iterator.single(qc.columns.map(full).toArray)
+  }
+}

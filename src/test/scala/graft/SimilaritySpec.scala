@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.F
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Property-level checks for the sketch/probabilistic operators whose
+  * value-level output has no SQL oracle (SURVEY §2.3 rows-only rows). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash signature estimates Jaccard on synthetic near-dups") {
+    F.register(spark)
+    // two 90%-overlapping shingle sets + one disjoint
+    val base = (0 until 100).map(i => s"shingle_$i")
+    val near = (0 until 90).map(i => s"shingle_$i") ++ (0 until 10).map(i => s"other_$i")
+    val far = (0 until 100).map(i => s"far_$i")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "sh")
+      .withColumn("sig", expr("minhash_sig(sh)"))
+    val sigs = df.orderBy("id").collect().map(_.getAs[scala.collection.Seq[Long]]("sig"))
+    def est(a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(0), sigs(1)) > 0.6, "near-dup estimate too low")
+    assert(est(sigs(0), sigs(2)) < 0.2, "disjoint estimate too high")
+  }
+
+  test("simhash: near-identical token lists land within small hamming distance") {
+    F.register(spark)
+    val a = (0 until 200).map(i => s"tok_$i")
+    val b = (0 until 196).map(i => s"tok_$i") ++ Seq("x1", "x2", "x3", "x4")
+    val c = (0 until 200).map(i => s"zzz_$i")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "toks")
+      .withColumn("h", expr("simhash64(toks)"))
+    val hs = df.orderBy("id").collect().map(_.getAs[Long]("h"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(1)) <= 12, s"near docs hamming ${ham(hs(0), hs(1))}")
+    assert(ham(hs(0), hs(2)) >= 20, s"far docs hamming ${ham(hs(0), hs(2))}")
+  }
+
+  test("sign-LSH finds planted exact near-duplicates") {
+    F.register(spark)
+    // plant: vector 1 = vector 0 with tiny noise → cosine ~1 → same buckets
+    val rnd = new scala.util.Random(7)
+    val v0 = Array.fill(64)(rnd.nextGaussian())
+    val v1 = v0.map(_ * 1.001 + 1e-6)
+    val others = (2 to 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq))
+    val df = (Seq((0L, v0.toSeq), (1L, v1.toSeq)) ++ others).toDF("vec_id", "v")
+      .withColumn("sigs", expr("lsh_sigs(v)"))
+    val s0 = df.filter($"vec_id" === 0L).select("sigs").head.getAs[scala.collection.Seq[Int]](0)
+    val s1 = df.filter($"vec_id" === 1L).select("sigs").head.getAs[scala.collection.Seq[Int]](0)
+    assert(s0.zip(s1).exists { case (a, b) => a == b },
+      "planted near-dup must collide in at least one LSH table")
+  }
+
+  test("dot_product matches naive computation") {
+    F.register(spark)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val d = df.select(expr("dot_product(a, b)")).head.getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("approx_count_distinct within 5% of exact (q_approx_distinct)") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct("l_partkey")).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
