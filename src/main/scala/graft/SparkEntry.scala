@@ -8,7 +8,8 @@ object SparkEntry {
   /** All capability modules; each contributes GraftQuery defs. */
   def allDefs: Seq[GraftQuery] =
     operators.Relational.defs ++ operators.TextOps.defs ++
-      operators.Similarity.defs ++ operators.VTab.defs
+      operators.Similarity.defs ++ operators.VTab.defs ++
+      operators.Multimodal.defs ++ streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
