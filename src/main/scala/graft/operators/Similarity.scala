@@ -115,7 +115,7 @@ object Similarity {
     GraftQuery("dd_minhash_lsh", (s, d) => {
       F.register(s)
       val sh = docs(s, d).select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))").as("sh"))
+        expr("char_shingles(text, 5)").as("sh"))
       val bands = sh
         .withColumn("sig", expr("minhash_sig(sh)"))
         .select(col("doc_id"), explode(expr(
@@ -131,8 +131,7 @@ object Similarity {
       cand
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-        .withColumn("jacc",
-          expr("CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb))"))
+        .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
         .filter(col("jacc") >= 0.7)
         .select("ia", "ib", "jacc")
     }, None),

@@ -111,16 +111,15 @@ object TextOps {
     // (delta-blocking keeps candidate generation equi-joinable and linear;
     // char-3-gram shingle sets are exact ints, so jacc is bit-identical).
     GraftQuery("dd_ngram_jaccard", (s, d) => {
+      graft.functions.F.register(s)
       val sh = docs(s, d).select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))").as("sh"))
+        expr("char_shingles(text, 3)").as("sh"))
       val deltas = s.range(1, 11).select(col("id").as("dd"))
       val a = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
       val b = sh.select(col("doc_id").as("ib"), col("sh").as("shb"))
       a.crossJoin(broadcast(deltas))
         .join(b, col("ib") === col("ia") + col("dd"))
-        .withColumn("jacc",
-          expr("CAST(size(array_distinct(array_intersect(sha, shb))) AS DOUBLE)") /
-            expr("size(array_union(sha, shb))"))
+        .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
         .filter(col("jacc") >= 0.62)
         .select("ia", "ib", "jacc")
     },
