@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All capability modules; each contributes GraftQuery defs. */
   def allDefs: Seq[GraftQuery] =
-    operators.Relational.defs ++ operators.TextOps.defs ++
+    operators.Relational.defs ++ operators.Relational2.defs ++
+      operators.TextOps.defs ++
       operators.Similarity.defs ++ operators.VTab.defs ++
       operators.Multimodal.defs ++ streaming.Streams.defs
 

@@ -198,7 +198,9 @@ object F {
     ("lsh_sigs", (es: Seq[Expression]) => LshSigs(es.head)),
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
-    ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))))
+    ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+    ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),
+    ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

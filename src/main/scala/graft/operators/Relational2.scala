@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables, Exact}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2.1 extension — the rest of the SQLite-core surface (recursive
+  * CTEs, window offsets, group_concat, OFFSET, regex, null handling, cast/
+  * format) plus warehouse staples SQLite lacks but a Spark engine should
+  * have (ROLLUP, arg-max), and real semantics for the reference's
+  * IPADDR/CIDR/LTREE text types. */
+object Relational2 {
+  import Exact._
+
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def numbers(s: SparkSession) =
+    s.read.format("graft").option("plugin", "seq").option("table", "numbers").load()
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 55. recursive CTE (SQLite WITH RECURSIVE ↔ Spark 4 recursive CTE).
+    GraftQuery("q_cte_recursive",
+      (s, d) => { Tables.views(s, d); s.sql(
+        """WITH RECURSIVE seq(n) AS (
+          |  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 24)
+          |SELECT CAST(n AS BIGINT) AS n, n_name
+          |FROM seq JOIN nation ON n = n_nationkey""".stripMargin) },
+      Some("""WITH RECURSIVE seq(n) AS (
+             |  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 24)
+             |SELECT CAST(n AS BIGINT) AS n, n_name
+             |FROM seq JOIN nation ON n = n_nationkey""".stripMargin)),
+
+    // 56. window offset functions: lag/lead/first_value/ntile.
+    GraftQuery("q_window_offsets", (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      cust(s, d).select(
+        col("c_custkey"), col("c_mktsegment"),
+        lag(col("c_custkey"), 1).over(w).as("prev_id"),
+        lead(col("c_custkey"), 1).over(w).as("next_id"),
+        first(col("c_custkey")).over(w).as("first_id"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  LAG(c_custkey, 1) OVER w AS prev_id,
+             |  LEAD(c_custkey, 1) OVER w AS next_id,
+             |  FIRST_VALUE(c_custkey) OVER w AS first_id,
+             |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
+
+    // 57. group_concat (SQLite) with deterministic ordering.
+    GraftQuery("q_group_concat",
+      (s, d) => cust(s, d)
+        .filter(col("c_custkey") < 200L)
+        .groupBy(col("c_nationkey").cast("long").as("nk"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nk,
+             |  STRING_AGG(c_name, '|' ORDER BY c_name) AS names, COUNT(*) AS n
+             |FROM customer WHERE c_custkey < 200 GROUP BY c_nationkey""".stripMargin)),
+
+    // 58. LIMIT ... OFFSET pagination.
+    GraftQuery("q_offset",
+      (s, d) => ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .offset(40).limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin)),
+
+    // 59. regex surface (RE2-safe patterns): match + extract.
+    GraftQuery("q_regex",
+      (s, d) => cust(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        col("c_name").rlike("Customer#0*1[0-9]").as("teen_id"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled")),
+      Some("""SELECT c_custkey,
+             |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+             |  regexp_matches(c_name, 'Customer#0*1[0-9]') AS teen_id,
+             |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled
+             |FROM customer""".stripMargin)),
+
+    // 60. NULL semantics: outer-join nulls, coalesce, nullif, IS NULL.
+    GraftQuery("q_null_handling", (s, d) => {
+      val big = ord(s, d).filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      cust(s, d).join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("big_order"),
+          col("o_orderkey").isNull.as("missing"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+    },
+      Some("""SELECT c_custkey,
+             |  COALESCE(o_orderkey, -1) AS big_order,
+             |  o_orderkey IS NULL AS missing,
+             |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null
+             |FROM customer LEFT JOIN
+             |  (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+             |   WHERE o_totalprice > 450000.0) o ON c_custkey = o_custkey""".stripMargin)),
+
+    // 61. CAST surface + timestamp formatting. (FLOOR before the int cast:
+    // Spark truncates double→bigint, DuckDB rounds — floor makes both exact.)
+    GraftQuery("q_cast_format",
+      (s, d) => ord(s, d).filter(col("o_orderkey") < 3000L).select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderkey").cast("string").as("key_str"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+        concat(col("o_orderpriority"), lit("/"),
+          col("o_orderstatus")).as("pri_status")),
+      Some("""SELECT o_orderkey,
+             |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+             |  CAST(o_orderkey AS VARCHAR) AS key_str,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+             |  o_orderpriority || '/' || o_orderstatus AS pri_status
+             |FROM orders WHERE o_orderkey < 3000""".stripMargin)),
+
+    // 62. ROLLUP hierarchy totals (beyond SQLite; core at warehouse scale).
+    GraftQuery("q_rollup",
+      (s, d) => ord(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("y"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("o_totalprice"))).as("total")),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, o_orderpriority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP(1, 2)""".stripMargin)),
+
+    // 63. arg-max/arg-min with an exact composite tiebreak key.
+    GraftQuery("q_argmax", (s, d) => {
+      val key = (round(col("o_totalprice") * 100).cast("long") * 10000000L +
+        col("o_orderkey")).as("k")
+      ord(s, d)
+        .withColumn("k", key)
+        .groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), col("k")).as("top_order"),
+          min_by(col("o_orderkey"), col("k")).as("bottom_order"),
+          max(col("o_totalprice")).as("top_price"))
+    },
+      Some("""SELECT o_orderpriority,
+             |  ARG_MAX(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+             |  ARG_MIN(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order,
+             |  MAX(o_totalprice) AS top_price
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // 64. math functions with IEEE-exact cross-engine results.
+    GraftQuery("q_math_funcs",
+      (s, d) => li(s, d).filter(col("l_orderkey") < 500L).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("d_abs"),
+        ceil(col("l_quantity") / 7.0).cast("long").as("q_ceil"),
+        floor(col("l_quantity") / 7.0).cast("long").as("q_floor"),
+        sqrt(col("l_quantity")).as("q_sqrt"),
+        (col("l_orderkey") % 7L).as("k_mod"),
+        signum(col("l_discount") - 0.04).as("d_sign")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  ABS(l_discount - 0.05) AS d_abs,
+             |  CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS q_ceil,
+             |  CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS q_floor,
+             |  SQRT(l_quantity) AS q_sqrt,
+             |  l_orderkey % 7 AS k_mod,
+             |  CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS d_sign
+             |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
+
+    // 65. IPADDR/CIDR semantics over the connector's network columns
+    // (native cidr_contains/ip_to_long expressions; the reference carries
+    // these types as TEXT, mapping.go:107-131).
+    GraftQuery("q_net_funcs", (s, d) => {
+      graft.functions.F.register(s)
+      numbers(s).filter(col("id") < 2000L).select(
+        col("id"), col("ip"), col("cidr"),
+        expr("ip_to_long(ip)").as("ipl"),
+        expr("cidr_contains('10.0.4.0/22', ip)").as("in_block"),
+        expr("cidr_contains(cidr, '192.168.7.77')").as("owns_host"))
+    },
+      Some("""SELECT i AS id,
+             |  '10.' || ((i // 65536) % 256) || '.' || ((i // 256) % 256) || '.' || (i % 256) AS ip,
+             |  '192.168.' || (i % 256) || '.0/24' AS cidr,
+             |  167772160 + i AS ipl,
+             |  (167772160 + i) // 1024 = 163841 AS in_block,
+             |  (i % 256) = 7 AS owns_host
+             |FROM range(0, 2000) t(i)""".stripMargin)),
+
+    // 66. LTREE semantics composed from codegen'd built-ins (preference (a):
+    // compose existing ops — no custom operator needed).
+    GraftQuery("q_ltree_funcs", (s, d) => {
+      numbers(s).filter(col("id") < 1000L).select(
+        col("id"), col("path"),
+        size(split(col("path"), "\\.")).cast("long").as("level"),
+        (col("path").like("root.n3.%") || col("path") === "root.n3").as("under_n3"),
+        array_join(slice(split(col("path"), "\\."), 1, 2), ".").as("subpath2"))
+    },
+      Some("""SELECT i AS id, 'root.n' || (i % 10) || '.leaf' AS path,
+             |  CAST(3 AS BIGINT) AS level,
+             |  (i % 10) = 3 AS under_n3,
+             |  'root.n' || (i % 10) AS subpath2
+             |FROM range(0, 1000) t(i)""".stripMargin))
+  )
+}
