@@ -98,6 +98,43 @@ object Streams {
              |  FROM x)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  MIN(us) AS start_us, MAX(us) AS end_us
-             |FROM s GROUP BY user_id, session_id""".stripMargin))
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // 55b. stream-static enrichment join: the streaming side shuffles
+    // nothing — the static dimension is broadcast into every micro-batch
+    // (the standard pattern for dimension enrichment at 100 TB/day rates).
+    GraftQuery("st_static_join", (s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val dim = graft.Tables.t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = eventsStream(s, d)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
+      runToTable(s, joined, OutputMode.Complete())
+    },
+      Some("""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // 55c. sliding windows (6h window, 3h slide): every event lands in
+    // exactly two windows; the oracle unrolls the same two bucket starts.
+    GraftQuery("st_sliding_window", (s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n"), col("total"))
+      runToTable(s, agg, OutputMode.Complete())
+    },
+      Some("""WITH w AS (
+             |  SELECT unnest([epoch_us(time_bucket(INTERVAL '3 hours', ts)),
+             |                 epoch_us(time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours')]) AS ws,
+             |         value
+             |  FROM events)
+             |SELECT ws, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM w GROUP BY ws""".stripMargin))
   )
 }
