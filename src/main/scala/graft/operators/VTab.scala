@@ -81,6 +81,16 @@ object VTab {
       GraftConfigure.ensureCatalog(s)
       s.sql("SELECT id, s, ratio FROM graft.seq.numbers WHERE id >= 9990")
     },
-      Some("SELECT i AS id, 'row_' || i AS s, i / 100.0 AS ratio FROM range(9990, 10000) t(i)"))
+      Some("SELECT i AS id, 'row_' || i AS s, i / 100.0 AS ratio FROM range(9990, 10000) t(i)")),
+
+    // 41b. multi-plugin registry: a second plugin (metrics) with a required
+    // series key + t-range pushdown, queried through the same catalog.
+    GraftQuery("vt_multi_plugin", (s, d) => {
+      GraftConfigure.ensureCatalog(s)
+      s.sql("""SELECT t, value, tag FROM graft.metrics.series
+              |WHERE series_id = 3 AND t >= 100 AND t < 600""".stripMargin)
+    },
+      Some("""SELECT i AS t, ((i * i * 31 + 51) % 1000) / 10.0 AS value, 's3' AS tag
+             |FROM range(100, 600) t(i)""".stripMargin))
   )
 }

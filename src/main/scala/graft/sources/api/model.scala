@@ -88,7 +88,8 @@ object PluginRegistry {
   private val plugins = new ConcurrentHashMap[String, Plugin]()
   private val configs = new ConcurrentHashMap[String, PluginConfig]()
 
-  register(SeqPlugin) // built-in demo plugin
+  register(SeqPlugin) // built-in demo plugins
+  register(MetricsPlugin)
 
   def register(p: Plugin): Unit = plugins.put(p.name, p)
   def plugin(name: String): Plugin = Option(plugins.get(name))
