@@ -94,15 +94,16 @@ object Similarity {
     // candidates, exact-cosine verify. Rows-only oracle (hyperplane hashing
     // is not DuckDB-expressible).
     GraftQuery("ann_lsh", (s, d) => {
-      val e = vecs(s, d)
+      val base = vecs(s, d).persist() // reused by buckets + both verify sides
+      val e = base
         .select(col("vec_id"), col("v"), col("n2"),
           posexplode(expr("lsh_sigs(v)")).as(Seq("t", "sig")))
       val cand = e.select(col("t"), col("sig"), col("vec_id").as("ia"))
         .join(e.select(col("t"), col("sig"), col("vec_id").as("ib")), Seq("t", "sig"))
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
-      val va = vecs(s, d).select(col("vec_id").as("ia"), col("v").as("va"), col("n2").as("na"))
-      val vb = vecs(s, d).select(col("vec_id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
+      val va = base.select(col("vec_id").as("ia"), col("v").as("va"), col("n2").as("na"))
+      val vb = base.select(col("vec_id").as("ib"), col("v").as("vb"), col("n2").as("nb"))
       cand.join(va, "ia").join(vb, "ib")
         .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
         .filter(col("cos") >= 0.25)
@@ -114,8 +115,11 @@ object Similarity {
     // verify >= 0.7. Output = verified near-dup pairs.
     GraftQuery("dd_minhash_lsh", (s, d) => {
       F.register(s)
+      // Both DFs feed both sides of self-joins; persist so shingling and
+      // 64-hash signatures run once per doc (at 100 TB these are the
+      // materialized signature tables every LSH pipeline snapshots).
       val sh = docs(s, d).select(col("doc_id"),
-        expr("char_shingles(text, 5)").as("sh"))
+        expr("char_shingles(text, 5)").as("sh")).persist()
       val bands = sh
         .withColumn("sig", expr("minhash_sig(sh)"))
         .select(col("doc_id"), explode(expr(
@@ -124,6 +128,7 @@ object Similarity {
             |    'bh', xxhash64(b, element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
             |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4))))""".stripMargin)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        .persist()
       val cand = bands.select(col("band"), col("bh"), col("doc_id").as("ia"))
         .join(bands.select(col("band"), col("bh"), col("doc_id").as("ib")), Seq("band", "bh"))
         .filter(col("ia") < col("ib"))
