@@ -200,7 +200,9 @@ object F {
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),
-    ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))))
+    ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))),
+    ("minhash_union", (es: Seq[Expression]) =>
+      MinHashUnionAgg(es.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

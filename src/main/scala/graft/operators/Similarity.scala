@@ -141,6 +141,89 @@ object Similarity {
         .select("ia", "ib", "jacc")
     }, None),
 
+    // 46b. IVF ANN: deterministic coarse quantizer (every 50th vector is a
+    // centroid), cell assignment by nearest centroid, search probes the 3
+    // nearest cells. The full index build + search pipeline is
+    // SQL-expressible, so the oracle checks it end to end. At scale the
+    // assignment table is the persisted index; centroids broadcast.
+    GraftQuery("ann_ivf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = vecs(s, d).persist()
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      // build: assign each vector to its nearest centroid (L2² = n2 + cn2 - 2·dot)
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
+      val assign = base.crossJoin(broadcast(cents))
+        .withColumn("dist2", col("n2") + col("cn2") - lit(2.0) * expr("dot_product(v, cv)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id").as("n_id"), col("cid").as("cell"),
+          col("v").as("nv"), col("n2").as("nn2"))
+      // search: probe the 3 nearest cells per query, exact top-5 inside
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
+      val probes = broadcast(q).crossJoin(broadcast(cents))
+        .withColumn("qdist2", col("qn") + col("cn2") - lit(2.0) * expr("dot_product(qv, cv)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      probes.join(assign, "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", expr("dot_product(qv, nv)") / (sqrt(col("qn")) * sqrt(col("nn2"))))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "n_id", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+             |asg AS (
+             |  SELECT vec_id AS n_id, cid AS cell, v AS nv, n2 AS nn2 FROM (
+             |    SELECT n.vec_id, c.cid, n.v, n.n2,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             |        ORDER BY n.n2 + c.cn2 - 2.0 * ${duckDot("n.v", "c.cv")}, c.cid) AS arn
+             |    FROM n CROSS JOIN c) WHERE arn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
+             |probes AS (
+             |  SELECT q_id, qv, qn, cid AS cell FROM (
+             |    SELECT q.q_id, q.qv, q.qn, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+             |        ORDER BY q.qn + c.cn2 - 2.0 * ${duckDot("q.qv", "c.cv")}, c.cid) AS prn
+             |    FROM q CROSS JOIN c) WHERE prn <= 3),
+             |cand AS (
+             |  SELECT p.q_id, a.n_id,
+             |    ${duckDot("p.qv", "a.nv")} / (sqrt(p.qn) * sqrt(a.nn2)) AS cos
+             |  FROM probes p JOIN asg a ON p.cell = a.cell
+             |  WHERE a.n_id <> p.q_id),
+             |r AS (SELECT q_id, n_id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+             |  FROM cand)
+             |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5""".stripMargin)),
+
+    // 42b. cross-source overlap via the MinHash *union* sketch aggregate
+    // (TypedImperativeAggregate): one 64-long sketch per source, pairwise
+    // signature agreement estimates collection-level Jaccard. Rows-only
+    // (xxhash sketches aren't DuckDB-expressible).
+    GraftQuery("dd_source_overlap", (s, d) => {
+      F.register(s)
+      val sigs = docs(s, d)
+        .withColumn("sig", expr("minhash_sig(char_shingles(text, 5))"))
+        .groupBy("source")
+        .agg(expr("minhash_union(sig)").as("usig"), count(lit(1)).as("n_docs"))
+        .persist()
+      val a = sigs.select(col("source").as("sa"), col("usig").as("ua"),
+        col("n_docs").as("na"))
+      val b = sigs.select(col("source").as("sb"), col("usig").as("ub"),
+        col("n_docs").as("nb"))
+      a.join(b, col("sa") < col("sb"))
+        .withColumn("est_jaccard", expr(
+          "aggregate(zip_with(ua, ub, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / 64.0"))
+        .select("sa", "sb", "na", "nb", "est_jaccard")
+    }, None),
+
     // 43. SimHash: 64-bit fingerprint per doc (native simhash64 expression)
     // + 4 × 16-bit band keys for hamming-radius blocking (pigeonhole: any
     // pair within hamming distance 3 shares at least one intact band).

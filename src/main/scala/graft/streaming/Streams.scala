@@ -135,6 +135,16 @@ object Streams {
              |  FROM events)
              |SELECT ws, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-             |FROM w GROUP BY ws""".stripMargin))
+             |FROM w GROUP BY ws""".stripMargin)),
+
+    // 55d. streaming dedup: state-backed dropDuplicates on the dedup key —
+    // the streaming twin of exact dedup for continuous ingestion.
+    GraftQuery("st_dedup", (s, d) => {
+      val dedup = eventsStream(s, d)
+        .select(col("event_type"), col("value"))
+        .dropDuplicates("event_type", "value")
+      runToTable(s, dedup, OutputMode.Append())
+    },
+      Some("SELECT DISTINCT event_type, value FROM events"))
   )
 }

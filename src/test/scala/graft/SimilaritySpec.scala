@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkSpec {
     assert(d == 32.0)
   }
 
+  test("minhash_union aggregate: sketch of a group ~ sketch of concatenation") {
+    F.register(spark)
+    val docs = Seq(
+      (1L, "g1", (0 until 100).map(i => s"sh_$i")),
+      (2L, "g1", (50 until 150).map(i => s"sh_$i")),
+      (3L, "g2", (0 until 150).map(i => s"sh_$i"))) // g2 = union of g1's sets
+      .toDF("id", "g", "sh")
+      .withColumn("sig", expr("minhash_sig(sh)"))
+    val union = docs.groupBy("g").agg(expr("minhash_union(sig)").as("usig"))
+      .orderBy("g").collect().map(_.getAs[scala.collection.Seq[Long]]("usig"))
+    // identical underlying sets → identical sketches
+    assert(union(0) == union(1), "union sketch must equal the sketch of the unioned set")
+  }
+
+  test("IVF search recall: probing 3 cells finds most brute-force top-5") {
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("ann_topk")(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // sf0.001 embeddings are near-random (little cluster structure), so the
+    // bar is: recall must clearly beat the probed cell fraction (3/10).
+    assert(recall >= 0.35, s"IVF recall vs brute force too low: $recall")
+  }
+
   test("approx_count_distinct within 5% of exact (q_approx_distinct)") {
     val li = Tables.t(spark, sf, "lineitem")
     val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
