@@ -168,6 +168,25 @@ object Relational2 {
              |  CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS d_sign
              |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
+    // 67b. top-k per group through the custom two-phase bounded-heap
+    // operator (LogicalPlan + Strategy + Exec, graft.plans.TopKPerGroup) —
+    // same semantics and oracle as the window formulation (q_topk_per_group),
+    // but shuffles only k rows per group per partition instead of sorting
+    // whole partitions.
+    GraftQuery("q_topk_custom", (s, d) => {
+      val base = ord(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice")
+      graft.plans.GraftOps.topKPerGroup(s, base,
+        groupBy = Seq("o_orderpriority"),
+        order = Seq(("o_totalprice", false), ("o_orderkey", true)),
+        k = 3, rankName = "rn")
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
     // 65. IPADDR/CIDR semantics over the connector's network columns
     // (native cidr_contains/ip_to_long expressions; the reference carries
     // these types as TEXT, mapping.go:107-131).

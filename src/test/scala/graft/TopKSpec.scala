@@ -1,0 +1,45 @@
+package graft
+
+import graft.plans.{GraftOps, TopKPerGroupExec}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** The custom two-phase top-k operator: result parity with the window
+  * formulation and the plan shape that makes it scale (bounded heaps both
+  * sides of exactly one shuffle). */
+class TopKSpec extends SparkSpec {
+
+  private def custom = {
+    val base = Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    GraftOps.topKPerGroup(spark, base, Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3, "rn")
+  }
+
+  test("custom top-k equals window row_number formulation") {
+    val fromWindow = SparkEntry.queries("q_topk_per_group")(spark, sf)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val fromCustom = custom
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(fromCustom == fromWindow)
+  }
+
+  test("plan is two-phase with exactly one exchange between the phases") {
+    // string-match: AQE wraps the plan, hiding nodes from collect()
+    val plan = custom.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).length == 2,
+      s"expected partial+final, got:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one shuffle, got:\n$plan")
+  }
+
+  test("ties and small groups: k larger than group size emits whole group") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    val out = GraftOps.topKPerGroup(spark, df, Seq("g"), Seq(("v", true)), 5, "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
+  }
+}
