@@ -187,6 +187,25 @@ object Relational2 {
              |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
              |  FROM orders) WHERE rn <= 3""".stripMargin)),
 
+    // 67c. the same top-k written as plain window SQL, planned through the
+    // TopKRewrite optimizer rule (Rule[LogicalPlan]): users keep their SQL,
+    // the engine swaps in the bounded-heap operator.
+    GraftQuery("q_topk_rewrite", (s, d) => {
+      graft.plans.GraftOps.register(s)
+      Tables.views(s, d)
+      s.sql("""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+              |FROM (
+              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+              |    row_number() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              |  FROM orders) WHERE rn <= 3""".stripMargin)
+    },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
     // 65. IPADDR/CIDR semantics over the connector's network columns
     // (native cidr_contains/ip_to_long expressions; the reference carries
     // these types as TEXT, mapping.go:107-131).

@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrd
 /** Public entry points for graft's custom whole-plan operators. */
 object GraftOps {
 
-  /** Idempotent per-session planner registration. */
+  /** Idempotent per-session planner + optimizer registration. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(TopKStrategy))
       spark.experimental.extraStrategies = cur :+ TopKStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(TopKRewrite))
+      spark.experimental.extraOptimizations = opts :+ TopKRewrite
   }
 
   /** Top-k rows per group with a rank column, via the two-phase bounded-

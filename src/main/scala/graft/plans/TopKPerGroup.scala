@@ -94,8 +94,11 @@ case class TopKPerGroupExec(
       // final stage appends the rank and re-encodes as UnsafeRow (the
       // contract for terminal operators feeding collect/write)
       val childTypes = childOutput.map(_.dataType)
+      // honor the rank attribute's type: LongType from GraftOps, but
+      // IntegerType when TopKRewrite reuses a row_number() attribute
+      val rankType = rankAttr.map(_.dataType).getOrElse(LongType)
       val outProj =
-        if (isFinal) UnsafeProjection.create((childTypes :+ LongType).toArray) else null
+        if (isFinal) UnsafeProjection.create((childTypes :+ rankType).toArray) else null
       new Iterator[InternalRow] {
         private var current: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
@@ -108,7 +111,8 @@ case class TopKPerGroupExec(
                 var j = 0
                 val vals = r.toSeq(childTypes)
                 while (j < childOutput.length) { out.update(j, vals(j)); j += 1 }
-                out.update(childOutput.length, (i + 1).toLong)
+                out.update(childOutput.length,
+                  if (rankType == LongType) (i + 1).toLong else i + 1)
                 outProj(out).copy()
               }
           }

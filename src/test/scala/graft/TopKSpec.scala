@@ -35,6 +35,26 @@ class TopKSpec extends SparkSpec {
       s"expected one shuffle, got:\n$plan")
   }
 
+  test("optimizer rule rewrites row_number<=k filter into TopKPerGroup") {
+    GraftOps.register(spark)
+    Tables.t(spark, sf, "orders").createOrReplaceTempView("orders_tk")
+    val df = spark.sql(
+      """SELECT o_orderpriority, rn, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders_tk) WHERE rn <= 3""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // and the rewritten plan returns the window-semantics result
+    val viaWindow = SparkEntry.queries("q_topk_per_group")(spark, sf)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(r =>
+      Seq(r.getString(0), r.getInt(1).toLong, r.getLong(2))).toSet == viaWindow)
+  }
+
   test("ties and small groups: k larger than group size emits whole group") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
