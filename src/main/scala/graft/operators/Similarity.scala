@@ -220,7 +220,7 @@ object Similarity {
         col("n_docs").as("nb"))
       a.join(b, col("sa") < col("sb"))
         .withColumn("est_jaccard", expr(
-          "aggregate(zip_with(ua, ub, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / 64.0"))
+          "aggregate(zip_with(ua, ub, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
         .select("sa", "sb", "na", "nb", "est_jaccard")
     }, None),
 
