@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.TextOps.defs ++
       operators.Similarity.defs ++ operators.VTab.defs ++
-      operators.Multimodal.defs ++ streaming.Streams.defs
+      operators.Multimodal.defs ++ operators.Sinks.defs ++
+      streaming.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
