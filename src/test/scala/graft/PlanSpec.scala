@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape guards: the *performance* properties of headline queries
+  * (pushdown reaching the scan, dimensions broadcast, pruned schemas).
+  * Results alone can't catch a regression that merely makes a plan slow. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_agg_basic pushes the shipdate filter into the parquet scan") {
+    val p = plan("q_agg_basic")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scan_project reads exactly the three projected columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"), p)
+  }
+
+  test("q_join_star broadcasts all five dimension joins") {
+    val p = plan("q_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 5, p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter must reach the scan\n" + p)
+  }
+
+  test("q_filter_pushdown pushes IN / LIKE-prefix / range filters") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("In(p_size, [10,15,20,25])"), p)
+    assert(p.contains("StringStartsWith(p_brand,Brand#1)"), p)
+  }
+
+  test("connector scan shows quals and pruned columns in the plan") {
+    val p = plan("vt_pushdown_quals")
+    assert(p.contains("GraftScan(seq.numbers"), p)
+    assert(p.contains("Qual(id,>=,2000)") && p.contains("Qual(id,<,2100)"), p)
+  }
+
+  test("connector limit reaches the scan (vt_limit)") {
+    val p = plan("vt_limit")
+    assert(p.contains("limit=50"), p)
+  }
+
+  test("q_limit_order plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_limit_order")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dd_embed_cosine shuffles on the blocking key, not a cross join") {
+    val p = plan("dd_embed_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
