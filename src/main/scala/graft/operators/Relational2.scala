@@ -168,6 +168,38 @@ object Relational2 {
              |  CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS d_sign
              |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
+    // 67d. generator / LATERAL VIEW: explode tokens into rows.
+    GraftQuery("q_explode",
+      (s, d) => Tables.t(s, d, "documents")
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+             |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+             |  FROM documents)
+             |GROUP BY token HAVING COUNT(*) >= 100""".stripMargin)),
+
+    // 67e. CUBE: all grouping combinations.
+    GraftQuery("q_cube",
+      (s, d) => ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("o_totalprice"))).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE(1, 2)""".stripMargin)),
+
+    // 67f. unpivot (wide → long).
+    GraftQuery("q_unpivot",
+      (s, d) => ord(s, d).filter(col("o_orderkey") < 2000L).select(
+        col("o_orderkey"),
+        expr("stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))")
+          .as(Seq("metric", "v"))),
+      Some("""SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS v
+             |FROM orders WHERE o_orderkey < 2000
+             |UNION ALL
+             |SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+             |FROM orders WHERE o_orderkey < 2000""".stripMargin)),
+
     // 67b. top-k per group through the custom two-phase bounded-heap
     // operator (LogicalPlan + Strategy + Exec, graft.plans.TopKPerGroup) —
     // same semantics and oracle as the window formulation (q_topk_per_group),
