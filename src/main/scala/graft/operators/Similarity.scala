@@ -60,6 +60,40 @@ object Similarity {
              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT label, ia, ib, cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
+    // 45b. skew-safe all-pairs: same semantics (and oracle) as
+    // dd_embed_cosine, but each blocking key's vectors are salted into B
+    // hash buckets and every bucket PAIR becomes an independent join task —
+    // a hot label fans out to B(B+1)/2 tasks instead of one straggler.
+    // Each unordered pair lands in exactly one bucket pair (min,max);
+    // (least, greatest) normalizes the output ids.
+    GraftQuery("dd_embed_cosine_salted", (s, d) => {
+      val B = 4
+      val e = vecs(s, d).withColumn("bkt", pmod(hash(col("vec_id")), lit(B)))
+      val bucketPairs = s.createDataFrame(
+        for { p <- 0 until B; q <- p until B } yield (p, q)).toDF("bp", "bq")
+      val a = e.select(col("vec_id").as("ia"), col("label").as("la"),
+        col("v").as("va"), col("n2").as("na"), col("bkt").as("ba"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("v").as("vb"), col("n2").as("nb"), col("bkt").as("bb"))
+      a.join(broadcast(bucketPairs), col("ba") === col("bp"))
+        .join(b, col("la") === col("lb") && col("bb") === col("bq"))
+        .filter(col("bp") < col("bq") || col("ia") < col("ib"))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("la").as("label"),
+          least(col("ia"), col("ib")).as("ia"),
+          greatest(col("ia"), col("ib")).as("ib"), col("cos"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, label, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |p AS (SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+             |    ${duckDot("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT label, ia, ib, cos FROM p WHERE cos >= 0.35""".stripMargin)),
+
     // 46. brute-force cosine top-k (k=5) for a broadcast query set — the
     // exact baseline every ANN variant is measured against.
     GraftQuery("ann_topk", (s, d) => {
