@@ -78,21 +78,24 @@ case class SimHash64(child: Expression)
 
 /** Strict left-fold dot product of two double arrays — same accumulation
   * order as DuckDB's list_reduce, so results are bit-identical across
-  * engines (SURVEY §6). */
+  * engines (SURVEY §6). Generates a static call so parent operators stay
+  * inside whole-stage codegen (CodegenFallback would break the span). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x(i) * y(i); i += 1 }
-    java.lang.Double.valueOf(acc)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorMath.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.dot($a, $b);")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
@@ -167,26 +170,49 @@ case class CharShingles(child: Expression, n: Int)
 
 /** Jaccard similarity of two distinct-element string arrays:
   * |A∩B| / |A∪B| via one hash set (same rational as the
-  * array_intersect/array_union formulation, so oracle-exact). */
+  * array_intersect/array_union formulation, so oracle-exact).
+  * Codegen'd via a static call, like DotProduct. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val set = new java.util.HashSet[UTF8String](x.numElements() * 2)
-    var i = 0
-    while (i < x.numElements()) { set.add(x.getUTF8String(i)); i += 1 }
-    var inter = 0
-    i = 0
-    while (i < y.numElements()) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
-    val union = x.numElements() + y.numElements() - inter
-    java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorMath.jaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.jaccard($a, $b);")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
+}
+
+/** Static helpers shared by interpreted eval and generated code. */
+object VectorMath {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val set = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    val union = a.numElements() + b.numElements() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 }
 
 /** Session registration so query plans can reference these via expr("..."). */
