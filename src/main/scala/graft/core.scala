@@ -31,6 +31,18 @@ object Tables {
     }
   }
 
+  /** Ensure enough input partitions for CPU-heavy per-row work. The test
+    * tables are single parquet files (one split), which would serialize
+    * native-expression pipelines on one core; a real corpus already has
+    * many splits and this is a no-op (measured: minhash signature build
+    * 3.3s → 0.9s at sf0.1/local[32]). */
+  def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** Register every table as a temp view (for spark.sql-based entries). */
   def views(spark: SparkSession, dir: String): Unit =
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

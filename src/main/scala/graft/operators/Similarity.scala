@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * doubles and thresholds cannot flip (SURVEY §6). */
 object Similarity {
 
-  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
-  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.widened(s, d, "embeddings")
+  private def docs(s: SparkSession, d: String) = Tables.widened(s, d, "documents")
 
   /** Embeddings with double vector and squared norm (computed pre-join). */
   private def vecs(s: SparkSession, d: String): DataFrame = {

@@ -112,7 +112,7 @@ object TextOps {
     // char-3-gram shingle sets are exact ints, so jacc is bit-identical).
     GraftQuery("dd_ngram_jaccard", (s, d) => {
       graft.functions.F.register(s)
-      val sh = docs(s, d).select(col("doc_id"),
+      val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
         expr("char_shingles(text, 3)").as("sh")).persist() // feeds both join sides
       val deltas = s.range(1, 11).select(col("id").as("dd"))
       val a = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
