@@ -35,6 +35,41 @@ object Sinks {
 
   val defs: Seq[GraftQuery] = Seq(
     GraftQuery("q_sink_csv", (s, d) => roundTrip(s, d, "csv"), Some(oracle)),
-    GraftQuery("q_sink_json", (s, d) => roundTrip(s, d, "json"), Some(oracle))
+    GraftQuery("q_sink_json", (s, d) => roundTrip(s, d, "json"), Some(oracle)),
+
+    // bucketing: persist both fact tables bucketed + sorted on the join
+    // key, then join WITHOUT a shuffle (plan-spec-verified: no Exchange
+    // above the bucketed scans). At 100 TB this is how repeated fact⋈fact
+    // joins amortize their shuffle once at write time.
+    GraftQuery("q_bucketed_join", (s, d) => {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      val buckets = 8
+      // the in-memory catalog forgets tables across sessions but their
+      // warehouse directories persist; clear both before (re)writing
+      Seq("g_lineitem_b", "g_orders_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables.t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_lineitem_b")
+      Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_orders_b")
+      s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sumd(d2(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin))
   )
 }

@@ -46,6 +46,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed fact join runs without a shuffle before the join") {
+    SparkEntry.queries("q_bucketed_join")(spark, sf) // writes bucketed tables
+    // force a non-broadcast join so the bucketed scan is what avoids the
+    // shuffle (at real scale neither fact side would broadcast anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = spark.table("g_lineitem_b")
+        .join(spark.table("g_orders_b"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not reshuffle:\n" + p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("dd_embed_cosine shuffles on the blocking key, not a cross join") {
     val p = plan("dd_embed_cosine")
     assert(!p.contains("CartesianProduct"), p)
