@@ -37,6 +37,25 @@ object Sinks {
     GraftQuery("q_sink_csv", (s, d) => roundTrip(s, d, "csv"), Some(oracle)),
     GraftQuery("q_sink_json", (s, d) => roundTrip(s, d, "json"), Some(oracle)),
 
+    // partitioned layout: write partitioned by a low-cardinality key, read
+    // one partition back — the plan's PartitionFilters prove directory
+    // pruning (only that partition's files are listed/scanned).
+    GraftQuery("q_partitioned_scan", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumd(d2(col("o_totalprice"))).as("total"))
+    },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // bucketing: persist both fact tables bucketed + sorted on the join
     // key, then join WITHOUT a shuffle (plan-spec-verified: no Exchange
     // above the bucketed scans). At 100 TB this is how repeated fact⋈fact
