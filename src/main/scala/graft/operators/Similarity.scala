@@ -154,20 +154,30 @@ object Similarity {
       // materialized signature tables every LSH pipeline snapshots).
       val sh = docs(s, d).select(col("doc_id"),
         expr("char_shingles(text, 5)").as("sh")).persist()
-      val bands = sh
-        .withColumn("sig", expr("minhash_sig(sh)"))
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist()
+      val bands = sigs
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, 15), b ->
             |  named_struct('band', b,
             |    'bh', xxhash64(b, element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
             |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4))))""".stripMargin)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-        .persist()
       val cand = bands.select(col("band"), col("bh"), col("doc_id").as("ia"))
         .join(bands.select(col("band"), col("bh"), col("doc_id").as("ib")), Seq("band", "bh"))
         .filter(col("ia") < col("ib"))
         .select("ia", "ib").distinct()
-      cand
+      // prefilter on signature agreement (64 longs/row) before shipping the
+      // full shingle sets: est >= 0.55 keeps jacc >= 0.7 pairs whp while the
+      // false-candidate majority never touches the heavy arrays
+      val prefiltered = cand
+        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+        .withColumn("est", expr(
+          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+        .filter(col("est") >= 0.55)
+        .select("ia", "ib")
+      prefiltered
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
