@@ -52,6 +52,32 @@ object Relational2 {
              |FROM customer
              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
 
+    // 56b. value-based RANGE frame (trailing 1-hour totals per user) +
+    // distribution functions (exact rationals in both engines).
+    GraftQuery("q_window_range", (s, d) => {
+      val ev = Tables.t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      val wOrder = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      ev.select(
+        col("event_id"), col("user_id"),
+        sum(Exact.d2(col("value"))).over(wRange).cast("double").as("hour_total"),
+        count(lit(1)).over(wRange).as("hour_n"),
+        percent_rank().over(wOrder).as("pr"),
+        cume_dist().over(wOrder).as("cd"))
+    },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wr AS DOUBLE) AS hour_total,
+             |  COUNT(*) OVER wr AS hour_n,
+             |  PERCENT_RANK() OVER wo AS pr,
+             |  CUME_DIST() OVER wo AS cd
+             |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+             |WINDOW wr AS (PARTITION BY user_id ORDER BY us
+             |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+             |       wo AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin)),
+
     // 57. group_concat (SQLite) with deterministic ordering.
     GraftQuery("q_group_concat",
       (s, d) => cust(s, d)
