@@ -194,6 +194,26 @@ object Relational2 {
              |  CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS d_sign
              |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
+    // 67g. schema-on-read JSON: from_json into a typed struct (vs the
+    // path-extraction in q_json_extract).
+    GraftQuery("q_json_struct",
+      (s, d) => Tables.t(s, d, "events")
+        .withColumn("p", from_json(col("props"), lit("k INT")))
+        .select(col("event_id"), col("p.k").cast("long").as("k"))
+        .filter(col("k") >= 5),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 5""".stripMargin)),
+
+    // 67h. explicit GROUPING SETS (independent of ROLLUP/CUBE).
+    GraftQuery("q_grouping_sets",
+      (s, d) => { Tables.views(s, d); s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
     // 67d. generator / LATERAL VIEW: explode tokens into rows.
     GraftQuery("q_explode",
       (s, d) => Tables.t(s, d, "documents")

@@ -76,6 +76,20 @@ class VTabSpec extends SparkSpec {
     assert(QueryCache.hits.get() > 0)
   }
 
+  test("cache TTL expiry forces a re-fetch") {
+    QueryCache.clear()
+    ScanLedger.reset()
+    spark.conf.set("spark.graft.cache.ttl", "0") // immediate expiry
+    try {
+      val q = numbers.filter(col("id") >= 7000L && col("id") < 7010L)
+      q.count()
+      val first = ScanLedger.scans.get()
+      Thread.sleep(5)
+      q.count()
+      assert(ScanLedger.scans.get() > first, "expired entry must re-fetch")
+    } finally spark.conf.set("spark.graft.cache.ttl", "300")
+  }
+
   test("configure changes connection config for subsequent loads (configure_fn.go)") {
     try {
       GraftConfigure.configure(spark, "seq", """{"n": 123}""")
