@@ -133,6 +133,75 @@ object TextOps {
              |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
              |FROM d a JOIN deltas ON true JOIN d b ON b.doc_id = a.doc_id + dd
              |WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62""".stripMargin))
+             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62""".stripMargin)),
+
+    // capstone: the full training-data cleaning pipeline as ONE declarative
+    // plan — exact dedup → near-dup removal (delta-blocked 3-gram Jaccard,
+    // drop the later doc of each pair) → language filter → quality floor.
+    // Every stage is SQL-expressible, so the whole pipeline is
+    // oracle-checked end to end.
+    GraftQuery("dd_pipeline", (s, d) => {
+      graft.functions.F.register(s)
+      val base = docs(s, d)
+      // 1. exact dedup: keep the earliest doc per content hash
+      val keepIds = base.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = base.join(keepIds, "doc_id")
+      // 2. near-dup removal: drop the later doc of each verified pair
+      val sh = kept.select(col("doc_id"), expr("char_shingles(text, 3)").as("sh")).persist()
+      val deltas = s.range(1, 11).select(col("id").as("dd"))
+      val dupIb = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
+        .crossJoin(broadcast(deltas))
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")),
+          col("ib") === col("ia") + col("dd"))
+        .filter(expr("jaccard_sim(sha, shb)") >= 0.62)
+        .select(col("ib").as("doc_id")).distinct()
+      val deduped = kept.join(dupIb, Seq("doc_id"), "left_anti")
+      // 3+4. language + quality gates (same rationals as ta_langid/ta_quality)
+      deduped
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> t IN ('the','a','of','and','to')))").cast("long")
+            / col("n_toks"))
+        .withColumn("quality",
+          lit(0.4) * (expr("size(array_distinct(toks))").cast("long") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(
+              expr("aggregate(transform(toks, t -> length(t)), 0L, (s, x) -> s + x)")
+                / col("n_toks") / lit(10.0), lit(1.0)))
+        .filter(col("stop_ratio") >= 0.05 && col("quality") >= 0.5)
+        .select("doc_id", "n_toks", "quality")
+    },
+      Some("""WITH keep AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |kept AS (
+             |  SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+             |    i -> substr(text, i, 3))) AS sh FROM kept),
+             |deltas AS (SELECT unnest(range(1, 11)) AS dd),
+             |dup AS (
+             |  SELECT DISTINCT b.doc_id FROM sh a JOIN deltas ON true
+             |  JOIN sh b ON b.doc_id = a.doc_id + dd
+             |  WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62),
+             |deduped AS (
+             |  SELECT k.* FROM kept k ANTI JOIN dup USING (doc_id)),
+             |t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM deduped),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+             |      / CAST(len(toks) AS BIGINT) AS stop_ratio,
+             |    0.4 * (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT))
+             |      + 0.3 * least(CAST(len(toks) AS BIGINT) / 200.0, 1.0)
+             |      + 0.3 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             |                    / CAST(len(toks) AS BIGINT) / 10.0, 1.0) AS quality
+             |  FROM t)
+             |SELECT doc_id, n_toks, quality FROM m
+             |WHERE stop_ratio >= 0.05 AND quality >= 0.5""".stripMargin))
   )
 }
