@@ -38,6 +38,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get(w1030).contains(10L), rows.toString)
   }
 
+  test("dedup state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val input = MemoryStream[Long]
+    def start() = input.toDF().toDF("k")
+      .dropDuplicates("k")
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).format("parquet").start(out)
+    val q1 = start()
+    input.addData(1L, 2L, 3L)
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint; re-send an old key + a new one
+    val q2 = start()
+    input.addData(2L, 4L)
+    q2.processAllAvailable(); q2.stop()
+    val keys = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq
+    assert(keys.sorted == Seq(1L, 2L, 3L, 4L),
+      s"state must survive restart (2 must not duplicate): $keys")
+  }
+
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot key (0) carries ~99% of the left side
+      val left = spark.range(0, 200000)
+        .select(org.apache.spark.sql.functions.when($"id" % 100 =!= 0, 0L)
+          .otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(0, 200000).select($"id".as("k"))
+      val joined = left.join(right, "k")
+      joined.queryExecution.toRdd.count() // run THIS QueryExecution to its final AQE plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE must split the hot partition:\n" + p)
+    } finally restore.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("streaming sessionize equals batch sessionize on the same data") {
     val streamed = SparkEntry.queries("st_sessionize")(spark, sf)
       .collect().map(_.toSeq).toSet
