@@ -427,6 +427,31 @@ object Relational {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
              |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
 
+    // 30b. AS-OF join with tolerance: the prior view only counts if it
+    // happened within 2 hours of the purchase (same single-shuffle window
+    // plan; the oracle bounds DuckDB's ASOF match with a CASE).
+    GraftQuery("q_asof_tolerance", (s, d) => {
+      val e = ev(s, d).filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("view_id", when(col("event_type") === "view", col("event_id")))
+        .withColumn("view_us", when(col("event_type") === "view", col("us")))
+        .withColumn("pv_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("pv_us", last(col("view_us"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("us") - col("pv_us") <= 7200000000L, col("pv_id"))
+            .as("prior_view_id"))
+    },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+             |       THEN v.event_id END AS prior_view_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)),
+
     // 31. batch sessionization: gap > 30 min ⇒ new session (single shuffle
     // on user_id; windows + one aggregate — the batch twin of §2.4 st_sessionize).
     GraftQuery("q_sessionize", (s, d) => {
