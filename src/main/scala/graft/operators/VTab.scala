@@ -83,6 +83,18 @@ object VTab {
     },
       Some("SELECT i AS id, 'row_' || i AS s, i / 100.0 AS ratio FROM range(9990, 10000) t(i)")),
 
+    // 41c. the reference's config-table UX (test.sql:1-8): INSERT INTO the
+    // per-plugin config table applies connection config (DSv2 write path,
+    // commit on the driver).
+    GraftQuery("vt_config_table", (s, d) => {
+      GraftConfigure.ensureCatalog(s)
+      s.sql("""INSERT INTO graft.seq.config VALUES ('{"n": 600}')""")
+      val df = numbers(s).select("id", "s") // snapshots n=600 at load
+      s.sql("""INSERT INTO graft.seq.config VALUES ('{"n": 10000}')""")
+      df
+    },
+      Some("SELECT i AS id, 'row_' || i AS s FROM range(0, 600) t(i)")),
+
     // 41b. multi-plugin registry: a second plugin (metrics) with a required
     // series key + t-range pushdown, queried through the same catalog.
     GraftQuery("vt_multi_plugin", (s, d) => {

@@ -181,11 +181,13 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val plugin = PluginRegistry.plugin(namespace.head)
-    plugin.tables.map(t => Identifier.of(namespace, t.name)).toArray
+    (plugin.tables.map(t => Identifier.of(namespace, t.name)) :+
+      Identifier.of(namespace, "config")).toArray
   }
   override def loadTable(ident: Identifier): Table = {
     val plugin = PluginRegistry.plugin(ident.namespace().head)
-    GraftTable(plugin.name, plugin.table(ident.name), PluginRegistry.config(plugin.name))
+    if (ident.name == "config") ConfigTable(plugin.name)
+    else GraftTable(plugin.name, plugin.table(ident.name), PluginRegistry.config(plugin.name))
   }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =

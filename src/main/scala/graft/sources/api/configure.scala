@@ -15,6 +15,16 @@ object GraftConfigure {
   private val mapper = new ObjectMapper()
 
   def configure(spark: SparkSession, pluginAlias: String, configJson: String): PluginConfig = {
+    val next = applyConfig(pluginAlias, configJson)
+    // Re-expose the catalog so `graft.<plugin>.<table>` resolves against the
+    // new config (the reference drops + recreates vtables, configure_fn.go:127+).
+    ensureCatalog(spark)
+    next
+  }
+
+  /** Session-free config application (used by the writable config table's
+    * driver-side commit, ConfigTable.scala). */
+  def applyConfig(pluginAlias: String, configJson: String): PluginConfig = {
     val node = mapper.readTree(configJson)
     val prev = PluginRegistry.config(pluginAlias)
     var next = prev
@@ -30,9 +40,6 @@ object GraftConfigure {
     }
     next = next.copy(extra = extra.toMap)
     PluginRegistry.setConfig(pluginAlias, next)
-    // Re-expose the catalog so `graft.<plugin>.<table>` resolves against the
-    // new config (the reference drops + recreates vtables, configure_fn.go:127+).
-    ensureCatalog(spark)
     next
   }
 
