@@ -103,7 +103,7 @@ class VTabSpec extends SparkSpec {
     val n = spark.sql("SELECT * FROM graft.seq.numbers WHERE id < 5").count()
     assert(n == 5)
     val tables = spark.sql("SHOW TABLES IN graft.seq").collect().map(_.getString(1)).toSet
-    assert(tables == Set("numbers", "kv"))
+    assert(tables == Set("numbers", "kv", "config"))
   }
 
   test("explain shows pushed filters and pruned schema") {
