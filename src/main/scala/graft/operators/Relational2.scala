@@ -198,7 +198,10 @@ object Relational2 {
     // path-extraction in q_json_extract).
     GraftQuery("q_json_struct",
       (s, d) => Tables.t(s, d, "events")
-        .withColumn("p", from_json(col("props"), lit("k INT")))
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
         .select(col("event_id"), col("p.k").cast("long").as("k"))
         .filter(col("k") >= 5),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
