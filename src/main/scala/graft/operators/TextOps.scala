@@ -135,6 +135,35 @@ object TextOps {
              |WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62""".stripMargin)),
 
+    // Gopher/C4-style repetition signal: fraction of all word 2-grams taken
+    // by the most frequent one (high ⇒ boilerplate/spam). Exact ints both
+    // engines; one explode + two aggregations, no shuffle beyond the groupBy.
+    GraftQuery("ta_repetition", (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+        .withColumn("top_gram_frac", col("top_gram_n") / col("n_grams"))
+        .select("doc_id", "n_grams", "top_gram_n", "top_gram_frac")
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+             |  FROM t),
+             |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             |  CAST(MAX(c) AS BIGINT) AS top_gram_n,
+             |  CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
     // capstone: the full training-data cleaning pipeline as ONE declarative
     // plan — exact dedup → near-dup removal (delta-blocked 3-gram Jaccard,
     // drop the later doc of each pair) → language filter → quality floor.

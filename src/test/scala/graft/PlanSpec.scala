@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("dot_product stays inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("ann_topk")(spark, sf)
+    df.queryExecution.toRdd.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("dot_product")).getOrElse("")
+    assert(line.contains("*("),
+      s"dot_product must be in a codegen stage, got: $line\n$p")
+  }
+
   test("dd_embed_cosine shuffles on the blocking key, not a cross join") {
     val p = plan("dd_embed_cosine")
     assert(!p.contains("CartesianProduct"), p)
