@@ -157,7 +157,10 @@ case class GraftReaderFactory(pluginAlias: String, table: ApiTable,
       private val it: Iterator[Array[Any]] = {
         def fetch = { ScanLedger.record(p.qc); table.scan(p.split, p.qc, config) }
         if (cacheEnabled)
-          QueryCache.getOrFetch(s"$pluginAlias/${table.name}/${p.split}/${p.qc}", cacheTtl)(fetch)
+          // config is part of the key: two connections with identical splits
+          // but different connection config must not share entries
+          QueryCache.getOrFetch(
+            s"$pluginAlias/${table.name}/$config/${p.split}/${p.qc}", cacheTtl)(fetch)
         else fetch
       }
       private var current: Array[Any] = _
