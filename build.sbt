@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~90 codegen'd queries in one JVM overflow the default 240m code cache,
+  // after which the JIT stops compiling and late queries run interpreted
+  "-XX:ReservedCodeCacheSize=1g",
 )
