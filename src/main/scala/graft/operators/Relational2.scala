@@ -194,6 +194,48 @@ object Relational2 {
              |  CAST(SIGN(l_discount - 0.04) AS DOUBLE) AS d_sign
              |FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
+    // 67i. statistical aggregates from exact moments: variance/stddev/corr
+    // computed as one pass of DECIMAL-exact sums (x, x², y, y², xy), then
+    // identical double arithmetic in both engines. (Built-in stddev/corr
+    // use Welford updates whose float order differs per engine — the
+    // moments form is the map-side-partial, scale-friendly one anyway.)
+    GraftQuery("q_agg_stats", (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      def d4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(24, 4))
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sx"),
+          sum(d4(d2(col("l_extendedprice")) * d2(col("l_extendedprice")))).cast("double").as("sxx"),
+          sum(d2(col("l_quantity"))).cast("double").as("sy"),
+          sum(d4(d2(col("l_quantity")) * d2(col("l_quantity")))).cast("double").as("syy"),
+          sum(d4(d2(col("l_extendedprice")) * d2(col("l_quantity")))).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("sx") / col("n")).as("mean_price"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_pq"))
+    },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  sx / n AS mean_price,
+             |  (sxx - sx * sx / n) / (n - 1) AS var_price,
+             |  SQRT((sxx - sx * sx / n) / (n - 1)) AS std_price,
+             |  (sxy - sx * sy / n) /
+             |    (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_pq
+             |FROM m""".stripMargin)),
+
     // 67g. schema-on-read JSON: from_json into a typed struct (vs the
     // path-extraction in q_json_extract).
     GraftQuery("q_json_struct",
