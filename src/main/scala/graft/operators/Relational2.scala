@@ -202,38 +202,45 @@ object Relational2 {
     GraftQuery("q_agg_stats", (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       def d4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(24, 4))
+      // decimal→double of large sums rounds differently per engine; route
+      // every moment through exact integer units (×10^scale → BIGINT →
+      // DOUBLE → ÷10^scale), bit-deterministic in both engines
+      def u2(c: org.apache.spark.sql.Column) =
+        (c * 100).cast("bigint").cast("double") / 100.0
+      def u4(c: org.apache.spark.sql.Column) =
+        (c * 10000).cast("bigint").cast("double") / 10000.0
       li(s, d)
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          sum(d2(col("l_extendedprice"))).cast("double").as("sx"),
-          sum(d4(d2(col("l_extendedprice")) * d2(col("l_extendedprice")))).cast("double").as("sxx"),
-          sum(d2(col("l_quantity"))).cast("double").as("sy"),
-          sum(d4(d2(col("l_quantity")) * d2(col("l_quantity")))).cast("double").as("syy"),
-          sum(d4(d2(col("l_extendedprice")) * d2(col("l_quantity")))).cast("double").as("sxy"))
+          u2(sum(d2(col("l_quantity")))).as("sx"),
+          u4(sum(d4(d2(col("l_quantity")) * d2(col("l_quantity"))))).as("sxx"),
+          u2(sum(d2(col("l_discount")))).as("sy"),
+          u4(sum(d4(d2(col("l_discount")) * d2(col("l_discount"))))).as("syy"),
+          u4(sum(d4(d2(col("l_quantity")) * d2(col("l_discount"))))).as("sxy"))
         .select(
           col("l_returnflag"), col("n"),
-          (col("sx") / col("n")).as("mean_price"),
-          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
+          (col("sx") / col("n")).as("mean_qty"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_qty"),
           ((col("sxy") - col("sx") * col("sy") / col("n")) /
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
-              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_pq"))
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_qd"))
     },
       Some("""WITH m AS (
              |  SELECT l_returnflag, COUNT(*) AS n,
-             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS syy,
-             |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+             |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sx,
+             |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+             |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sy,
+             |    CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(24,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS syy,
+             |    CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(24,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
-             |  sx / n AS mean_price,
-             |  (sxx - sx * sx / n) / (n - 1) AS var_price,
-             |  SQRT((sxx - sx * sx / n) / (n - 1)) AS std_price,
+             |  sx / n AS mean_qty,
+             |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+             |  SQRT((sxx - sx * sx / n) / (n - 1)) AS std_qty,
              |  (sxy - sx * sy / n) /
-             |    (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_pq
+             |    (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qd
              |FROM m""".stripMargin)),
 
     // 67g. schema-on-read JSON: from_json into a typed struct (vs the
