@@ -20,7 +20,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen/IO warmup (not timed)
+    // JVM/codegen/IO warmup (not timed): touch every table so page cache
+    // and file listings are hot, then run one full query
+    Tables.all.foreach(t => Tables.t(spark, sfDir, t).write.format("noop")
+      .mode("overwrite").save())
     SparkEntry.queries("q_agg_basic")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 

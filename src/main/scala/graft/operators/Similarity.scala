@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Float parity: dot_product is a strict left fold; the DuckDB oracles use
   * list_reduce with the same order, so both engines produce bit-identical
-  * doubles and thresholds cannot flip (SURVEY §6). */
+  * doubles and thresholds cannot flip (SURVEY §6).
+  *
+  * The candidate-generate → exact-verify shape follows the distributed
+  * set-similarity join / top-k search literature retrieved in PAPERS.md
+  * (REPOSE, ICDE 2021; Continuously Adaptive Similarity Search, SIGMOD
+  * 2020; incremental top-k, EDBT 2020). */
 object Similarity {
 
   private def emb(s: SparkSession, d: String) = Tables.widened(s, d, "embeddings")
