@@ -11,6 +11,8 @@ object Graft {
     functions.F.register(spark)       // scalar + aggregate expressions
     plans.GraftOps.register(spark)    // TopK strategy + rewrite rule
     sources.api.GraftConfigure.ensureCatalog(spark) // graft.* catalog
+    // env-controlled log level (reference logging.go: STEAMPIPE_LOG_LEVEL)
+    sys.env.get("GRAFT_LOG_LEVEL").foreach(spark.sparkContext.setLogLevel)
     spark
   }
 
