@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,74 +13,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * similarity operators (SURVEY §2.3). Higher-order-function lambdas are
   * interpreted per element; these evaluate one tight JVM loop per row
   * (~100× faster for 64-hash signatures) while remaining deterministic and
-  * distributable. Each is a scalar expression, so Catalyst still prunes /
-  * pushes down around them. */
+  * distributable. Every expression generates a static call via doGenCode,
+  * so parent operators stay inside one whole-stage-codegen span
+  * (CodegenFallback would split it).
+  *
+  * Hash family: md5 (not xxhash). md5 is reproducible in ANSI-ish SQL
+  * (DuckDB `md5()`), which lets the driver's oracle recompute MinHash /
+  * SimHash signatures EXACTLY — the probabilistic operators get bit-exact
+  * correctness checks instead of statistical ones. The md5-per-shingle cost
+  * is amortized by signature persistence (each doc is hashed once, then
+  * only 64-long signatures move through the pipeline). */
 
-/** MinHash signature of a shingle set: sig[j] = min over shingles of
-  * (h1(s) + j * h2(s)) — the standard 2-hash affine family, base hashes
-  * from Spark's XXH64. Input array<string>, output array<long>(64). */
-case class MinHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** MinHash signature of a shingle set: sig[j] = (h1(s) + j * h2(s)) mod 2^63
+  * minimized over shingles — the standard 2-hash affine family. h1/h2 are
+  * the two 8-byte halves of md5(shingle), masked to 63 bits so comparisons
+  * are unsigned-consistent in engines without u64 (h2 forced odd). Input
+  * array<string>, output array<long>(64). */
+case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
-  private val numHashes = 64
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1L)
-      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 2L) | 1L
-      var j = 0
-      var h = h1
-      while (j < numHashes) {
-        if (h < sig(j)) sig(j) = h
-        h += h2 // h1 + j*h2 built incrementally
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.minhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.minhashSig($c);")
+
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
 }
 
-/** SimHash-64 of a token list: per-token XXH64, ±1 votes per bit. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** SimHash-64 of a token list: per-token md5 (first 8 bytes, big-endian),
+  * ±1 votes per bit, vote >= 0 sets the bit. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0L)
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
-        k += 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var k = 0
-    while (k < 64) { if (votes(k) >= 0) fp |= (1L << k); k += 1 }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.simhash64($c);")
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 /** Strict left-fold dot product of two double arrays — same accumulation
   * order as DuckDB's list_reduce, so results are bit-identical across
-  * engines (SURVEY §6). Generates a static call so parent operators stay
-  * inside whole-stage codegen (CodegenFallback would break the span). */
+  * engines (SURVEY §6). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -89,10 +71,7 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(VectorMath.dot(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorMath.dot($a, $b);")
 
@@ -102,34 +81,20 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Sign-LSH signatures: one small-int signature per hash table, from
   * seeded deterministic Gaussian hyperplanes (data-independent, identical
-  * on every executor). Input array<double>(64) → array<int>(numTables). */
-case class LshSigs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * on every executor). Input array<double>(64) → array<int>(numTables).
+  * The same seeded planes are embedded as literals into the DuckDB oracle
+  * (Similarity.lshOracle), so bucket assignment is cross-engine exact. */
+case class LshSigs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_sigs"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
-    val planes = LshSigs.planes
-    val sigs = new Array[Int](LshSigs.numTables)
-    var t = 0
-    while (t < LshSigs.numTables) {
-      var sig = 0
-      var p = 0
-      while (p < LshSigs.planesPerTable) {
-        val plane = planes(t * LshSigs.planesPerTable + p)
-        var dot = 0.0
-        var i = 0
-        val n = math.min(v.length, plane.length)
-        while (i < n) { dot += v(i) * plane(i); i += 1 }
-        if (dot >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sigs(t) = sig
-      t += 1
-    }
-    new GenericArrayData(sigs)
-  }
+  override def nullSafeEval(input: Any): Any =
+    LshSigs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshSigs.compute($c);")
+
   override protected def withNewChildInternal(c: Expression): LshSigs = copy(c)
 }
 
@@ -142,36 +107,52 @@ object LshSigs {
     val rnd = new scala.util.Random(42)
     Array.fill(numTables * planesPerTable)(Array.fill(dims)(rnd.nextGaussian()))
   }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val sigs = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(t * planesPerTable + p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new GenericArrayData(sigs)
+  }
 }
 
 /** Distinct character n-gram shingles in one pass (equivalent to
   * array_distinct(transform(sequence(...), i -> substring(text, i, n)))
   * but ~50× cheaper than the interpreted lambda chain). First-occurrence
   * order, matching array_distinct semantics. */
-case class CharShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    val last = s.length - n
-    while (i <= last) { seen.add(s.substring(i, i + n)); i += 1 }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashOps.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.charShingles($c, $n);")
+
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
 }
 
 /** Jaccard similarity of two distinct-element string arrays:
   * |A∩B| / |A∪B| via one hash set (same rational as the
-  * array_intersect/array_union formulation, so oracle-exact).
-  * Codegen'd via a static call, like DotProduct. */
+  * array_intersect/array_union formulation, so oracle-exact). */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -181,15 +162,34 @@ case class JaccardSim(left: Expression, right: Expression)
     java.lang.Double.valueOf(VectorMath.jaccard(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorMath.jaccard($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
+}
+
+/** Repetition stats in one pass: (count of the most frequent word 2-gram,
+  * total 2-gram count) per token array — replaces an explode + two
+  * aggregations (which at 100 TB would double the corpus through a shuffle)
+  * with one per-row hash map. Input array<string> → struct<top_gram_n,
+  * n_grams>. Exact integers, so the DuckDB explode/aggregate oracle matches
+  * bit-for-bit. */
+case class TopBigramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_gram_n", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def prettyName: String = "top_bigram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.topBigram(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.topBigram($c);")
+
+  override protected def withNewChildInternal(c: Expression): TopBigramStats = copy(c)
 }
 
 /** Static helpers shared by interpreted eval and generated code. */
@@ -215,6 +215,101 @@ object VectorMath {
   }
 }
 
+/** md5-based hashing kernels. All 64-bit values derive from the two
+  * big-endian 8-byte halves of md5(bytes), which DuckDB reproduces from
+  * `md5()` hex output — see the digit-fold macros in Similarity.scala. */
+object HashOps {
+  /** 63-bit mask: keeps affine-hash arithmetic in non-negative signed-long
+    * territory, where Java `<` and SQL `<` agree. */
+  final val Mask63: Long = Long.MaxValue
+  final val NumHashes = 64
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def beLong(d: Array[Byte], off: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(off + i) & 0xffL); i += 1 }
+    h
+  }
+
+  def minhashSig(arr: ArrayData): ArrayData = {
+    val dig = md5.get()
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      dig.reset()
+      val d = dig.digest(s.getBytes)
+      val h1 = beLong(d, 0) & Mask63
+      val h2 = (beLong(d, 8) & Mask63) | 1L
+      var cur = h1
+      var j = 0
+      while (j < NumHashes) {
+        if (cur < sig(j)) sig(j) = cur
+        cur = (cur + h2) & Mask63 // (h1 + j*h2) mod 2^63, built incrementally
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val dig = md5.get()
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      dig.reset()
+      val h = beLong(dig.digest(s.getBytes), 0)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) >= 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+
+  def charShingles(str: UTF8String, n: Int): ArrayData = {
+    val s = str.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = s.length - n
+    while (i <= last) { seen.add(s.substring(i, i + n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def topBigram(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) return InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    var top = 0
+    while (i < n - 1) {
+      val g = toks.getUTF8String(i).toString + " " + toks.getUTF8String(i + 1).toString
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(top.toLong, (n - 1).toLong)
+  }
+}
+
 /** Session registration so query plans can reference these via expr("..."). */
 object F {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -225,10 +320,13 @@ object F {
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+    ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),
     ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))),
     ("minhash_union", (es: Seq[Expression]) =>
-      MinHashUnionAgg(es.head).toAggregateExpression()))
+      MinHashUnionAgg(es.head).toAggregateExpression()),
+    ("kmv_sketch", (es: Seq[Expression]) =>
+      KmvSketchAgg(es.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

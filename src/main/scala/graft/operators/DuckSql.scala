@@ -1,0 +1,63 @@
+package graft.operators
+
+/** DuckDB SQL macro builders that recompute graft's md5-based sketch
+  * signatures (graft.functions.HashOps) in plain SQL, so the driver's
+  * oracle can check MinHash/LSH pipelines EXACTLY — banding, prefilter and
+  * verify included — instead of settling for rows-only checks.
+  *
+  * Correspondence (HashOps.minhashSig):
+  *   h1 = first 8 bytes of md5(s) (big-endian)  ↔ hex digit fold of md5()[1..16]
+  *   h2 = (second 8 bytes | 1)                  ↔ fold of md5()[17..32], forced odd
+  *   both masked to 63 bits (mod 2^63)          ↔ % 9223372036854775808
+  *   sig[j] = min over shingles of (h1 + j*h2) mod 2^63
+  * 63-bit masking keeps every value non-negative, so signed BIGINT `<` and
+  * Java long `<` order identically (no u64 needed on either side). */
+object DuckSql {
+  private val M = "9223372036854775808" // 2^63 (HUGEINT literal)
+
+  /** HUGEINT from 16 hex chars m[off..off+16) of an md5() hex string `m`. */
+  private def hex16(off: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(range($off, ${off + 16}), " +
+      s"i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INTEGER), 1)) - 1 AS HUGEINT))), " +
+      s"(a, x) -> a * 16 + x)"
+
+  /** Distinct char n-gram shingle sets: CTE body for `d(<id>, sh)`.
+    * Mirrors HashOps.charShingles (first-occurrence distinct). */
+  def shingles(src: String, id: String, n: Int): String =
+    s"SELECT $id, list_distinct(list_transform(range(1, length(text) - ${n - 2}), " +
+      s"i -> substr(text, i, $n))) AS sh FROM $src"
+
+  /** CTE chain `sng, hsh, hs2, sigs, sl` computing per-$id MinHash
+    * signature lists from a CTE `d($id, sh)`; `sl` = ($id, sig: BIGINT[64]). */
+  def sigCtes(id: String): String =
+    s"""sng AS (SELECT $id, unnest(sh) AS s FROM d),
+       |hsh AS (SELECT $id, ${hex16(1)} % $M AS h1, ${hex16(17)} % $M AS h2r
+       |  FROM (SELECT $id, md5(s) AS m FROM sng)),
+       |hs2 AS (SELECT $id, h1, h2r - (h2r % 2) + 1 AS h2 FROM hsh),
+       |sigs AS (SELECT $id, j, CAST(MIN((h1 + j * h2) % $M) AS BIGINT) AS sig
+       |  FROM hs2, range(0, 64) r(j) GROUP BY $id, j),
+       |sl AS (SELECT $id, list(sig ORDER BY j) AS sig FROM sigs GROUP BY $id)""".stripMargin
+
+  /** CTE chain `bands, cand` for 16-band × 4-row LSH banding over `sl`;
+    * `cand` = (ia, ib) with ia < ib sharing at least one band. */
+  def bandCtes(id: String): String =
+    s"""bands AS (SELECT $id, b, sig[4*b+1] AS s1, sig[4*b+2] AS s2,
+       |    sig[4*b+3] AS s3, sig[4*b+4] AS s4
+       |  FROM sl, range(0, 16) r(b)),
+       |cand AS (SELECT DISTINCT a.$id AS ia, bb.$id AS ib
+       |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.s1 = bb.s1
+       |    AND a.s2 = bb.s2 AND a.s3 = bb.s3 AND a.s4 = bb.s4
+       |    AND a.$id < bb.$id)""".stripMargin
+
+  /** Exact shingle-set Jaccard between two `sh` columns (same rational as
+    * graft.functions.VectorMath.jaccard: ints → one double division). */
+  def jacc(a: String, b: String): String =
+    s"CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE)" +
+      s" / len(list_distinct(list_concat($a, $b)))"
+
+  /** Signature-agreement estimate between two 64-long sig lists (matches
+    * the Spark-side zip_with/aggregate prefilter bit for bit). */
+  def sigAgree(a: String, b: String): String =
+    s"len(list_filter(range(1, 65), i -> $a[i] = $b[i])) / CAST(64 AS DOUBLE)"
+}

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+  /** Feature vector surfaced as fixed scalar columns (f0..f7) rather than
+    * array<float>: the shape is static (8-dim stub embedding), and scalar
+    * columns keep the output sortable/hashable by any downstream consumer
+    * (array columns are opaque to most tabular tooling). */
   final case class FeatureRow(doc_id: Long, format: String, n_bytes: Long,
-      features: Array[Float])
+      f0: Float, f1: Float, f2: Float, f3: Float,
+      f4: Float, f5: Float, f6: Float, f7: Float)
 
   /** STUB decoder: deterministic 8-dim "embedding" from the byte stream.
     * Replace with a real codec for images/audio/video. */
@@ -49,7 +54,9 @@ object Multimodal {
         // one JVM-side "codec context" per partition (the expensive init a
         // real decoder amortizes across its arrow batch)
         batch.map { m =>
-          FeatureRow(m.doc_id, m.format, m.payload.length.toLong, decodeStub(m.payload))
+          val f = decodeStub(m.payload)
+          FeatureRow(m.doc_id, m.format, m.payload.length.toLong,
+            f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
         }
       }.toDF()
     }, None)

@@ -25,6 +25,14 @@ object Relational {
 
   private def ts(v: String) = lit(v).cast("timestamp")
 
+  /** DuckDB BIGINT from 8 hex chars $m[off..off+8) (analog of Spark's
+    * conv(substring(m, off, 8), 16, 10) — DuckDB has no conv()). */
+  private[operators] def duckHex8(m: String, off: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range($off, ${off + 8}), " +
+      s"i -> CAST(strpos('0123456789abcdef', substr($m, CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      s"(a, x) -> a * 16 + x)"
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 1. scan + column pruning: ReadSchema must be exactly these 3 columns.
@@ -400,12 +408,43 @@ object Relational {
              |   OR rn = CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT)
              |GROUP BY o_orderpriority""".stripMargin)),
 
-    // 29. HLL sketch (approx; spec-checked within 5% of exact, no SQL oracle).
-    GraftQuery("q_approx_distinct",
-      (s, d) => li(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n")),
-      None),
+    // 29. approximate distinct via a KMV (k-minimum-values) sketch over a
+    // shared md5-derived 63-bit hash — unlike HLL (whose register layout is
+    // engine-private), the k-th-minimum estimator is recomputable in plain
+    // SQL, so the *approximate* answer is bit-exact oracle-checked. The
+    // sketch is a native TypedImperativeAggregate: ≤256 longs per group
+    // cross the shuffle regardless of input size.
+    GraftQuery("q_approx_distinct", (s, d) => {
+      graft.functions.F.register(s)
+      val hash63 =
+        "(CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2147483648) * 4294967296" +
+          " + CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+      li(s, d).select(col("l_returnflag"), expr(hash63).as("h"))
+        .groupBy("l_returnflag")
+        .agg(expr("kmv_sketch(h)").as("sk"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          when(col("sk.kth").isNull, col("sk.n_kept").cast("double"))
+            .otherwise(expr(
+              "CAST(255 AS DOUBLE) * CAST(9223372036854775808 AS DOUBLE) / CAST(sk.kth AS DOUBLE)"))
+            .as("approx_parts"),
+          col("n"))
+    },
+      Some(s"""WITH h AS (SELECT DISTINCT l_returnflag,
+             |    (${Relational.duckHex8("m", 1)} % 2147483648) * 4294967296
+             |      + ${Relational.duckHex8("m", 9)} AS h
+             |  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),
+             |r AS (SELECT l_returnflag, h,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+             |g AS (SELECT l_returnflag, COUNT(*) AS nk,
+             |    MAX(CASE WHEN rn = 256 THEN h END) AS kth
+             |  FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+             |c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag)
+             |SELECT g.l_returnflag,
+             |  CASE WHEN kth IS NULL THEN CAST(nk AS DOUBLE)
+             |       ELSE CAST(255 AS DOUBLE) * CAST(9223372036854775808 AS DOUBLE)
+             |            / CAST(kth AS DOUBLE) END AS approx_parts,
+             |  c.n
+             |FROM g JOIN c ON c.l_returnflag = g.l_returnflag""".stripMargin)),
 
     // 30. AS-OF join: each purchase ↔ latest prior view of the same user.
     // Spark-first: single shuffle on user_id + one window pass (no range

@@ -40,6 +40,36 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (s, x) -> s + x)"
 
+  /** Shared LSH banding candidate generator: 16 bands × 4 rows over a
+    * (id, sig: array<long>(64)) signature table. Pairs sharing any intact
+    * band become candidates; the band tuple itself is the equijoin key
+    * (no band-hash step — keeps the oracle exactly reproducible, and AQE
+    * handles the wider shuffle key). This IS the 100 TB candidate shape:
+    * bucket-bounded, never all-pairs, only bare ids cross the distinct. */
+  private[operators] def bandCandidates(sigs: DataFrame, id: String): DataFrame = {
+    val bands = sigs.select(col(id), explode(expr(
+      """transform(sequence(0, 15), b ->
+        |  named_struct('band', b,
+        |    's1', element_at(sig, 4 * b + 1), 's2', element_at(sig, 4 * b + 2),
+        |    's3', element_at(sig, 4 * b + 3), 's4', element_at(sig, 4 * b + 4)))""".stripMargin)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.s1").as("s1"),
+        col("bk.s2").as("s2"), col("bk.s3").as("s3"), col("bk.s4").as("s4"))
+    val keys = Seq("band", "s1", "s2", "s3", "s4")
+    bands.toDF("ia" +: keys: _*)
+      .join(bands.toDF("ib" +: keys: _*), keys)
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+  }
+
+  /** DuckDB literal for one hyperplane (exact shortest-round-trip doubles:
+    * both engines parse back the identical IEEE value). */
+  private def planeRows: String =
+    (for (t <- 0 until graft.functions.LshSigs.numTables;
+          p <- 0 until graft.functions.LshSigs.planesPerTable) yield {
+      val plane = graft.functions.LshSigs.planes(t * graft.functions.LshSigs.planesPerTable + p)
+      s"($t, $p, ${plane.map(_.toString).mkString("[", ", ", "]")})"
+    }).mkString(",\n")
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 45. embedding near-dup: cosine >= 0.35 within blocking key (label).
@@ -130,8 +160,9 @@ object Similarity {
 
     // 47. sign-LSH bucketed ANN (the scale path): 3 tables × 8 hyperplanes
     // (native lsh_sigs expression, seeded planes), bucket equijoin for
-    // candidates, exact-cosine verify. Rows-only oracle (hyperplane hashing
-    // is not DuckDB-expressible).
+    // candidates, exact-cosine verify. Oracle: the SAME seeded planes are
+    // embedded as SQL literals, so DuckDB recomputes bucket assignment,
+    // candidate join and cosine verify bit-exactly end to end.
     GraftQuery("ann_lsh", (s, d) => {
       val base = vecs(s, d).persist() // reused by buckets + both verify sides
       val e = base
@@ -147,11 +178,30 @@ object Similarity {
         .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
         .filter(col("cos") >= 0.25)
         .select("ia", "ib", "cos")
-    }, None),
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |pl AS (SELECT * FROM (VALUES
+             |$planeRows) t(tbl, p, plane)),
+             |sigbits AS (SELECT n.vec_id, pl.tbl,
+             |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |        list_transform(range(1, 65), i -> n.v[i] * pl.plane[i])),
+             |        (s, x) -> s + x) >= 0 THEN (1 << pl.p) ELSE 0 END AS bit
+             |  FROM n CROSS JOIN pl),
+             |sigt AS (SELECT vec_id, tbl AS t, SUM(bit) AS sig FROM sigbits GROUP BY vec_id, tbl),
+             |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM sigt a JOIN sigt b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+             |p2 AS (SELECT ia, ib, ${duckDot("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+             |  FROM cand JOIN n a ON a.vec_id = cand.ia JOIN n b ON b.vec_id = cand.ib)
+             |SELECT ia, ib, cos FROM p2 WHERE cos >= 0.25""".stripMargin)),
 
     // 42. MinHash + LSH banding: 64 hashes (native minhash_sig expression),
     // 16 bands × 4 rows, band equijoin for candidates, exact shingle-Jaccard
-    // verify >= 0.7. Output = verified near-dup pairs.
+    // verify >= 0.7. Output = verified near-dup pairs. The md5-based hash
+    // family (HashOps) lets the oracle recompute signatures, banding,
+    // prefilter AND verify in SQL — the whole probabilistic pipeline is
+    // bit-exact-checked, not just row-counted.
     GraftQuery("dd_minhash_lsh", (s, d) => {
       F.register(s)
       // Both DFs feed both sides of self-joins; persist so shingling and
@@ -161,17 +211,7 @@ object Similarity {
         expr("char_shingles(text, 5)").as("sh")).persist()
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
         .select("doc_id", "sig").persist()
-      val bands = sigs
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 15), b ->
-            |  named_struct('band', b,
-            |    'bh', xxhash64(b, element_at(sig, 4 * b + 1), element_at(sig, 4 * b + 2),
-            |                   element_at(sig, 4 * b + 3), element_at(sig, 4 * b + 4))))""".stripMargin)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val cand = bands.select(col("band"), col("bh"), col("doc_id").as("ia"))
-        .join(bands.select(col("band"), col("bh"), col("doc_id").as("ib")), Seq("band", "bh"))
-        .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
+      val cand = bandCandidates(sigs, "doc_id")
       // prefilter on signature agreement (64 longs/row) before shipping the
       // full shingle sets: est >= 0.55 keeps jacc >= 0.7 pairs whp while the
       // false-candidate majority never touches the heavy arrays
@@ -188,7 +228,17 @@ object Similarity {
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
         .filter(col("jacc") >= 0.7)
         .select("ia", "ib", "jacc")
-    }, None),
+    },
+      Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
+             |${DuckSql.sigCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id")},
+             |pre AS (SELECT ia, ib FROM cand
+             |  JOIN sl sa ON sa.doc_id = cand.ia
+             |  JOIN sl sb ON sb.doc_id = cand.ib
+             |  WHERE ${DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.55),
+             |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
+             |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib)
+             |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7""".stripMargin)),
 
     // 46b. IVF ANN: deterministic coarse quantizer (every 50th vector is a
     // centroid), cell assignment by nearest centroid, search probes the 3
@@ -254,8 +304,9 @@ object Similarity {
 
     // 42b. cross-source overlap via the MinHash *union* sketch aggregate
     // (TypedImperativeAggregate): one 64-long sketch per source, pairwise
-    // signature agreement estimates collection-level Jaccard. Rows-only
-    // (xxhash sketches aren't DuckDB-expressible).
+    // signature agreement estimates collection-level Jaccard. Oracle: the
+    // union sketch equals the sketch of the union of the source's shingle
+    // sets, so DuckDB recomputes it as a per-source MIN over shingles.
     GraftQuery("dd_source_overlap", (s, d) => {
       F.register(s)
       val sigs = docs(s, d)
@@ -271,11 +322,21 @@ object Similarity {
         .withColumn("est_jaccard", expr(
           "aggregate(zip_with(ua, ub, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
         .select("sa", "sb", "na", "nb", "est_jaccard")
-    }, None),
+    },
+      Some(s"""WITH d AS (${DuckSql.shingles("documents", "source AS src", 5)}),
+             |${DuckSql.sigCtes("src")},
+             |nd AS (SELECT source AS src, COUNT(*) AS n_docs FROM documents GROUP BY source)
+             |SELECT a.src AS sa, b.src AS sb, na.n_docs AS na, nb.n_docs AS nb,
+             |  ${DuckSql.sigAgree("a.sig", "b.sig")} AS est_jaccard
+             |FROM sl a JOIN sl b ON a.src < b.src
+             |JOIN nd na ON na.src = a.src JOIN nd nb ON nb.src = b.src""".stripMargin)),
 
     // 43. SimHash: 64-bit fingerprint per doc (native simhash64 expression)
     // + 4 × 16-bit band keys for hamming-radius blocking (pigeonhole: any
     // pair within hamming distance 3 shares at least one intact band).
+    // Oracle: per-token md5 bit votes recomputed in SQL (nibble-indexed
+    // into the md5 hex string), fingerprint rebuilt MSB-first, then the
+    // same signed-64 conversion and band splits.
     GraftQuery("dd_simhash", (s, d) => {
       F.register(s)
       docs(s, d)
@@ -285,6 +346,30 @@ object Similarity {
           expr("shiftright(simhash, 32) & 65535").as("b2"),
           expr("shiftright(simhash, 16) & 65535").as("b1"),
           expr("simhash & 65535").as("b0"))
-    }, None)
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+             |hx AS (SELECT doc_id, substr(md5(tk), 1, 16) AS m FROM tok),
+             |votes AS (SELECT doc_id, k,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+             |        substr(m, CAST(16 - (k // 4) AS INTEGER), 1)) - 1)
+             |        // ([1, 2, 4, 8])[(k % 4) + 1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM hx, range(0, 64) r(k) GROUP BY doc_id, k),
+             |bl AS (SELECT doc_id,
+             |    list(CASE WHEN v >= 0 THEN 1 ELSE 0 END ORDER BY k DESC) AS bits
+             |  FROM votes GROUP BY doc_id),
+             |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
+             |  FROM bl)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN ufp >= 9223372036854775808
+             |    THEN ufp - 18446744073709551616 ELSE ufp END AS BIGINT) AS simhash,
+             |  CAST((ufp // 281474976710656) % 65536 AS BIGINT) AS b3,
+             |  CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
+             |  CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
+             |  CAST(ufp % 65536 AS BIGINT) AS b0
+             |FROM fp""".stripMargin))
   )
 }

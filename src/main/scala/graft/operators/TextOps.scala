@@ -107,49 +107,44 @@ object TextOps {
       Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
-    // 44. n-gram Jaccard verification over blocked candidate pairs
-    // (delta-blocking keeps candidate generation equi-joinable and linear;
-    // char-3-gram shingle sets are exact ints, so jacc is bit-identical).
+    // 44. n-gram Jaccard verification over LSH-banded candidate pairs:
+    // MinHash signatures over char-3-gram shingles, 16×4 banding for
+    // candidates (the generator you'd actually run on a real corpus, where
+    // near-dups are NOT id-adjacent), exact-Jaccard verify >= 0.62. The
+    // md5 hash family makes the whole pipeline SQL-reproducible.
     GraftQuery("dd_ngram_jaccard", (s, d) => {
       graft.functions.F.register(s)
       val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
         expr("char_shingles(text, 3)").as("sh")).persist() // feeds both join sides
-      val deltas = s.range(1, 11).select(col("id").as("dd"))
-      val a = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("ib"), col("sh").as("shb"))
-      a.crossJoin(broadcast(deltas))
-        .join(b, col("ib") === col("ia") + col("dd"))
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
+      Similarity.bandCandidates(sigs, "doc_id")
+        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
         .filter(col("jacc") >= 0.62)
         .select("ia", "ib", "jacc")
     },
-      Some("""WITH d AS (SELECT doc_id,
-             |    list_distinct(list_transform(range(1, length(text) - 1),
-             |      i -> substr(text, i, 3))) AS sh
-             |  FROM documents),
-             |deltas AS (SELECT unnest(range(1, 11)) AS dd)
-             |SELECT a.doc_id AS ia, b.doc_id AS ib,
-             |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-             |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
-             |FROM d a JOIN deltas ON true JOIN d b ON b.doc_id = a.doc_id + dd
-             |WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-             |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62""".stripMargin)),
+      Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 3)}),
+             |${DuckSql.sigCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id")},
+             |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
+             |  FROM cand JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib)
+             |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.62""".stripMargin)),
 
     // Gopher/C4-style repetition signal: fraction of all word 2-grams taken
-    // by the most frequent one (high ⇒ boilerplate/spam). Exact ints both
-    // engines; one explode + two aggregations, no shuffle beyond the groupBy.
+    // by the most frequent one (high ⇒ boilerplate/spam). One pass of the
+    // native top_bigram_stats expression (hash map per row) — no explode,
+    // no shuffle at all: the explode form would double the corpus through
+    // two aggregations at 100 TB. Exact ints, so the explode/aggregate
+    // oracle still matches bit-for-bit.
     GraftQuery("ta_repetition", (s, d) => {
-      val grams = docs(s, d)
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("g"))
-      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+      graft.functions.F.register(s)
+      docs(s, d)
+        .withColumn("st", expr(s"top_bigram_stats($toksExpr)"))
+        .filter(col("st.n_grams") > 0)
+        .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+          col("st.top_gram_n").as("top_gram_n"))
         .withColumn("top_gram_frac", col("top_gram_n") / col("n_grams"))
-        .select("doc_id", "n_grams", "top_gram_n", "top_gram_frac")
     },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -165,10 +160,11 @@ object TextOps {
              |FROM c GROUP BY doc_id""".stripMargin)),
 
     // capstone: the full training-data cleaning pipeline as ONE declarative
-    // plan — exact dedup → near-dup removal (delta-blocked 3-gram Jaccard,
-    // drop the later doc of each pair) → language filter → quality floor.
-    // Every stage is SQL-expressible, so the whole pipeline is
-    // oracle-checked end to end.
+    // plan — exact dedup → near-dup removal (MinHash-LSH banded candidates
+    // + 3-gram Jaccard verify, drop the later doc of each pair) → language
+    // filter → quality floor. Every stage — including the LSH banding —
+    // is SQL-expressible, so the whole pipeline is oracle-checked end to
+    // end with the candidate generator you'd actually run at 100 TB.
     GraftQuery("dd_pipeline", (s, d) => {
       graft.functions.F.register(s)
       val base = docs(s, d)
@@ -178,11 +174,10 @@ object TextOps {
       val kept = base.join(keepIds, "doc_id")
       // 2. near-dup removal: drop the later doc of each verified pair
       val sh = kept.select(col("doc_id"), expr("char_shingles(text, 3)").as("sh")).persist()
-      val deltas = s.range(1, 11).select(col("id").as("dd"))
-      val dupIb = sh.select(col("doc_id").as("ia"), col("sh").as("sha"))
-        .crossJoin(broadcast(deltas))
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")),
-          col("ib") === col("ia") + col("dd"))
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
+      val dupIb = Similarity.bandCandidates(sigs, "doc_id")
+        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .filter(expr("jaccard_sim(sha, shb)") >= 0.62)
         .select(col("ib").as("doc_id")).distinct()
       val deduped = kept.join(dupIb, Seq("doc_id"), "left_anti")
@@ -202,19 +197,17 @@ object TextOps {
         .filter(col("stop_ratio") >= 0.05 && col("quality") >= 0.5)
         .select("doc_id", "n_toks", "quality")
     },
-      Some("""WITH keep AS (
+      Some(s"""WITH keep AS (
              |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
              |kept AS (
-             |  SELECT d.* FROM documents d JOIN keep USING (doc_id)),
-             |sh AS (
-             |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
-             |    i -> substr(text, i, 3))) AS sh FROM kept),
-             |deltas AS (SELECT unnest(range(1, 11)) AS dd),
+             |  SELECT dd.* FROM documents dd JOIN keep USING (doc_id)),
+             |d AS (${DuckSql.shingles("kept", "doc_id", 3)}),
+             |${DuckSql.sigCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id")},
              |dup AS (
-             |  SELECT DISTINCT b.doc_id FROM sh a JOIN deltas ON true
-             |  JOIN sh b ON b.doc_id = a.doc_id + dd
-             |  WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.62),
+             |  SELECT DISTINCT ib AS doc_id FROM cand
+             |  JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib
+             |  WHERE ${DuckSql.jacc("da.sh", "db.sh")} >= 0.62),
              |deduped AS (
              |  SELECT k.* FROM kept k ANTI JOIN dup USING (doc_id)),
              |t AS (

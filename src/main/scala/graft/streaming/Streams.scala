@@ -27,13 +27,54 @@ object Streams {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
+    // expose the final state-store size for the boundedness spec
+    lastStateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
     q.stop()
     s.table(name)
   }
 
+  /** numRowsTotal of the last state operator of the last run (spec hook:
+    * proves sessionization state is O(users), not O(events)). */
+  @volatile var lastStateRows: Long = -1L
+
   final case class Ev(user_id: Long, event_id: Long, us: Long)
+  /** Like Ev but keeps the watermarked timestamp column: event-time timeout
+    * requires the watermark attribute to survive into the grouped Dataset. */
+  final case class EvW(user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
   final case class Sess(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
+  /** O(1) per-user sessionization state: only the OPEN session. */
+  final case class OpenSess(session_id: Long, start_us: Long, last_us: Long,
+      n_events: Long)
+
+  /** Stage `events.parquet` plus one far-future sentinel event (user -1)
+    * into a temp dir. The sentinel advances the event-time watermark past
+    * every real event after the real batch commits, so every open session
+    * times out and flushes through the NORMAL timeout path — the finite
+    * replay ends exactly like an infinite stream would, with no
+    * special-case end-of-stream logic in the operator. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageWithSentinel(s: SparkSession, d: String): String =
+    stagedDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_sess_src")
+      val dst = staged.resolve("events.parquet")
+      Files.copy(Paths.get(s"$d/events.parquet"), dst)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+      // sentinel: one event in year 2100 (ts column is raw nanos here)
+      val tmp = Files.createTempDirectory("graft_sess_sentinel")
+      s.read.parquet(s"$d/events.parquet").limit(1)
+        .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
+        .withColumn("event_id", org.apache.spark.sql.functions.lit(-1L))
+        .withColumn("ts", org.apache.spark.sql.functions.lit(4102444800000000000L))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, staged.resolve("zz_sentinel.parquet"))
+      staged.toString
+    })
 
   val defs: Seq[GraftQuery] = Seq(
 
@@ -56,34 +97,53 @@ object Streams {
 
     // 54. stateful sessionization via flatMapGroupsWithState — the
     // streaming twin of q_sessionize (same 30-min gap rule, same oracle).
-    // On this finite replay the still-open session is emitted too, so the
-    // result equals the batch definition.
+    // State is O(1) per user (only the open session: sid/start/last/n);
+    // closed sessions emit immediately on the in-batch gap, and the open
+    // tail emits through the event-time timeout once the watermark passes
+    // last + 30 min. On an infinite stream this neither grows state with
+    // event count nor re-emits — the sentinel staging (stageWithSentinel)
+    // ends the finite replay through that same timeout path.
     GraftQuery("st_sessionize", (s, d) => {
       import s.implicits._
-      val evs = eventsStream(s, d)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-        .as[Ev]
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // real batch, then sentinel batch
+        .parquet(s"${stageWithSentinel(s, d)}/*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 second")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
+        .as[EvW]
+      val gapUs = 1800000000L
       val sessions = evs.groupByKey(_.user_id)
-        .flatMapGroupsWithState[Array[Ev], Sess](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          (user: Long, it: Iterator[Ev], state: GroupState[Array[Ev]]) =>
-            val all = (state.getOption.getOrElse(Array.empty[Ev]) ++ it)
-              .sortBy(e => (e.us, e.event_id))
-            state.update(all)
-            var sid = 0L
-            val out = scala.collection.mutable.ArrayBuffer[Sess]()
-            var start = 0L; var last = 0L; var n = 0L
-            all.foreach { e =>
-              if (n == 0L || e.us - last > 1800000000L) {
-                if (n > 0) out += Sess(user, sid, n, start, last)
-                sid += 1; start = e.us; n = 0L
+        .flatMapGroupsWithState[OpenSess, Sess](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (user: Long, it: Iterator[EvW], state: GroupState[OpenSess]) =>
+            if (state.hasTimedOut) {
+              // watermark passed last + gap: the open session is closed
+              val o = state.get
+              state.remove()
+              Iterator.single(Sess(user, o.session_id, o.n_events, o.start_us, o.last_us))
+            } else {
+              val out = scala.collection.mutable.ArrayBuffer[Sess]()
+              var open = state.getOption.orNull
+              // sort within the micro-batch only: O(batch), not O(history)
+              it.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+                if (open == null) open = OpenSess(1L, e.us, e.us, 1L)
+                else if (e.us - open.last_us > gapUs) {
+                  out += Sess(user, open.session_id, open.n_events, open.start_us, open.last_us)
+                  open = OpenSess(open.session_id + 1, e.us, e.us, 1L)
+                } else open = open.copy(last_us = e.us, n_events = open.n_events + 1)
               }
-              last = e.us; n += 1
+              state.update(open)
+              // clamp above the watermark (required by the API); if the gap
+              // already elapsed, the timeout fires on the very next batch
+              state.setTimeoutTimestamp(math.max(
+                open.last_us / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              out.iterator
             }
-            if (n > 0) out += Sess(user, sid, n, start, last)
-            out.iterator
         }
-      runToTable(s, sessions.toDF(), OutputMode.Append())
+      runToTable(s, sessions.toDF().filter(col("user_id") >= 0L), OutputMode.Append())
     },
       Some("""WITH x AS (
              |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -94,4 +94,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("sessionize state is O(users), not O(events)") {
+    SparkEntry.queries("st_sessionize")(spark, sf).collect()
+    val nUsers = Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val nEvents = Tables.t(spark, sf, "events").count()
+    val stateRows = streaming.Streams.lastStateRows
+    assert(stateRows >= 0, "state metrics must be captured")
+    // only open sessions may remain in state: bounded by users (+ sentinel),
+    // nowhere near event count
+    assert(stateRows <= nUsers + 1,
+      s"state rows $stateRows exceed user count $nUsers — state is not O(1)/user")
+    assert(stateRows < nEvents / 2, s"state rows $stateRows scale with events $nEvents")
+  }
 }
