@@ -103,6 +103,43 @@ object VTab {
               |WHERE series_id = 3 AND t >= 100 AND t < 600""".stripMargin)
     },
       Some("""SELECT i AS t, ((i * i * 31 + 51) % 1000) / 10.0 AS value, 's3' AS tag
-             |FROM range(100, 600) t(i)""".stripMargin))
+             |FROM range(100, 600) t(i)""".stripMargin)),
+
+    // 33b. IN-list pushdown: `id IN (...)` — the most common API-key
+    // predicate — reaches the plugin as one probe split per value (the
+    // SQLite `=`-probe decomposition, reference table.go:127-151) instead
+    // of a full pagination (spec asserts the split count).
+    GraftQuery("vt_in_pushdown",
+      (s, d) => numbers(s)
+        .filter(col("id").isin(3L, 99L, 4242L, 9001L))
+        .select("id", "x", "s"),
+      Some("""SELECT i AS id, (i * 7) % 97 AS x, 'row_' || i AS s
+             |FROM (SELECT unnest([3, 99, 4242, 9001]) AS i) t""".stripMargin)),
+
+    // 33c. typed (timestamp) qual pushdown: an event-time range narrows the
+    // plugin fetch (reference mapping.go:108-158 parses TIMESTAMP quals for
+    // the same reason) — without it, a cloud-API table would paginate the
+    // whole account to answer a one-hour window.
+    GraftQuery("vt_ts_pushdown",
+      (s, d) => numbers(s)
+        .filter(col("ts") >= lit("2024-01-01 05:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-01 06:00:00").cast("timestamp_ntz"))
+        .select("id", "ts", "x"),
+      Some("""SELECT i AS id, TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 minute' AS ts,
+             |  (i * 7) % 97 AS x
+             |FROM range(300, 360) t(i)""".stripMargin)),
+
+    // 39b. dynamic schema refresh: the `dyn` plugin's schema depends on
+    // connection config; after configure, `graft.dyn.wide` resolves the
+    // NEW column set (reference configure_fn.go:104-125 drops/recreates
+    // vtables on reconfigure).
+    GraftQuery("vt_dynamic_schema", (s, d) => {
+      GraftConfigure.configure(s, "dyn", """{"cols": "alpha,beta,gamma"}""")
+      val df = s.sql("SELECT id, alpha, beta, gamma FROM graft.dyn.wide WHERE id < 200")
+      GraftConfigure.configure(s, "dyn", """{"cols": "a"}""")
+      df
+    },
+      Some("""SELECT i AS id, i * 2 AS alpha, i * 3 AS beta, i * 4 AS gamma
+             |FROM range(0, 200) t(i)""".stripMargin))
   )
 }

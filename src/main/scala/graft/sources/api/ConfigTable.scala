@@ -52,8 +52,14 @@ case class ConfigTable(pluginAlias: String)
 
   private def currentJson: String = {
     val c = PluginRegistry.config(pluginAlias)
-    val extra = c.extra.map { case (k, v) => s""","$k":"$v"""" }.mkString
-    s"""{"n":${c.n},"page_size":${c.pageSize}$extra}"""
+    // Jackson serialization (not string interpolation): extra values
+    // containing quotes/backslashes must stay valid JSON on read-back
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("n", c.n)
+    node.put("page_size", c.pageSize)
+    c.extra.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
   }
 
   // ---- write: INSERT applies each row as a connection config ----

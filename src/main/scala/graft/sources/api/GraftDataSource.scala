@@ -40,8 +40,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     (plugin, table)
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options)._2.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (plugin, table) = resolve(options)
+    table.schemaFor(PluginRegistry.config(plugin.name))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -58,7 +60,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 case class GraftTable(pluginAlias: String, table: ApiTable, config: PluginConfig)
     extends Table with SupportsRead {
   override def name(): String = s"$pluginAlias.${table.name}"
-  override def schema(): StructType = table.schema
+  // schema resolved against the SNAPSHOTTED config: a dynamic-schema plugin
+  // (reference configure_fn.go:104-125) presents the post-configure schema
+  // on the next load, while plans already handed out keep theirs
+  override def schema(): StructType = table.schemaFor(config)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -70,19 +75,29 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
-  private var requiredSchema: StructType = table.schema
+  private var requiredSchema: StructType = table.schemaFor(config)
   private var limit: Option[Long] = None
 
-  /** sources.Filter → Qual, for the 5 operators the reference plugin
-    * protocol understands (mapping.go:34-60). */
+  /** sources.Filter → Qual, for the operators the reference plugin
+    * protocol understands (mapping.go:34-60) plus IN, which SQLite
+    * decomposes into repeated `=` probes (table.go:127-151) — here one
+    * Qual("in", values) the table may expand into one split per value. */
   private def toQual(f: Filter): Option[Qual] = f match {
     case sources.EqualTo(a, v) => norm(v).map(Qual(a, "=", _))
     case sources.GreaterThan(a, v) => norm(v).map(Qual(a, ">", _))
     case sources.GreaterThanOrEqual(a, v) => norm(v).map(Qual(a, ">=", _))
     case sources.LessThan(a, v) => norm(v).map(Qual(a, "<", _))
     case sources.LessThanOrEqual(a, v) => norm(v).map(Qual(a, "<=", _))
+    case sources.In(a, vs) =>
+      val normed = vs.toSeq.map(norm)
+      if (normed.nonEmpty && normed.forall(_.isDefined))
+        Some(Qual(a, "in", normed.flatten)) else None
     case _ => None
   }
+  /** Typed qual values reach the plugin (reference mapping.go:108-158
+    * parses TIMESTAMP/DATETIME the same way): timestamps → epoch micros,
+    * dates → epoch days. Without this, an event-time range on an API table
+    * degrades to a full pagination + residual filter. */
   private def norm(v: Any): Option[Any] = v match {
     case i: java.lang.Integer => Some(i.longValue())
     case l: java.lang.Long => Some(l)
@@ -91,7 +106,16 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
     case f: java.lang.Float => Some(f.doubleValue())
     case s: String => Some(s)
     case b: java.lang.Boolean => Some(b)
-    case _ => None // timestamps etc: leave to Spark's residual filter
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case dt: java.time.LocalDateTime => // TimestampNTZ quals arrive as LocalDateTime
+      Some(Math.addExact(Math.multiplyExact(
+        dt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), dt.getNano / 1000L))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None // unknown types: leave to Spark's residual filter
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -120,8 +144,16 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
       s"table '${table.name}' of plugin '$pluginAlias' requires quals on key column(s) " +
         s"${missing.map(_.name).mkString(", ")} (e.g. WHERE ${missing.head.name} = ...)")
     val spark = SparkSession.active
-    val cacheEnabled = spark.conf.get("spark.graft.cache.enabled", "true").toBoolean
-    val cacheTtl = spark.conf.get("spark.graft.cache.ttl", "300").toLong
+    // env controls mirror the reference's STEAMPIPE_CACHE /
+    // STEAMPIPE_CACHE_MAX_TTL (constants.go:7-8, cache.go:11-33); the
+    // Spark confs refine them per session
+    val envEnabled = sys.env.get("GRAFT_CACHE").forall(_.toBoolean)
+    val cacheEnabled = envEnabled &&
+      spark.conf.get("spark.graft.cache.enabled", "true").toBoolean
+    val envMaxTtl = sys.env.get("GRAFT_CACHE_MAX_TTL").map(_.toLong)
+    val cacheTtl = math.min(
+      spark.conf.get("spark.graft.cache.ttl", "300").toLong,
+      envMaxTtl.getOrElse(Long.MaxValue))
     GraftScan(pluginAlias, table, config, qc, requiredSchema, cacheEnabled, cacheTtl)
   }
 }
@@ -158,9 +190,13 @@ case class GraftReaderFactory(pluginAlias: String, table: ApiTable,
         def fetch = { ScanLedger.record(p.qc); table.scan(p.split, p.qc, config) }
         if (cacheEnabled)
           // config is part of the key: two connections with identical splits
-          // but different connection config must not share entries
+          // but different connection config must not share entries. The key
+          // is content-hashed from serialized forms (a user-land non-case-
+          // class split would make toString an identity hash — cache misses
+          // at best, hash-collision row mixups at worst).
           QueryCache.getOrFetch(
-            s"$pluginAlias/${table.name}/$config/${p.split}/${p.qc}", cacheTtl)(fetch)
+            s"$pluginAlias/${table.name}/" +
+              QueryCache.stableKey(config, p.split, p.qc), cacheTtl)(fetch)
         else fetch
       }
       private var current: Array[Any] = _

@@ -28,9 +28,12 @@ object SeriesTable extends ApiTable {
 
   final case class SeriesSplit(sid: Long, start: Long, end: Long) extends ApiSplit
 
-  override def exactlyHandled(q: Qual): Boolean =
-    (q.field == "t" || q.field == "series_id") &&
-      Seq("=", ">", ">=", "<", "<=").contains(q.op) && q.value.isInstanceOf[Long]
+  /** t ranges are exactly enforced by split narrowing; series_id only for
+    * `=` — splits() ignores series_id ranges, so claiming them exact would
+    * make Spark drop a residual re-check the plugin never performs. */
+  override def exactlyHandled(q: Qual): Boolean = q.value.isInstanceOf[Long] && (
+    (q.field == "t" && Seq("=", ">", ">=", "<", "<=").contains(q.op)) ||
+      (q.field == "series_id" && q.op == "="))
 
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     val sid = qc.quals.collectFirst { case Qual("series_id", "=", v: Long) => v }

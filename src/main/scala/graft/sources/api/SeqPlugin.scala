@@ -35,33 +35,80 @@ object NumbersTable extends ApiTable {
     StructField("cidr", StringType, nullable = false),    // CIDR
     StructField("path", StringType, nullable = false)))   // LTREE
 
-  override def keyColumns: Seq[KeyColumn] =
-    Seq(KeyColumn("id", required = false, operators = Seq("=", ">", ">=", "<", "<=")))
+  override def keyColumns: Seq[KeyColumn] = Seq(
+    KeyColumn("id", required = false, operators = Seq("=", ">", ">=", "<", "<=", "in")),
+    KeyColumn("ts", required = false, operators = Seq("=", ">", ">=", "<", "<=")))
 
-  /** id quals are enforced exactly by key-range narrowing in splits(). */
-  override def exactlyHandled(q: Qual): Boolean =
-    q.field == "id" && Seq("=", ">", ">=", "<", "<=").contains(q.op) &&
-      q.value.isInstanceOf[Long]
+  /** id and ts quals are enforced exactly by key narrowing in splits():
+    * range quals shrink [lo, hi), IN lists become one probe split per value
+    * (the SQLite `=`-probe decomposition, reference table.go:127-151), and
+    * ts quals convert to id bounds through the exact minute-grid inverse. */
+  override def exactlyHandled(q: Qual): Boolean = q.field match {
+    case "id" =>
+      (Seq("=", ">", ">=", "<", "<=").contains(q.op) && q.value.isInstanceOf[Long]) ||
+        (q.op == "in" && (q.value match {
+          case vs: Seq[_] => vs.forall(_.isInstanceOf[Long])
+          case _ => false
+        }))
+    case "ts" => Seq(">", ">=", "<", "<=").contains(q.op) && q.value.isInstanceOf[Long]
+    case _ => false
+  }
 
-  /** Narrow the key range with the pushed id quals (the reference's
+  private def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
+  private val tickUs = 60000000L // one row per minute
+
+  /** Narrow the key range with the pushed id AND ts quals (the reference's
     * xBestIndex cost model made key-column quals cheap for the same
-    * reason: they shrink what the plugin must fetch), then page it. */
+    * reason: they shrink what the plugin must fetch), then page it — or
+    * emit one probe split per IN value. */
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     var lo = 0L
     var hi = config.n // exclusive
+    var inIds: Option[Seq[Long]] = None
     qc.quals.filter(_.field == "id").foreach { q =>
-      val v = q.value.asInstanceOf[Long]
-      q.op match {
-        case "=" => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-        case ">" => lo = math.max(lo, v + 1)
-        case ">=" => lo = math.max(lo, v)
-        case "<" => hi = math.min(hi, v)
-        case "<=" => hi = math.min(hi, v + 1)
+      (q.op, q.value) match {
+        case ("in", vs: Seq[_]) =>
+          val longs = vs.collect { case l: Long => l }
+          inIds = Some(inIds.map(_.intersect(longs)).getOrElse(longs))
+        case (op, v: Long) => op match {
+          case "=" => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+          case ">" => lo = math.max(lo, v + 1)
+          case ">=" => lo = math.max(lo, v)
+          case "<" => hi = math.min(hi, v)
+          case "<=" => hi = math.min(hi, v + 1)
+          case _ =>
+        }
         case _ =>
       }
     }
-    (lo until hi by config.pageSize)
-      .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+    // ts sits on an exact minute grid (ts = baseTs + id * tickUs), so
+    // timestamp ranges invert to id ranges without rounding error
+    qc.quals.filter(_.field == "ts").foreach { q =>
+      q.value match {
+        case v: Long =>
+          val delta = v - baseTs
+          q.op match {
+            case ">=" => lo = math.max(lo, ceilDiv(delta, tickUs))
+            case ">" => lo = math.max(lo, Math.floorDiv(delta, tickUs) + 1)
+            case "<" => hi = math.min(hi, ceilDiv(delta, tickUs))
+            case "<=" => hi = math.min(hi, Math.floorDiv(delta, tickUs) + 1)
+            case "=" =>
+              if (delta >= 0 && delta % tickUs == 0) {
+                lo = math.max(lo, delta / tickUs); hi = math.min(hi, delta / tickUs + 1)
+              } else hi = lo // off-grid equality matches nothing
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    inIds match {
+      case Some(ids) =>
+        ids.filter(v => v >= lo && v < hi).distinct.sorted
+          .map(v => RangeSplit(v, v + 1))
+      case None =>
+        (lo until hi by config.pageSize)
+          .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+    }
   }
 
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
@@ -119,12 +166,19 @@ object KvTable extends ApiTable {
     StructField("val", StringType, nullable = false),
     StructField("k2", LongType, nullable = false)))
   override def keyColumns: Seq[KeyColumn] =
-    Seq(KeyColumn("k", required = true, operators = Seq("=")))
+    Seq(KeyColumn("k", required = true, operators = Seq("=", "in")))
 
   final case class KeySplit(k: Long) extends ApiSplit
 
+  /** `k = v` and `k IN (...)` both satisfy the required key: IN expands to
+    * one GET split per value, the API analog of SQLite's `=`-probe
+    * decomposition (reference table.go:127-151). */
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] =
-    qc.quals.collect { case Qual("k", "=", v: Long) => KeySplit(v) }
+    qc.quals.flatMap {
+      case Qual("k", "=", v: Long) => Seq(v)
+      case Qual("k", "in", vs: Seq[_]) => vs.collect { case l: Long => l }
+      case _ => Nil
+    }.distinct.sorted.map(KeySplit)
 
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
     val KeySplit(k) = split: @unchecked

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.StructType
   */
 
 /** One pushed-down constraint. Operators mirror mapping.go:34-60:
-  * "=", ">", ">=", "<", "<=". Values are Catalyst-external (Long, Double,
-  * String, Boolean, epoch-micros Long for timestamps). */
+  * "=", ">", ">=", "<", "<=", plus "in" (value: Seq of normalized values —
+  * the analog of SQLite decomposing IN into repeated `=` probes that each
+  * hit xBestIndex, reference table.go:127-151). Values are
+  * Catalyst-external (Long, Double, String, Boolean, epoch-micros Long for
+  * timestamps, epoch-days Long for dates — reference mapping.go:108-158
+  * parses TIMESTAMP/DATETIME qual strings the same way). */
 final case class Qual(field: String, op: String, value: Any) extends Serializable
 
 /** The scan contract handed to a plugin table (reference table.go:28-33). */
@@ -45,6 +49,10 @@ trait ApiSplit extends Serializable
 trait ApiTable extends Serializable {
   def name: String
   def schema: StructType
+  /** Connection-config-dependent schema (reference configure_fn.go:104-125:
+    * a reconfigure refetches the schema and drops/recreates the vtables).
+    * Tables with static schemas just inherit `schema`. */
+  def schemaFor(config: PluginConfig): StructType = schema
   def keyColumns: Seq[KeyColumn] = Nil
 
   /** Plan the scan: split the (qual-narrowed) key space. Called on the
@@ -90,6 +98,7 @@ object PluginRegistry {
 
   register(SeqPlugin) // built-in demo plugins
   register(MetricsPlugin)
+  register(DynPlugin)
 
   def register(p: Plugin): Unit = plugins.put(p.name, p)
   def plugin(name: String): Plugin = Option(plugins.get(name))
@@ -105,26 +114,71 @@ object PluginRegistry {
 }
 
 /** TTL result cache, per (table, split, query-context) — the reference's
-  * query cache (cache.go). JVM-local: on a cluster each executor caches
-  * its own splits, which is exactly the locality you want. */
+  * query cache (cache.go; STEAMPIPE_CACHE / STEAMPIPE_CACHE_MAX_TTL env
+  * controls ↔ GRAFT_CACHE / GRAFT_CACHE_MAX_TTL, constants.go:7-8).
+  * JVM-local: on a cluster each executor caches its own splits, which is
+  * exactly the locality you want.
+  *
+  * Bounded: LRU over a row-count weight budget, plus an expired-entry
+  * sweep on every insert — a long-lived executor serving many distinct
+  * (split, qual, config) keys stays within `maxWeight` rows instead of
+  * pinning every split it ever read. */
 object QueryCache {
   private case class Entry(deadlineMs: Long, rows: Vector[Array[Any]])
-  private val cache = new ConcurrentHashMap[String, Entry]()
+  /** Row-count budget across all entries (~tens of MB at typical widths). */
+  @volatile var maxWeight: Long =
+    sys.env.getOrElse("GRAFT_CACHE_MAX_ROWS", "1000000").toLong
+  private val cache = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+  private var weight = 0L
   val hits = new AtomicLong(0)
   val misses = new AtomicLong(0)
 
   def getOrFetch(key: String, ttlSeconds: Long)(fetch: => Iterator[Array[Any]]): Iterator[Array[Any]] = {
     val now = System.currentTimeMillis()
-    val e = cache.get(key)
-    if (e != null && e.deadlineMs > now) { hits.incrementAndGet(); e.rows.iterator }
-    else {
-      misses.incrementAndGet()
-      val rows = fetch.toVector
-      cache.put(key, Entry(now + ttlSeconds * 1000, rows))
-      rows.iterator
+    cache.synchronized {
+      val e = cache.get(key) // LRU touch
+      if (e != null && e.deadlineMs > now) { hits.incrementAndGet(); return e.rows.iterator }
     }
+    misses.incrementAndGet()
+    val rows = fetch.toVector // fetch outside the lock: slow plugin calls must not serialize
+    cache.synchronized {
+      val prev = cache.put(key, Entry(now + ttlSeconds * 1000, rows))
+      weight += rows.length - (if (prev != null) prev.rows.length else 0)
+      // sweep expired first, then evict least-recently-used over budget
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getValue.deadlineMs <= now && en.getKey != key) {
+          weight -= en.getValue.rows.length; it.remove()
+        }
+      }
+      val lru = cache.entrySet().iterator()
+      while (weight > maxWeight && lru.hasNext) {
+        val en = lru.next()
+        if (en.getKey != key) { weight -= en.getValue.rows.length; lru.remove() }
+      }
+    }
+    rows.iterator
   }
-  def clear(): Unit = { cache.clear(); hits.set(0); misses.set(0) }
+
+  /** Content-stable key from the serialized forms of config/split/context —
+    * not toString, which for non-case-class user splits degrades to
+    * identity hashes (cache misses at best, cross-split collisions at
+    * worst). */
+  def stableKey(parts: Any*): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    parts.foreach(oos.writeObject)
+    oos.close()
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bos.toByteArray)
+    d.map(b => f"$b%02x").mkString
+  }
+
+  def size: Int = cache.synchronized(cache.size)
+  def currentWeight: Long = cache.synchronized(weight)
+  def clear(): Unit = cache.synchronized {
+    cache.clear(); weight = 0; hits.set(0); misses.set(0)
+  }
 }
 
 /** Test/observability ledger: records what actually reached the plugin

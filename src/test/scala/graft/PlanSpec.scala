@@ -48,12 +48,13 @@ class PlanSpec extends SparkSpec {
 
   test("bucketed fact join runs without a shuffle before the join") {
     SparkEntry.queries("q_bucketed_join")(spark, sf) // writes bucketed tables
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
     // force a non-broadcast join so the bucketed scan is what avoids the
     // shuffle (at real scale neither fact side would broadcast anyway)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = spark.table("g_lineitem_b")
-        .join(spark.table("g_orders_b"),
+      val p = spark.table(s"g_lineitem_b_$tag")
+        .join(spark.table(s"g_orders_b_$tag"),
           org.apache.spark.sql.functions.col("l_orderkey") ===
             org.apache.spark.sql.functions.col("o_orderkey"))
         .queryExecution.executedPlan.toString

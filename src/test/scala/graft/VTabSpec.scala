@@ -111,4 +111,77 @@ class VTabSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftScan"), plan)
   }
+
+  test("IN-list pushdown probes one split per value (table.go:127-151)") {
+    noCache {
+      ScanLedger.reset()
+      val n = numbers.filter(col("id").isin(5L, 777L, 8888L)).count()
+      assert(n == 3)
+      assert(ScanLedger.lastSplitCount == 3,
+        s"IN must expand to per-value probe splits, got ${ScanLedger.lastSplitCount}")
+      val q = ScanLedger.lastQc.get.quals.find(_.op == "in").get
+      assert(q.field == "id" && q.value.asInstanceOf[Seq[Any]].toSet == Set(5L, 777L, 8888L))
+    }
+  }
+
+  test("timestamp quals reach the plugin as epoch micros (mapping.go:108-158)") {
+    noCache {
+      ScanLedger.reset()
+      val n = numbers.filter(
+        col("ts") >= lit("2024-01-01 05:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-01 06:00:00").cast("timestamp_ntz")).count()
+      assert(n == 60) // one row per minute
+      assert(ScanLedger.lastSplitCount == 1, "ts range must narrow to one page")
+      val quals = ScanLedger.lastQc.get.quals.filter(_.field == "ts")
+      assert(quals.exists(q => q.op == ">=" &&
+        q.value == 1704085200000000L)) // 2024-01-01T05:00Z micros
+      assert(quals.exists(q => q.op == "<" && q.value == 1704088800000000L))
+    }
+  }
+
+  test("dynamic schema refresh after configure (configure_fn.go:104-125)") {
+    try {
+      GraftConfigure.configure(spark, "dyn", """{"cols": "x,y"}""")
+      val df1 = spark.sql("SELECT * FROM graft.dyn.wide WHERE id < 3")
+      assert(df1.columns.toSeq == Seq("id", "x", "y"))
+      GraftConfigure.configure(spark, "dyn", """{"cols": "z"}""")
+      val df2 = spark.sql("SELECT * FROM graft.dyn.wide WHERE id < 3")
+      assert(df2.columns.toSeq == Seq("id", "z"), "new load must see the new schema")
+      // the pre-configure DataFrame keeps its snapshot (no mid-plan flip)
+      assert(df1.columns.toSeq == Seq("id", "x", "y"))
+      assert(df2.collect().map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L)) // z = id * 2
+    } finally GraftConfigure.configure(spark, "dyn", """{"cols": "a"}""")
+  }
+
+  test("query cache is size-bounded (LRU eviction, no unbounded growth)") {
+    val oldMax = QueryCache.maxWeight
+    QueryCache.clear()
+    try {
+      QueryCache.maxWeight = 100 // rows
+      (0 until 50).foreach { i =>
+        QueryCache.getOrFetch(s"key_$i", ttlSeconds = 300)(
+          Iterator.fill(10)(Array[Any](i)))
+      }
+      assert(QueryCache.currentWeight <= 100,
+        s"weight ${QueryCache.currentWeight} exceeds budget")
+      assert(QueryCache.size <= 10, s"size ${QueryCache.size} not LRU-bounded")
+      // most-recent entries survive
+      var served = false
+      QueryCache.getOrFetch("key_49", ttlSeconds = 300) {
+        served = true; Iterator.empty
+      }
+      assert(!served, "most recent entry must still be cached")
+    } finally { QueryCache.maxWeight = oldMax; QueryCache.clear() }
+  }
+
+  test("config table emits valid JSON even with quotes in values") {
+    GraftConfigure.ensureCatalog(spark)
+    try {
+      GraftConfigure.configure(spark, "seq", """{"note": "say \"hi\" \\ bye"}""")
+      val json = spark.sql("SELECT config FROM graft.seq.config").head.getString(0)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      assert(node.get("note").asText() == "say \"hi\" \\ bye")
+      assert(node.get("n").asLong() == 10000L)
+    } finally GraftConfigure.configure(spark, "seq", """{"note": ""}""")
+  }
 }
