@@ -39,15 +39,14 @@ object DuckSql {
        |  FROM hs2, range(0, 64) r(j) GROUP BY $id, j),
        |sl AS (SELECT $id, list(sig ORDER BY j) AS sig FROM sigs GROUP BY $id)""".stripMargin
 
-  /** CTE chain `bands, cand` for 16-band × 4-row LSH banding over `sl`;
-    * `cand` = (ia, ib) with ia < ib sharing at least one band. */
-  def bandCtes(id: String): String =
-    s"""bands AS (SELECT $id, b, sig[4*b+1] AS s1, sig[4*b+2] AS s2,
-       |    sig[4*b+3] AS s3, sig[4*b+4] AS s4
-       |  FROM sl, range(0, 16) r(b)),
+  /** CTE chain `bands, cand` for `nBands`-band × `nRows`-row LSH banding
+    * over `sl`; `cand` = (ia, ib) with ia < ib sharing at least one band.
+    * Mirrors Similarity.bandCandidates (band slice as the join key). */
+  def bandCtes(id: String, nBands: Int, nRows: Int): String =
+    s"""bands AS (SELECT $id, b, list_slice(sig, $nRows*b+1, $nRows*b+$nRows) AS bk
+       |  FROM sl, range(0, $nBands) r(b)),
        |cand AS (SELECT DISTINCT a.$id AS ia, bb.$id AS ib
-       |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.s1 = bb.s1
-       |    AND a.s2 = bb.s2 AND a.s3 = bb.s3 AND a.s4 = bb.s4
+       |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.bk = bb.bk
        |    AND a.$id < bb.$id)""".stripMargin
 
   /** Exact shingle-set Jaccard between two `sh` columns (same rational as

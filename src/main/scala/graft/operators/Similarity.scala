@@ -40,23 +40,23 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (s, x) -> s + x)"
 
-  /** Shared LSH banding candidate generator: 16 bands × 4 rows over a
-    * (id, sig: array<long>(64)) signature table. Pairs sharing any intact
-    * band become candidates; the band tuple itself is the equijoin key
-    * (no band-hash step — keeps the oracle exactly reproducible, and AQE
-    * handles the wider shuffle key). This IS the 100 TB candidate shape:
-    * bucket-bounded, never all-pairs, only bare ids cross the distinct. */
-  private[operators] def bandCandidates(sigs: DataFrame, id: String): DataFrame = {
-    val bands = sigs.select(col(id), explode(expr(
-      """transform(sequence(0, 15), b ->
-        |  named_struct('band', b,
-        |    's1', element_at(sig, 4 * b + 1), 's2', element_at(sig, 4 * b + 2),
-        |    's3', element_at(sig, 4 * b + 3), 's4', element_at(sig, 4 * b + 4)))""".stripMargin)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.s1").as("s1"),
-        col("bk.s2").as("s2"), col("bk.s3").as("s3"), col("bk.s4").as("s4"))
-    val keys = Seq("band", "s1", "s2", "s3", "s4")
-    bands.toDF("ia" +: keys: _*)
-      .join(bands.toDF("ib" +: keys: _*), keys)
+  /** Shared LSH banding candidate generator over a (id, sig:
+    * array<long>(64)) signature table: `bands` bands of `rows` consecutive
+    * signature positions. Pairs sharing any intact band become candidates;
+    * the band slice itself is the equijoin key (no band-hash step — keeps
+    * the oracle exactly reproducible, and AQE handles the wider shuffle
+    * key). Pick (bands, rows) so the ~(1/bands)^(1/rows) collision
+    * threshold sits ABOVE the corpus's background similarity — banding
+    * tuned below background degenerates toward all-pairs no matter the
+    * verify threshold. This IS the 100 TB candidate shape: bucket-bounded,
+    * never all-pairs, only bare ids cross the distinct. */
+  private[operators] def bandCandidates(sigs: DataFrame, id: String,
+      bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(col(id), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> slice(sig, $rows * b + 1, $rows))"))
+      .as(Seq("band", "bk")))
+    banded.toDF("ia", "band", "bk")
+      .join(banded.toDF("ib", "band", "bk"), Seq("band", "bk"))
       .filter(col("ia") < col("ib"))
       .select("ia", "ib").distinct()
   }
@@ -211,7 +211,7 @@ object Similarity {
         expr("char_shingles(text, 5)").as("sh")).persist()
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
         .select("doc_id", "sig").persist()
-      val cand = bandCandidates(sigs, "doc_id")
+      val cand = bandCandidates(sigs, "doc_id", bands = 16, rows = 4)
       // prefilter on signature agreement (64 longs/row) before shipping the
       // full shingle sets: est >= 0.55 keeps jacc >= 0.7 pairs whp while the
       // false-candidate majority never touches the heavy arrays
@@ -231,7 +231,7 @@ object Similarity {
     },
       Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
              |${DuckSql.sigCtes("doc_id")},
-             |${DuckSql.bandCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id", nBands = 16, nRows = 4)},
              |pre AS (SELECT ia, ib FROM cand
              |  JOIN sl sa ON sa.doc_id = cand.ia
              |  JOIN sl sb ON sb.doc_id = cand.ib

@@ -108,28 +108,33 @@ object TextOps {
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     // 44. n-gram Jaccard verification over LSH-banded candidate pairs:
-    // MinHash signatures over char-3-gram shingles, 16×4 banding for
+    // MinHash signatures over char-3-gram shingles, 8×8 banding for
     // candidates (the generator you'd actually run on a real corpus, where
-    // near-dups are NOT id-adjacent), exact-Jaccard verify >= 0.62. The
+    // near-dups are NOT id-adjacent), exact-Jaccard verify >= 0.8. The
     // md5 hash family makes the whole pipeline SQL-reproducible.
+    // Thresholds are tuned to the corpus: background 3-gram Jaccard of
+    // unrelated docs has p99 ≈ 0.64 (3-grams of same-language text overlap
+    // heavily), true near-dups sit ≥ 0.8 — so 8 rows/band keeps background
+    // collisions at ~0.2% of pairs while ~0.99-similar dups always collide
+    // (a 4-row band at a 0.62 threshold degenerates to ~40% of ALL pairs).
     GraftQuery("dd_ngram_jaccard", (s, d) => {
       graft.functions.F.register(s)
       val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
         expr("char_shingles(text, 3)").as("sh")).persist() // feeds both join sides
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
-      Similarity.bandCandidates(sigs, "doc_id")
+      Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
-        .filter(col("jacc") >= 0.62)
+        .filter(col("jacc") >= 0.8)
         .select("ia", "ib", "jacc")
     },
       Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 3)}),
              |${DuckSql.sigCtes("doc_id")},
-             |${DuckSql.bandCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id", nBands = 8, nRows = 8)},
              |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
              |  FROM cand JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib)
-             |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.62""".stripMargin)),
+             |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.8""".stripMargin)),
 
     // Gopher/C4-style repetition signal: fraction of all word 2-grams taken
     // by the most frequent one (high ⇒ boilerplate/spam). One pass of the
@@ -175,10 +180,10 @@ object TextOps {
       // 2. near-dup removal: drop the later doc of each verified pair
       val sh = kept.select(col("doc_id"), expr("char_shingles(text, 3)").as("sh")).persist()
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
-      val dupIb = Similarity.bandCandidates(sigs, "doc_id")
+      val dupIb = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-        .filter(expr("jaccard_sim(sha, shb)") >= 0.62)
+        .filter(expr("jaccard_sim(sha, shb)") >= 0.8)
         .select(col("ib").as("doc_id")).distinct()
       val deduped = kept.join(dupIb, Seq("doc_id"), "left_anti")
       // 3+4. language + quality gates (same rationals as ta_langid/ta_quality)
@@ -203,11 +208,11 @@ object TextOps {
              |  SELECT dd.* FROM documents dd JOIN keep USING (doc_id)),
              |d AS (${DuckSql.shingles("kept", "doc_id", 3)}),
              |${DuckSql.sigCtes("doc_id")},
-             |${DuckSql.bandCtes("doc_id")},
+             |${DuckSql.bandCtes("doc_id", nBands = 8, nRows = 8)},
              |dup AS (
              |  SELECT DISTINCT ib AS doc_id FROM cand
              |  JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib
-             |  WHERE ${DuckSql.jacc("da.sh", "db.sh")} >= 0.62),
+             |  WHERE ${DuckSql.jacc("da.sh", "db.sh")} >= 0.8),
              |deduped AS (
              |  SELECT k.* FROM kept k ANTI JOIN dup USING (doc_id)),
              |t AS (
