@@ -171,11 +171,12 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 /** Repetition stats in one pass: (count of the most frequent word 2-gram,
-  * total 2-gram count) per token array — replaces an explode + two
+  * total 2-gram count) per document — replaces an explode + two
   * aggregations (which at 100 TB would double the corpus through a shuffle)
-  * with one per-row hash map. Input array<string> → struct<top_gram_n,
-  * n_grams>. Exact integers, so the DuckDB explode/aggregate oracle matches
-  * bit-for-bit. */
+  * with one per-row hash map. Input is the RAW text (space tokenization
+  * happens inside the loop: a `filter(split(...))` HOF child would itself
+  * break whole-stage codegen) → struct<top_gram_n, n_grams>. Exact
+  * integers, so the DuckDB explode/aggregate oracle matches bit-for-bit. */
 case class TopBigramStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("top_gram_n", LongType, nullable = false),
@@ -183,7 +184,7 @@ case class TopBigramStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "top_bigram_stats"
 
   override def nullSafeEval(input: Any): Any =
-    HashOps.topBigram(input.asInstanceOf[ArrayData])
+    HashOps.topBigram(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
@@ -294,19 +295,31 @@ object HashOps {
     new GenericArrayData(out)
   }
 
-  def topBigram(toks: ArrayData): InternalRow = {
-    val n = toks.numElements()
-    if (n < 2) return InternalRow(0L, 0L)
-    val counts = new java.util.HashMap[String, Int](n * 2)
-    var i = 0
+  /** Space-tokenizes like filter(split(text, ' '), t -> t <> '') — empty
+    * runs of spaces are skipped — and counts word bigrams in one pass. */
+  def topBigram(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[String, Int]()
+    var prev: String = null
+    var nGrams = 0L
     var top = 0
-    while (i < n - 1) {
-      val g = toks.getUTF8String(i).toString + " " + toks.getUTF8String(i + 1).toString
-      val c = counts.merge(g, 1, (a, b) => a + b)
-      if (c > top) top = c
-      i += 1
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        val tok = s.substring(st, i)
+        if (prev != null) {
+          val c = counts.merge(prev + " " + tok, 1, (a, b) => a + b)
+          if (c > top) top = c
+          nGrams += 1
+        }
+        prev = tok
+      }
     }
-    InternalRow(top.toLong, (n - 1).toLong)
+    InternalRow(top.toLong, nGrams)
   }
 }
 

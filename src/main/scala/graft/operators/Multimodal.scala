@@ -4,53 +4,71 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.3 mm_decode — multimodal column plumbing.
+/** SURVEY §2.3 mm_* — multimodal column plumbing.
   *
   * Media are opaque binary columns + typed metadata; decode/feature-extract
   * runs partition-batched close to the data (mapPartitions), which is the
   * Scala analog of arrow-batched Pandas UDFs: at 100 TB the decode step is
   * embarrassingly parallel and shuffles nothing.
   *
-  * STUB: this container ships no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (byte-histogram moments standing in
-  * for pixels/spectrograms). The Spark-side contract — binary payload
-  * column, metadata struct, fixed-shape float feature vector, per-partition
-  * batching — is real and spec-tested; swap `decodeStub` for a codec
-  * (e.g. javax.imageio / ffmpeg bindings) to productionize. */
+  * STUB: this container ships no image/audio codecs, so the "decoders" are
+  * clearly-marked deterministic fakes over the byte stream. They use EXACT
+  * integer byte arithmetic (sums, not float accumulation), so the DuckDB
+  * oracle recomputes every output bit-for-bit from `ord()` over the text
+  * bytes — even the stub path carries a hard correctness check. The
+  * Spark-side contract — binary payload column, metadata, fixed-shape
+  * feature vector, one-to-many frame extraction, per-partition batching —
+  * is real; swap the stubs for codecs (javax.imageio / ffmpeg bindings) to
+  * productionize. */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
-  /** Feature vector surfaced as fixed scalar columns (f0..f7) rather than
-    * array<float>: the shape is static (8-dim stub embedding), and scalar
-    * columns keep the output sortable/hashable by any downstream consumer
-    * (array columns are opaque to most tabular tooling). */
+  /** Feature vector surfaced as fixed scalar columns (f0..f7): the shape is
+    * static (8-dim stub embedding), and scalar doubles keep the output
+    * sortable/hashable by any downstream consumer. */
   final case class FeatureRow(doc_id: Long, format: String, n_bytes: Long,
-      f0: Float, f1: Float, f2: Float, f3: Float,
-      f4: Float, f5: Float, f6: Float, f7: Float)
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_bytes: Long,
+      frame_sum: Long)
 
-  /** STUB decoder: deterministic 8-dim "embedding" from the byte stream.
-    * Replace with a real codec for images/audio/video. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val f = new Array[Float](8)
+  /** STUB decoder: 8-dim "embedding" from exact byte-bucket sums —
+    * f_k = (Σ bytes at positions ≡ k mod 8) / (255 · n), one double
+    * division at the end so both engines bit-match. */
+  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val s = new Array[Long](8)
     var i = 0
-    while (i < payload.length) {
-      f(i & 7) += (payload(i) & 0xff) / 255.0f
-      i += 1
+    while (i < payload.length) { s(i & 7) += (payload(i) & 0xff); i += 1 }
+    val f = new Array[Double](8)
+    if (payload.length > 0) {
+      val denom = 255.0 * payload.length
+      var k = 0
+      while (k < 8) { f(k) = s(k).toDouble / denom; k += 1 }
     }
-    if (payload.length > 0) { var k = 0; while (k < 8) { f(k) /= payload.length; k += 1 } }
     f
   }
 
+  private def media(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("format"))
+      .as[MediaRow]
+  }
+
+  /** DuckDB: exact byte-bucket feature k over ASCII text (ord == byte). */
+  private def duckF(k: Int): String =
+    s"COALESCE(CAST(list_sum(list_transform(list_filter(range(0, strlen(text)), i -> i % 8 = $k), " +
+      s"i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS DOUBLE), 0.0) " +
+      s"/ (255.0 * strlen(text)) AS f$k"
+
   val defs: Seq[GraftQuery] = Seq(
     // 52. binary column + metadata in, fixed-shape features out, batched
-    // per partition. Rows-only oracle (binary features aren't SQL).
+    // per partition; the stub's exact integer arithmetic makes even this
+    // non-SQL-looking operator fully oracle-checked.
     GraftQuery("mm_decode", (s, d) => {
       import s.implicits._
-      val media = Tables.t(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          lit("text/plain").as("format"))
-        .as[MediaRow]
-      media.mapPartitions { batch =>
+      media(s, d).mapPartitions { batch =>
         // one JVM-side "codec context" per partition (the expensive init a
         // real decoder amortizes across its arrow batch)
         batch.map { m =>
@@ -59,6 +77,45 @@ object Multimodal {
             f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
         }
       }.toDF()
-    }, None)
+    },
+      Some(s"""SELECT doc_id, 'text/plain' AS format,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  ${(0 until 8).map(duckF).mkString(",\n  ")}
+             |FROM documents""".stripMargin)),
+
+    // 52b. one-to-many frame extraction (the video-decode shape): the
+    // payload is chunked into 32-byte "frames", every 4th frame is
+    // sampled, each emitted as its own row with exact byte-sum stats —
+    // same mapPartitions batching, output cardinality > input cardinality,
+    // nothing shuffles until the caller aggregates.
+    GraftQuery("mm_frame_sample", (s, d) => {
+      import s.implicits._
+      val frameLen = 32
+      val stride = 4
+      media(s, d).mapPartitions { batch =>
+        batch.flatMap { m =>
+          val n = m.payload.length
+          Iterator.range(0, (n + frameLen - 1) / frameLen).filter(_ % stride == 0)
+            .map { j =>
+              val lo = j * frameLen
+              val hi = math.min(lo + frameLen, n)
+              var sum = 0L
+              var i = lo
+              while (i < hi) { sum += (m.payload(i) & 0xff); i += 1 }
+              FrameRow(m.doc_id, j.toLong, (hi - lo).toLong, sum)
+            }
+        }
+      }.toDF()
+    },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS j
+             |  FROM documents)
+             |SELECT doc_id, j AS frame_idx,
+             |  CAST(least(32, strlen(text) - 32 * j) AS BIGINT) AS frame_bytes,
+             |  CAST(list_sum(list_transform(
+             |    range(32 * j, least(32 * j + 32, strlen(text))),
+             |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS frame_sum
+             |FROM f WHERE j % 4 = 0""".stripMargin))
   )
 }

@@ -145,7 +145,7 @@ object TextOps {
     GraftQuery("ta_repetition", (s, d) => {
       graft.functions.F.register(s)
       docs(s, d)
-        .withColumn("st", expr(s"top_bigram_stats($toksExpr)"))
+        .withColumn("st", expr("top_bigram_stats(text)"))
         .filter(col("st.n_grams") > 0)
         .select(col("doc_id"), col("st.n_grams").as("n_grams"),
           col("st.top_gram_n").as("top_gram_n"))

@@ -78,4 +78,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("dd_embed_cosine")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("minhash_sig and char_shingles stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("dd_minhash_lsh")(spark, sf)
+    df.queryExecution.toRdd.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    for (fn <- Seq("minhash_sig", "char_shingles")) {
+      val line = p.linesIterator.find(_.contains(fn)).getOrElse("")
+      assert(line.contains("*("),
+        s"$fn must be in a codegen stage (doGenCode), got: $line")
+    }
+  }
+
+  test("top_bigram_stats stays inside whole-stage codegen; no explode in ta_repetition") {
+    val df = SparkEntry.queries("ta_repetition")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("top_bigram_stats")).getOrElse("")
+    assert(line.contains("*("), s"top_bigram_stats must be codegen'd, got: $line")
+    assert(!p.contains("Generate"), "ta_repetition must not explode:\n" + p)
+    assert(!p.contains("Exchange"), "ta_repetition must not shuffle:\n" + p)
+  }
 }

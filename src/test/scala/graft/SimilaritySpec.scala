@@ -84,11 +84,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, s"IVF recall vs brute force too low: $recall")
   }
 
-  test("approx_count_distinct within 5% of exact (q_approx_distinct)") {
-    val li = Tables.t(spark, sf, "lineitem")
-    val exact = li.select(countDistinct("l_partkey")).head.getLong(0)
-    val approx = li.select(approx_count_distinct("l_partkey")).head.getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+  test("KMV sketch estimate within 3 standard errors of exact distinct") {
+    // q_approx_distinct's estimator: k=256 → relative stderr ≈ 1/√(k-1) ≈ 6.3%
+    val res = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, nd) =>
+      val est = res(flag)._1
+      assert(math.abs(est - nd) / nd < 0.19,
+        s"flag=$flag est=$est exact=$nd (beyond 3σ for k=256)")
+    }
   }
 }
