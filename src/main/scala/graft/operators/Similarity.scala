@@ -61,6 +61,47 @@ object Similarity {
       .select("ia", "ib").distinct()
   }
 
+  /** Shared verified near-dup pair generator (feeds dd_minhash_lsh and
+    * dd_cluster): 5-gram shingles → 64-hash MinHash → 16×4 banding →
+    * signature-agreement prefilter (est ≥ 0.55 keeps jacc ≥ 0.7 pairs whp
+    * while the false-candidate majority never touches the heavy shingle
+    * arrays) → exact Jaccard verify ≥ 0.7. Both shingle and signature
+    * tables persist: at 100 TB these are the materialized snapshots every
+    * LSH pipeline reuses across its self-joins. */
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    F.register(s)
+    val sh = docs(s, d).select(col("doc_id"),
+      expr("char_shingles(text, 5)").as("sh")).persist()
+    val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
+      .select("doc_id", "sig").persist()
+    val cand = bandCandidates(sigs, "doc_id", bands = 16, rows = 4)
+    val prefiltered = cand
+      .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+      .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+      .withColumn("est", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+      .filter(col("est") >= 0.55)
+      .select("ia", "ib")
+    prefiltered
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
+      .filter(col("jacc") >= 0.7)
+  }
+
+  /** DuckDB CTE chain mirroring minhashPairs; ends with `p(ia, ib, jacc)`. */
+  private def minhashPairsSql: String =
+    s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
+       |${DuckSql.sigCtes("doc_id")},
+       |${DuckSql.bandCtes("doc_id", nBands = 16, nRows = 4)},
+       |pre AS (SELECT ia, ib FROM cand
+       |  JOIN sl sa ON sa.doc_id = cand.ia
+       |  JOIN sl sb ON sb.doc_id = cand.ib
+       |  WHERE ${DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.55),
+       |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
+       |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib),
+       |p AS (SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7)""".stripMargin
+
   /** DuckDB literal for one hyperplane (exact shortest-round-trip doubles:
     * both engines parse back the identical IEEE value). */
   private def planeRows: String =
@@ -202,43 +243,54 @@ object Similarity {
     // family (HashOps) lets the oracle recompute signatures, banding,
     // prefilter AND verify in SQL — the whole probabilistic pipeline is
     // bit-exact-checked, not just row-counted.
-    GraftQuery("dd_minhash_lsh", (s, d) => {
-      F.register(s)
-      // Both DFs feed both sides of self-joins; persist so shingling and
-      // 64-hash signatures run once per doc (at 100 TB these are the
-      // materialized signature tables every LSH pipeline snapshots).
-      val sh = docs(s, d).select(col("doc_id"),
-        expr("char_shingles(text, 5)").as("sh")).persist()
-      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
-        .select("doc_id", "sig").persist()
-      val cand = bandCandidates(sigs, "doc_id", bands = 16, rows = 4)
-      // prefilter on signature agreement (64 longs/row) before shipping the
-      // full shingle sets: est >= 0.55 keeps jacc >= 0.7 pairs whp while the
-      // false-candidate majority never touches the heavy arrays
-      val prefiltered = cand
-        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
-        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
-        .withColumn("est", expr(
-          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
-        .filter(col("est") >= 0.55)
-        .select("ia", "ib")
-      prefiltered
-        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-        .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
-        .filter(col("jacc") >= 0.7)
-        .select("ia", "ib", "jacc")
+    GraftQuery("dd_minhash_lsh",
+      (s, d) => minhashPairs(s, d).select("ia", "ib", "jacc"),
+      Some(s"""$minhashPairsSql
+             |SELECT ia, ib, jacc FROM p""".stripMargin)),
+
+    // 42c. near-dup CLUSTERS: connected components over the verified pair
+    // graph — real dedup keeps one doc per duplicate CLUSTER, not per pair
+    // (A~B, B~C must collapse to one survivor even when A~C was never
+    // verified). Iterative min-label propagation over DataFrames: each
+    // round is one shuffle (edges ⋈ labels, map-side-combined min), and
+    // rounds = graph diameter — near-dup clusters are shallow (2-4), so
+    // this converges in a handful of passes at any corpus size. The oracle
+    // recomputes components with a recursive CTE over the same pairs.
+    GraftQuery("dd_cluster", (s, d) => {
+      val pairs = minhashPairs(s, d).select("ia", "ib").persist()
+      val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .select(col("src").as("id"), col("label"))
+        val next = labels.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label")).persist()
+        changed = next.toDF("id", "nl").join(labels, "id")
+          .filter(col("nl") =!= col("label")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("n_members"), (col("id") === col("label")).as("keep"))
     },
-      Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
-             |${DuckSql.sigCtes("doc_id")},
-             |${DuckSql.bandCtes("doc_id", nBands = 16, nRows = 4)},
-             |pre AS (SELECT ia, ib FROM cand
-             |  JOIN sl sa ON sa.doc_id = cand.ia
-             |  JOIN sl sb ON sb.doc_id = cand.ib
-             |  WHERE ${DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.55),
-             |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
-             |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib)
-             |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7""".stripMargin)),
+      Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+             |reach(n, m) AS (
+             |  SELECT a, a FROM e GROUP BY a
+             |  UNION
+             |  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
+             |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+             |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
+             |SELECT cc.doc_id, cc.cluster_id, cs.n_members,
+             |  cc.doc_id = cc.cluster_id AS keep
+             |FROM cc JOIN cs USING (cluster_id)""".stripMargin)),
 
     // 46b. IVF ANN: deterministic coarse quantizer (every 50th vector is a
     // centroid), cell assignment by nearest centroid, search probes the 3

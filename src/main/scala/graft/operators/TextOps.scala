@@ -164,6 +164,56 @@ object TextOps {
              |  CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
              |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // benchmark decontamination: flag training docs sharing >= 5 distinct
+    // char-8-grams with any doc of a benchmark set (stand-in: doc_id % 97
+    // == 0 — in production the eval suites). The benchmark shingle set is
+    // small → broadcast semi-join: the corpus-side scan streams through
+    // map-side containment checks, nothing shuffles the corpus. This is
+    // the standard eval-contamination gate every training pipeline runs.
+    GraftQuery("dd_decontaminate", (s, d) => {
+      graft.functions.F.register(s)
+      val all = docs(s, d)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+        .select(explode(expr("char_shingles(text, 8)")).as("sg")).distinct()
+      val hits = all.select(col("doc_id"), explode(expr("char_shingles(text, 8)")).as("sg"))
+        .join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      all.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) >= 5).as("contaminated"))
+    },
+      Some("""WITH sh AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, length(text) - 6),
+             |      i -> substr(text, i, 8))) AS sh
+             |  FROM documents),
+             |bs AS (SELECT DISTINCT unnest(sh) AS sg FROM sh WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
+             |h AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN bs USING (sg)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+             |  COALESCE(h.n_hits, 0) >= 5 AS contaminated
+             |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin)),
+
+    // corpus vocabulary: global token frequency + document frequency,
+    // top-100 by count — the wordcount-shaped profile every tokenizer
+    // build starts from. One explode, one partial-aggregated groupBy, and
+    // a TakeOrdered top-k (no global sort) — linear at any corpus size.
+    GraftQuery("ta_vocab", (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(100)
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |  FROM documents)
+             |SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+             |FROM t GROUP BY tok
+             |ORDER BY n DESC, tok LIMIT 100""".stripMargin)),
+
     // capstone: the full training-data cleaning pipeline as ONE declarative
     // plan — exact dedup → near-dup removal (MinHash-LSH banded candidates
     // + 3-gram Jaccard verify, drop the later doc of each pair) → language
