@@ -32,6 +32,9 @@ object WideTable extends ApiTable {
     q.field == "id" && Seq("=", ">", ">=", "<", "<=").contains(q.op) &&
       q.value.isInstanceOf[Long]
 
+  override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] =
+    Some(splits(qc, config).map { case RangeSplit(lo, hi) => hi - lo }.sum)
+
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     var lo = 0L
     var hi = config.n

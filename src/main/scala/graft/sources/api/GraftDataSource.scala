@@ -160,13 +160,25 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
 
 case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
     qc: QueryContext, prunedSchema: StructType, cacheEnabled: Boolean, cacheTtl: Long)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan($pluginAlias.${table.name}, quals=[${qc.quals.mkString(", ")}], " +
       s"limit=${qc.limit.getOrElse(-1L)}, columns=[${qc.columns.mkString(",")}])"
+
+  /** Qual-narrowed size estimate → Catalyst join planning: a key-narrowed
+    * API page is broadcast-able instead of forcing a sort-merge join. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = table.estimatedRows(qc, config)
+      .map(r => qc.limit.fold(r)(l => math.min(r, l)))
+    override def numRows(): java.util.OptionalLong =
+      rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    override def sizeInBytes(): java.util.OptionalLong =
+      rows.fold(java.util.OptionalLong.empty())(r =>
+        java.util.OptionalLong.of(r * (24L * prunedSchema.size + 16L)))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val ss = table.splits(qc, config)

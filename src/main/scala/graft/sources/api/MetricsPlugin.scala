@@ -35,6 +35,9 @@ object SeriesTable extends ApiTable {
     (q.field == "t" && Seq("=", ">", ">=", "<", "<=").contains(q.op)) ||
       (q.field == "series_id" && q.op == "="))
 
+  override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] =
+    Some(splits(qc, config).map { case SeriesSplit(_, lo, hi) => hi - lo }.sum)
+
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     val sid = qc.quals.collectFirst { case Qual("series_id", "=", v: Long) => v }
       .getOrElse(return Nil)

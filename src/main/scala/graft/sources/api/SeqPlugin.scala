@@ -57,11 +57,29 @@ object NumbersTable extends ApiTable {
   private def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
   private val tickUs = 60000000L // one row per minute
 
+  override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] = {
+    val (lo, hi, inIds) = narrowed(qc, config)
+    Some(inIds.map(_.count(v => v >= lo && v < hi).toLong)
+      .getOrElse(math.max(0L, hi - lo)))
+  }
+
   /** Narrow the key range with the pushed id AND ts quals (the reference's
     * xBestIndex cost model made key-column quals cheap for the same
     * reason: they shrink what the plugin must fetch), then page it — or
     * emit one probe split per IN value. */
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
+    val (lo, hi, inIds) = narrowed(qc, config)
+    inIds match {
+      case Some(ids) =>
+        ids.filter(v => v >= lo && v < hi).distinct.sorted
+          .map(v => RangeSplit(v, v + 1))
+      case None =>
+        (lo until hi by config.pageSize)
+          .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+    }
+  }
+
+  private def narrowed(qc: QueryContext, config: PluginConfig): (Long, Long, Option[Seq[Long]]) = {
     var lo = 0L
     var hi = config.n // exclusive
     var inIds: Option[Seq[Long]] = None
@@ -101,14 +119,7 @@ object NumbersTable extends ApiTable {
         case _ =>
       }
     }
-    inIds match {
-      case Some(ids) =>
-        ids.filter(v => v >= lo && v < hi).distinct.sorted
-          .map(v => RangeSplit(v, v + 1))
-      case None =>
-        (lo until hi by config.pageSize)
-          .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
-    }
+    (lo, hi, inIds)
   }
 
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {

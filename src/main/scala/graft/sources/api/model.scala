@@ -64,6 +64,13 @@ trait ApiTable extends Serializable {
     * qc.columns order — the cursor.Column() mapping of the reference. */
   def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]]
 
+  /** Estimated row count AFTER qual narrowing, if the plugin can tell
+    * (e.g. a key range inverts to a count). Surfaced to Catalyst via
+    * SupportsReportStatistics so a narrowed API scan becomes
+    * broadcast-able — without it Spark assumes a connector table is huge
+    * and sort-merge-joins a 50-row API page against a 100 TB fact table. */
+  def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] = None
+
   /** True if the plugin enforces this qual EXACTLY (e.g. key-range
     * narrowing), letting Spark drop its residual re-check — which in turn
     * unblocks LIMIT pushdown (a residual Filter node between Limit and the

@@ -198,13 +198,42 @@ object Streams {
              |FROM w GROUP BY ws""".stripMargin)),
 
     // 55d. streaming dedup: state-backed dropDuplicates on the dedup key —
-    // the streaming twin of exact dedup for continuous ingestion.
+    // the streaming twin of exact dedup for continuous ingestion. (State is
+    // bounded by key cardinality; an infinite-key stream would use
+    // dropDuplicatesWithinWatermark to age entries out.)
     GraftQuery("st_dedup", (s, d) => {
       val dedup = eventsStream(s, d)
         .select(col("event_type"), col("value"))
         .dropDuplicates("event_type", "value")
       runToTable(s, dedup, OutputMode.Append())
     },
-      Some("SELECT DISTINCT event_type, value FROM events"))
+      Some("SELECT DISTINCT event_type, value FROM events")),
+
+    // 55e. stream-stream interval join: every purchase matched to the SAME
+    // user's views within the preceding 2 hours. Both sides carry
+    // watermarks and the join condition bounds event time on both, so
+    // Spark can size the join state and evict matched/expired rows — the
+    // canonical two-stream enrichment at production rates. The batch
+    // oracle is the identical interval self-join.
+    GraftQuery("st_interval_join", (s, d) => {
+      val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val v = eventsStream(s, d).filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val joined = p.join(v, col("pu") === col("vu") &&
+          col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+          col("vts") <= col("pts"))
+        .select(col("purchase_id"), col("view_id"), col("pu").as("user_id"))
+      runToTable(s, joined, OutputMode.Append())
+    },
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+             |FROM events p JOIN events v
+             |  ON p.user_id = v.user_id
+             |  AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin))
   )
 }

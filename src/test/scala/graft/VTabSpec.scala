@@ -174,6 +174,20 @@ class VTabSpec extends SparkSpec {
     } finally { QueryCache.maxWeight = oldMax; QueryCache.clear() }
   }
 
+  test("narrowed connector scan reports stats and broadcasts into a parquet join") {
+    // without SupportsReportStatistics a connector table is assumed huge
+    // and a 100-row API page would sort-merge-join a fact table
+    val api = numbers.filter(col("id") >= 100L && col("id") < 200L)
+      .select(col("id"), col("x"))
+    val fact = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val joined = fact.join(api, col("l_orderkey") === col("id"))
+    joined.queryExecution.toRdd.count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "narrowed API scan must broadcast:\n" + p)
+  }
+
   test("config table emits valid JSON even with quotes in values") {
     GraftConfigure.ensureCatalog(spark)
     try {
