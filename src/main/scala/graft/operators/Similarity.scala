@@ -262,15 +262,21 @@ object Similarity {
         .toDF("src", "dst").persist()
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).persist()
-      var changed = 1L
+      // convergence via a per-round checksum (one aggregate on the persisted
+      // labels — no extra join+count round-trip per iteration)
+      def checksum(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(expr("bit_xor(xxhash64(id, label))")).head.getLong(0)
+      var prev = checksum(labels)
       var iter = 0
-      while (changed > 0 && iter < 20) {
+      var converged = false
+      while (!converged && iter < 20) {
         val prop = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
           .select(col("src").as("id"), col("label"))
         val next = labels.select("id", "label").union(prop)
           .groupBy("id").agg(min("label").as("label")).persist()
-        changed = next.toDF("id", "nl").join(labels, "id")
-          .filter(col("nl") =!= col("label")).count()
+        val cs = checksum(next)
+        converged = cs == prev
+        prev = cs
         labels.unpersist()
         labels = next
         iter += 1
