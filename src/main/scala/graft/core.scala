@@ -39,7 +39,10 @@ object Tables {
   def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    // file-count heuristic: building df.rdd just to count partitions would
+    // construct RDD lineage on the driver per call; a real corpus has many
+    // files and this is a no-op
+    if (df.inputFiles.length < math.max(2, target / 2)) df.repartition(target)
     else df
   }
 

@@ -368,6 +368,40 @@ object Relational2 {
              |  CAST(3 AS BIGINT) AS level,
              |  (i % 10) = 3 AS under_n3,
              |  'root.n' || (i % 10) AS subpath2
-             |FROM range(0, 1000) t(i)""".stripMargin))
+             |FROM range(0, 1000) t(i)""".stripMargin)),
+
+    // 67j. correlated EXISTS / NOT EXISTS — Catalyst rewrites both into
+    // semi/anti joins (no per-row subquery execution at any scale).
+    GraftQuery("q_exists",
+      (s, d) => { graft.Tables.views(s, d); s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderstatus = 'F')""".stripMargin) },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |                  WHERE o2.o_custkey = c.c_custkey
+             |                    AND o2.o_orderstatus = 'F')""".stripMargin)),
+
+    // 67k. LATERAL correlated subquery (top-1 order per customer) —
+    // Catalyst decorrelates it; the DuckDB oracle runs the identical SQL.
+    GraftQuery("q_lateral",
+      (s, d) => { graft.Tables.views(s, d); s.sql(
+        """SELECT c_custkey, t.o_orderkey AS top_order
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin) },
+      Some("""SELECT c_custkey, t.o_orderkey AS top_order
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin))
   )
 }

@@ -121,8 +121,19 @@ object TextOps {
       graft.functions.F.register(s)
       val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
         expr("char_shingles(text, 3)").as("sh")).persist() // feeds both join sides
-      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
-      Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist()
+      // prefilter on 64-long signature agreement before the shingle arrays
+      // (a shingle set is ~3 KB/row vs 512 B of signature — the band
+      // false-positive majority never touches the heavy side)
+      val pre = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+        .withColumn("est", expr(
+          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+        .filter(col("est") >= 0.65)
+        .select("ia", "ib")
+      pre
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
@@ -132,8 +143,12 @@ object TextOps {
       Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 3)}),
              |${DuckSql.sigCtes("doc_id")},
              |${DuckSql.bandCtes("doc_id", nBands = 8, nRows = 8)},
+             |pre AS (SELECT ia, ib FROM cand
+             |  JOIN sl sa ON sa.doc_id = cand.ia
+             |  JOIN sl sb ON sb.doc_id = cand.ib
+             |  WHERE ${DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.65),
              |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
-             |  FROM cand JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib)
+             |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib)
              |SELECT ia, ib, jacc FROM v WHERE jacc >= 0.8""".stripMargin)),
 
     // Gopher/C4-style repetition signal: fraction of all word 2-grams taken
@@ -229,8 +244,16 @@ object TextOps {
       val kept = base.join(keepIds, "doc_id")
       // 2. near-dup removal: drop the later doc of each verified pair
       val sh = kept.select(col("doc_id"), expr("char_shingles(text, 3)").as("sh")).persist()
-      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
-      val dupIb = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist()
+      val preP = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+        .withColumn("est", expr(
+          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+        .filter(col("est") >= 0.65)
+        .select("ia", "ib")
+      val dupIb = preP
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .filter(expr("jaccard_sim(sha, shb)") >= 0.8)
@@ -259,9 +282,13 @@ object TextOps {
              |d AS (${DuckSql.shingles("kept", "doc_id", 3)}),
              |${DuckSql.sigCtes("doc_id")},
              |${DuckSql.bandCtes("doc_id", nBands = 8, nRows = 8)},
+             |pre AS (SELECT ia, ib FROM cand
+             |  JOIN sl sa ON sa.doc_id = cand.ia
+             |  JOIN sl sb ON sb.doc_id = cand.ib
+             |  WHERE ${DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.65),
              |dup AS (
-             |  SELECT DISTINCT ib AS doc_id FROM cand
-             |  JOIN d da ON da.doc_id = cand.ia JOIN d db ON db.doc_id = cand.ib
+             |  SELECT DISTINCT ib AS doc_id FROM pre
+             |  JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib
              |  WHERE ${DuckSql.jacc("da.sh", "db.sh")} >= 0.8),
              |deduped AS (
              |  SELECT k.* FROM kept k ANTI JOIN dup USING (doc_id)),
