@@ -68,6 +68,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("char_shingles equals the array_distinct/transform SQL formulation") {
+    assert(registered)
+    val sGen = Gen.listOfN(40, Gen.frequency(5 -> Gen.alphaNumChar, 1 -> Gen.const(' ')))
+      .map(_.mkString)
+    forAll(sGen, 20) { s =>
+      if (s.length >= 3) {
+        val df = Seq(Tuple1(s)).toDF("s")
+        val fast = df.select(expr("char_shingles(s, 3)")).head.getSeq[String](0)
+        val ref = df.select(expr(
+          "array_distinct(transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)))"))
+          .head.getSeq[String](0)
+        assert(fast == ref, s"input='$s'")
+      }
+    }
+  }
+
+  test("top_bigram_stats equals the naive count on random token lists") {
+    assert(registered)
+    val toksGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+    forAll(toksGen, 20) { toks =>
+      val text = toks.mkString(" ")
+      val row = Seq(Tuple1(text)).toDF("t")
+        .select(expr("top_bigram_stats(t)").as("st"))
+        .select("st.top_gram_n", "st.n_grams").head
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val wantN = grams.size.toLong
+      val wantTop = if (grams.isEmpty) 0L
+        else grams.groupBy(identity).values.map(_.size).max.toLong
+      assert((row.getLong(0), row.getLong(1)) == ((wantTop, wantN)), s"text='$text'")
+    }
+  }
+
+  test("KMV sketch is exact below its capacity (k=256)") {
+    assert(registered)
+    val valsGen = Gen.listOfN(300, Gen.choose(0L, 99L)) // ≤100 distinct, many dupes
+    forAll(valsGen, 10) { vs =>
+      if (vs.nonEmpty) {
+        val row = vs.toDF("h").select(expr("kmv_sketch(h)").as("sk"))
+          .select("sk.n_kept", "sk.kth").head
+        assert(row.getLong(0) == vs.distinct.size.toLong, "below k the sketch IS the set")
+        assert(row.isNullAt(1), "kth must be null below capacity")
+      }
+    }
+  }
+
   test("custom top-k equals sort-take on random data") {
     assert(registered)
     val rows = Gen.listOfN(200, for {
