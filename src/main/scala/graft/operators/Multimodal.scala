@@ -116,6 +116,38 @@ object Multimodal {
              |  CAST(list_sum(list_transform(
              |    range(32 * j, least(32 * j + 32, strlen(text))),
              |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS frame_sum
-             |FROM f WHERE j % 4 = 0""".stripMargin))
+             |FROM f WHERE j % 4 = 0""".stripMargin)),
+
+    // 52c. fixed-rate downsampling (the resize/pooling shape): the payload
+    // is average-pooled over non-overlapping 16-byte windows — exact
+    // integer sums, one double division per window, so the oracle matches
+    // bit-for-bit. Rows out = ceil(n/16) per doc.
+    GraftQuery("mm_pool", (s, d) => {
+      import s.implicits._
+      val win = 16
+      media(s, d).mapPartitions { batch =>
+        batch.flatMap { m =>
+          val n = m.payload.length
+          Iterator.range(0, (n + win - 1) / win).map { j =>
+            val lo = j * win
+            val hi = math.min(lo + win, n)
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum += (m.payload(i) & 0xff); i += 1 }
+            (m.doc_id, j.toLong, sum.toDouble / (hi - lo))
+          }
+        }
+      }.toDF("doc_id", "pool_idx", "pool_avg")
+    },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS j
+             |  FROM documents)
+             |SELECT doc_id, j AS pool_idx,
+             |  CAST(list_sum(list_transform(
+             |    range(16 * j, least(16 * j + 16, strlen(text))),
+             |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS DOUBLE)
+             |    / least(16, strlen(text) - 16 * j) AS pool_avg
+             |FROM f""".stripMargin))
   )
 }

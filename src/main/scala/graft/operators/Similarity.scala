@@ -265,7 +265,7 @@ object Similarity {
       // convergence via a per-round checksum (one aggregate on the persisted
       // labels — no extra join+count round-trip per iteration)
       def checksum(df: org.apache.spark.sql.DataFrame): Long = df
-        .agg(expr("bit_xor(xxhash64(id, label))")).head.getLong(0)
+        .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
       var prev = checksum(labels)
       var iter = 0
       var converged = false
