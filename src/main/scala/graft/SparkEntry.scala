@@ -8,7 +8,8 @@ object SparkEntry {
   /** All capability modules; each contributes GraftQuery defs. */
   def allDefs: Seq[GraftQuery] =
     operators.Relational.defs ++ operators.Relational2.defs ++
-      operators.TextOps.defs ++
+      operators.Relational3.defs ++
+      operators.TextOps.defs ++ operators.TextOps2.defs ++
       operators.Similarity.defs ++ operators.VTab.defs ++
       operators.Multimodal.defs ++ operators.Sinks.defs ++
       streaming.Streams.defs

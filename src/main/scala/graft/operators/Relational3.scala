@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Exact, GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.1 — third batch of relational surface entries: deterministic
+  * sampling and MERGE-style upsert. */
+object Relational3 {
+  import Exact._
+
+  private def ord(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "orders")
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // deterministic hash sampling (TABLESAMPLE analog): md5(key) folded to
+    // an int, mod 20 → a stable 5% sample. Unlike rand()-based sampling
+    // this is reproducible across engines, runs and partitionings — the
+    // property a training pipeline needs for held-out splits and debug
+    // subsets. Pure per-row filter: pushes to the scan, no shuffle.
+    GraftQuery("q_sample",
+      (s, d) => ord(s, d)
+        .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 20 === 0L)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some(s"""WITH h AS (SELECT *, md5(CAST(o_orderkey AS VARCHAR)) AS m FROM orders)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM h
+             |WHERE ${Relational.duckHex8("m", 1)} % 20 = 0""".stripMargin)),
+
+    // MERGE-style upsert: an updates set (10% changed rows + a disjoint
+    // insert set) merged into orders — matched keys take the update,
+    // unmatched keep the target row, new keys append. Expressed as ONE
+    // full-outer join on the key: at 100 TB this is a single co-partitioned
+    // shuffle (or a broadcast when updates are small); AQE picks the side.
+    // Exact decimal arithmetic keeps both engines bit-identical.
+    GraftQuery("q_merge_upsert", (s, d) => {
+      val o = ord(s, d)
+      val changed = o.filter(col("o_orderkey") % 100 < 10)
+      val updates = changed.select(col("o_orderkey").as("u_key"),
+          lit("U").as("u_status"),
+          (d2(col("o_totalprice")) + lit(BigDecimal("10.00")).cast(DecimalType(4, 2)))
+            .cast("double").as("u_price"))
+        .union(changed.select((col("o_orderkey") + 100000000L).as("u_key"),
+          lit("N").as("u_status"), lit(1.0).as("u_price")))
+      o.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("u_key"), col("o_orderkey")).as("o_orderkey"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("u_price"), d2(col("o_totalprice")).cast("double")).as("price"))
+    },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey AS u_key, 'U' AS u_status,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10.00 AS DOUBLE) AS u_price
+             |  FROM orders WHERE o_orderkey % 100 < 10
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, 'N', 1.0
+             |  FROM orders WHERE o_orderkey % 100 < 10)
+             |SELECT COALESCE(u.u_key, o.o_orderkey) AS o_orderkey,
+             |  COALESCE(u.u_status, o.o_orderstatus) AS status,
+             |  COALESCE(u.u_price, CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+             |    AS price
+             |FROM orders o FULL OUTER JOIN u ON u.u_key = o.o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — second batch of training-data text operators: duplicated
+  * span detection (the word-n-gram analog of exact-substring dedup),
+  * Simpson-index diversity signals (exact rational arithmetic — unlike
+  * Shannon entropy there is no transcendental whose last ulp could differ
+  * across engines), and PII scrubbing.
+  *
+  * Scale posture: dd_span is the only one that shuffles (one explode +
+  * two partial-aggregated groupBys on 16-byte span hashes); the diversity
+  * and scrub operators are pure per-row projections — no shuffle at all,
+  * fully parallel at any corpus size. */
+object TextOps2 {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.t(s, d, "documents")
+
+  private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+
+  /** Spans = md5 of each word 8-gram (hashing shrinks the shuffle key from
+    * ~60 B of text to a fixed 32-char digest — at 100 TB the explode is
+    * ~8× row count, so key width is the shuffle). */
+  private val spanExpr =
+    "IF(size(toks) >= 8, array_distinct(transform(sequence(1, size(toks) - 7), " +
+      "i -> md5(concat_ws(' ', slice(toks, i, 8))))), array())"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // duplicated-span signal (word-8-gram analog of exact-substring dedup,
+    // after Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): fraction of a doc's 8-gram spans that also appear in
+    // some OTHER doc (or twice in this one — span-level, not doc-level).
+    // Pipeline use: high dup_frac docs are boilerplate/mirrors even when
+    // doc-level near-dup misses them.
+    GraftQuery("dd_span", (s, d) => {
+      val base = Tables.widened(s, d, "documents")
+      val spans = base
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(spanExpr)).as("sp"))
+        .persist() // feeds the span-frequency agg AND the per-doc re-join
+      val dupSpans = spans.groupBy("sp")
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("sp")
+      val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val dupPerDoc = spans.join(dupSpans, Seq("sp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      base.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          when(coalesce(col("n_spans"), lit(0L)) > 0,
+            coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"))
+            .otherwise(lit(0.0)).as("dup_frac"))
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(toks) - 6),
+             |    i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS sp
+             |  FROM t),
+             |dup AS (SELECT sp FROM sp GROUP BY sp HAVING COUNT(*) >= 2),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+             |dd AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+             |  FROM sp JOIN dup USING (sp) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(pd.n_spans, 0) AS n_spans,
+             |  COALESCE(dd.n_dup_spans, 0) AS n_dup_spans,
+             |  CASE WHEN COALESCE(pd.n_spans, 0) > 0
+             |       THEN CAST(COALESCE(dd.n_dup_spans, 0) AS DOUBLE) / pd.n_spans
+             |       ELSE 0.0 END AS dup_frac
+             |FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN dd USING (doc_id)""".stripMargin)),
+
+    // Simpson-index diversity (sum of squared frequencies / n²) at char and
+    // token granularity — the repetitiveness signal quality filters use
+    // where Shannon entropy would appear, chosen because it is EXACT: all
+    // sums are integer, the only float op is one final division, so both
+    // engines agree bit-for-bit (SURVEY §6; entropy's log2 last-ulp is
+    // libm-dependent). Pure projection: no shuffle, trivially parallel.
+    GraftQuery("ta_diversity", (s, d) => {
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("char_sumsq", expr(
+          """aggregate(array_distinct(split(text, '')), 0L,
+            |  (s, c) -> s + CAST(length(text) - length(replace(text, c, '')) AS BIGINT)
+            |                * (length(text) - length(replace(text, c, ''))))""".stripMargin))
+        .withColumn("tok_sumsq", expr(
+          """aggregate(array_distinct(toks), 0L,
+            |  (s, t) -> s + CAST(size(filter(toks, x -> x = t)) AS BIGINT)
+            |                * size(filter(toks, x -> x = t)))""".stripMargin))
+        .select(col("doc_id"), col("char_sumsq"), col("tok_sumsq"),
+          (col("char_sumsq").cast("double")
+            / (length(col("text")).cast("long") * length(col("text"))))
+            .as("simpson_char"),
+          (col("tok_sumsq").cast("double")
+            / (expr("size(toks)").cast("long") * expr("size(toks)")))
+            .as("simpson_tok"))
+    },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |c AS (SELECT doc_id, text, toks,
+             |    CAST(list_sum(list_transform(list_distinct(string_split(text, '')),
+             |      ch -> CAST(length(text) - length(replace(text, ch, '')) AS BIGINT)
+             |            * (length(text) - length(replace(text, ch, ''))))) AS BIGINT)
+             |      AS char_sumsq,
+             |    CAST(list_sum(list_transform(list_distinct(toks),
+             |      tk -> CAST(len(list_filter(toks, x -> x = tk)) AS BIGINT)
+             |            * len(list_filter(toks, x -> x = tk)))) AS BIGINT) AS tok_sumsq
+             |  FROM t)
+             |SELECT doc_id, char_sumsq, tok_sumsq,
+             |  CAST(char_sumsq AS DOUBLE) / (CAST(length(text) AS BIGINT) * length(text))
+             |    AS simpson_char,
+             |  CAST(tok_sumsq AS DOUBLE) / (CAST(len(toks) AS BIGINT) * len(toks))
+             |    AS simpson_tok
+             |FROM c""".stripMargin)),
+
+    // PII scrub: email / IPv4 / long-digit-run redaction — the compliance
+    // gate every corpus passes before training. The synthetic corpus
+    // carries no PII, so each doc gets a deterministic planted suffix
+    // (derived from doc_id identically in both engines); the oracle then
+    // proves the regexes actually strip it: n_pii counts the plants, and
+    // the scrubbed text must hash-match. Redaction order matters (emails
+    // contain digits): email → IPv4 → digit runs. Pure projection.
+    GraftQuery("ta_pii_scrub", (s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" card 4111111111111111"))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val digits = "\\d{13,16}"
+      // typed Column API (not expr()): regex backslashes must reach the
+      // engine verbatim, not pass through SQL-literal unescaping
+      docs(s, d)
+        .withColumn("raw", withPii)
+        .select(col("doc_id"),
+          (size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long")
+            + size(regexp_extract_all(col("raw"), lit(ipv4), lit(0)))
+            + size(regexp_extract_all(col("raw"), lit(digits), lit(0)))).as("n_pii"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "[EMAIL]"), ipv4, "[IP]"), digits, "[NUM]").as("scrubbed"))
+    },
+      Some("""WITH r AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@example.com or 10.'
+             |      || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+             |      || ' card 4111111111111111' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+             |    + len(regexp_extract_all(raw, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+             |    + len(regexp_extract_all(raw, '\d{13,16}')) AS BIGINT) AS n_pii,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+             |    '\d{13,16}', '[NUM]', 'g') AS scrubbed
+             |FROM r""".stripMargin))
+  )
+}

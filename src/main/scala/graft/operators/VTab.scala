@@ -129,6 +129,23 @@ object VTab {
              |  (i * 7) % 97 AS x
              |FROM range(300, 360) t(i)""".stripMargin)),
 
+    // 33d. runtime filtering (DSv2 SupportsRuntimeV2Filtering — the v2
+    // analog of dynamic partition pruning): numbers is the probe side of a
+    // broadcast join against a FILTERED dim; Spark materializes the dim
+    // first and hands its 5 join keys to the scan as a runtime IN, which
+    // the plugin turns into 5 probe splits instead of paginating all 10k
+    // rows (spec asserts the split count + the runtime qual).
+    GraftQuery("vt_runtime_filter", (s, d) => {
+      val dim = graft.Tables.t(s, d, "nation")
+        .filter(col("n_regionkey") === 1L).select(col("n_nationkey"))
+      numbers(s).join(dim, col("id") === col("n_nationkey"))
+        .select("id", "x", "s")
+    },
+      Some("""SELECT i AS id, (i * 7) % 97 AS x, 'row_' || i AS s
+             |FROM range(0, 10000) t(i)
+             |JOIN nation ON i = n_nationkey
+             |WHERE n_regionkey = 1""".stripMargin)),
+
     // 39b. dynamic schema refresh: the `dyn` plugin's schema depends on
     // connection config; after configure, `graft.dyn.wide` resolves the
     // NEW column set (reference configure_fn.go:104-125 drops/recreates

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -160,9 +161,81 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
 
 case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
     qc: QueryContext, prunedSchema: StructType, cacheEnabled: Boolean, cacheTtl: Long)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = prunedSchema
+
+  /** DSv2 runtime filtering — the v2 analog of dynamic partition pruning:
+    * when this table is the probe side of a broadcast join on a key column,
+    * Spark materializes the build side FIRST and hands its join-key values
+    * here as an IN predicate, which the plugin turns into per-value probe
+    * splits (the same path as vt_in_pushdown). A cloud-API table joined to
+    * a 25-row dim then fetches 25 keys instead of paginating the account —
+    * pruning decided at RUNTIME from data, not at plan time. */
+  @transient private var runtimeQuals: Seq[Qual] = Seq.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only key columns that survived column pruning: Spark resolves these
+    // against the scan OUTPUT, and a pruned-away key can't be filtered on
+    table.keyColumns.map(_.name).filter(prunedSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    runtimeQuals = predicates.toSeq.flatMap(predicateToQual)
+    ScanLedger.lastRuntimeQuals = runtimeQuals
+  }
+
+  private def predicateToQual(p: Predicate): Option[Qual] = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        // NamedReference/Literal are the public DSv2 faces (FieldReference/
+        // LiteralValue are private[sql])
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    def valueOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: Literal[_] => normLiteral(l)
+        case _ => None
+      }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.length >= 2 =>
+        val vs = ch.tail.toSeq.map(valueOf)
+        for (f <- fieldOf(ch.head); if vs.forall(_.isDefined))
+          yield Qual(f, "in", vs.flatten)
+      case "=" if ch.length == 2 =>
+        for (f <- fieldOf(ch(0)); v <- valueOf(ch(1))) yield Qual(f, "=", v)
+      case _ => None
+    }
+  }
+
+  /** LiteralValue carries Catalyst-internal values; normalize to the same
+    * external forms as GraftScanBuilder.norm. */
+  private def normLiteral(l: Literal[_]): Option[Any] = {
+    import org.apache.spark.sql.types._
+    l.dataType match {
+      case LongType => Some(l.value.asInstanceOf[Long])
+      case IntegerType => Some(l.value.asInstanceOf[Int].toLong)
+      case ShortType => Some(l.value.asInstanceOf[Short].toLong)
+      case StringType => Some(l.value.toString)
+      case BooleanType => Some(l.value.asInstanceOf[Boolean])
+      case DoubleType => Some(l.value.asInstanceOf[Double])
+      case FloatType => Some(l.value.asInstanceOf[Float].toDouble)
+      case TimestampType | TimestampNTZType => Some(l.value.asInstanceOf[Long])
+      case DateType => Some(l.value.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+  }
+
+  /** Compile-time context + runtime quals. The source-side limit is kept
+    * only if the runtime quals are exactly enforced too (same safety rule
+    * as build()). */
+  private def effectiveQc: QueryContext =
+    if (runtimeQuals.isEmpty) qc
+    else QueryContext(qc.columns, qc.quals ++ runtimeQuals,
+      qc.limit.filter(_ => runtimeQuals.forall(table.exactlyHandled)))
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan($pluginAlias.${table.name}, quals=[${qc.quals.mkString(", ")}], " +
@@ -181,9 +254,10 @@ case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val ss = table.splits(qc, config)
+    val eqc = effectiveQc
+    val ss = table.splits(eqc, config)
     ScanLedger.lastSplitCount = ss.length
-    ss.map(s => GraftInputPartition(s, qc): InputPartition).toArray
+    ss.map(s => GraftInputPartition(s, eqc): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(pluginAlias, table, config, cacheEnabled, cacheTtl)

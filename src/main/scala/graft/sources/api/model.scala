@@ -194,6 +194,9 @@ object ScanLedger {
   val scans = new AtomicLong(0)
   @volatile var lastQc: Option[QueryContext] = None
   @volatile var lastSplitCount: Int = -1
+  @volatile var lastRuntimeQuals: Seq[Qual] = Nil
   def record(qc: QueryContext): Unit = { scans.incrementAndGet(); lastQc = Some(qc) }
-  def reset(): Unit = { scans.set(0); lastQc = None; lastSplitCount = -1 }
+  def reset(): Unit = {
+    scans.set(0); lastQc = None; lastSplitCount = -1; lastRuntimeQuals = Nil
+  }
 }

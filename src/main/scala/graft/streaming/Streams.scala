@@ -215,6 +215,39 @@ object Streams {
     // Spark can size the join state and evict matched/expired rows — the
     // canonical two-stream enrichment at production rates. The batch
     // oracle is the identical interval self-join.
+    // 55f. streaming ingestion quality gate: the stateless filter every
+    // continuous training-data feed runs at the door — documents stream in,
+    // sub-quality rows are dropped in-flight. No state, no watermark, no
+    // shuffle: each micro-batch is a pure projection + filter, so the gate
+    // sustains any ingest rate and the batch oracle is the same predicate.
+    GraftQuery("st_quality_gate", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val gated = s.readStream.schema(schema).option("basePath", d)
+        .parquet(s"$d/documents.*")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("quality",
+          lit(0.4) * (expr("size(array_distinct(toks))").cast("long") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(
+              expr("aggregate(transform(toks, t -> length(t)), 0L, (s, x) -> s + x)")
+                / col("n_toks") / lit(10.0), lit(1.0)))
+        .filter(col("quality") >= 0.5)
+        .select("doc_id", "n_toks", "quality")
+      runToTable(s, gated, OutputMode.Append())
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    0.4 * (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT))
+             |      + 0.3 * least(CAST(len(toks) AS BIGINT) / 200.0, 1.0)
+             |      + 0.3 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             |                    / CAST(len(toks) AS BIGINT) / 10.0, 1.0) AS quality
+             |  FROM t)
+             |SELECT doc_id, n_toks, quality FROM m WHERE quality >= 0.5""".stripMargin)),
+
     GraftQuery("st_interval_join", (s, d) => {
       val p = eventsStream(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),

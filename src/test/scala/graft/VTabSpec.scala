@@ -124,6 +124,22 @@ class VTabSpec extends SparkSpec {
     }
   }
 
+  test("runtime filtering: broadcast build side narrows splits at RUNTIME " +
+      "(SupportsRuntimeV2Filtering, the DSv2 DPP analog)") {
+    noCache {
+      ScanLedger.reset()
+      val dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .filter(col("n_regionkey") === 1L).select(col("n_nationkey"))
+      val n = numbers.join(dim, col("id") === col("n_nationkey"))
+        .select("id", "x").count()
+      assert(n == 5)
+      assert(ScanLedger.lastRuntimeQuals.exists(q => q.field == "id" && q.op == "in"),
+        s"runtime IN qual must reach the scan, got ${ScanLedger.lastRuntimeQuals}")
+      assert(ScanLedger.lastSplitCount == 5,
+        s"5 build-side keys must become 5 probe splits, got ${ScanLedger.lastSplitCount}")
+    }
+  }
+
   test("timestamp quals reach the plugin as epoch micros (mapping.go:108-158)") {
     noCache {
       ScanLedger.reset()
