@@ -25,7 +25,18 @@ object Streams {
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    // Streaming state partitioning is its own deployment knob: it locks
+    // into the checkpoint at first start and should be sized to the STREAM
+    // rate, not inherited from the session's batch shuffle width — a batch
+    // width tuned for TB-scale scans scatters a replay's state into
+    // hundreds of near-empty state-store files whose per-batch commit I/O
+    // dominates (measured: 32 → 8 partitions halves stream entries at
+    // sf0.1). Scoped to the query start; batch plans are untouched.
+    val was = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.statePartitions", "8"))
+    val q = try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    finally s.conf.set("spark.sql.shuffle.partitions", was)
     q.processAllAvailable()
     // expose the final state-store size for the boundedness spec
     lastStateRows = q.recentProgress.toSeq
