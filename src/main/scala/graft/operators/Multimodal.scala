@@ -118,6 +118,58 @@ object Multimodal {
              |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS BIGINT) AS frame_sum
              |FROM f WHERE j % 4 = 0""".stripMargin)),
 
+    // 52d. metadata-gated decode (prune-before-decode): the metadata
+    // predicate is evaluated on plain columns and PUSHED TO THE SCAN, so
+    // undecodable/unwanted media never reach the expensive decoder — at
+    // 100 TB "decode 4% of the corpus" vs "decode then filter" is the
+    // whole game. Plan-spec asserts the filters reach the parquet scan.
+    GraftQuery("mm_gated_decode", (s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .filter(col("lang") === "en" && col("n_chars") >= 200L)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("text/plain").as("format"))
+        .as[MediaRow]
+        .mapPartitions { batch =>
+          batch.map { m =>
+            val f = decodeStub(m.payload)
+            FeatureRow(m.doc_id, m.format, m.payload.length.toLong,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          }
+        }.toDF()
+    },
+      Some(s"""SELECT doc_id, 'text/plain' AS format,
+             |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  ${(0 until 8).map(duckF).mkString(",\n  ")}
+             |FROM documents
+             |WHERE lang = 'en' AND n_chars >= 200""".stripMargin)),
+
+    // 52e. shard-manifest packing (the webdataset/tar-shard build): assign
+    // media to size-balanced ~4 KB shards by a running byte sum, windowed
+    // PER SOURCE so the cumulative sum parallelizes across sources instead
+    // of forcing one global ordering partition (the scale-correct shape:
+    // shard within natural corpus partitions, never a global sort).
+    GraftQuery("mm_shard_manifest", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val shardBytes = 4096L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      Tables.t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars").as("n_bytes"))
+        .withColumn("shard_id",
+          floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / shardBytes))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("shard_bytes"))
+    },
+      Some("""WITH c AS (
+             |  SELECT source, doc_id, n_chars AS n_bytes,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM documents)
+             |SELECT source, CAST(FLOOR(prior / 4096) AS BIGINT) AS shard_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // 52c. fixed-rate downsampling (the resize/pooling shape): the payload
     // is average-pooled over non-overlapping 16-byte windows — exact
     // integer sums, one double division per window, so the oracle matches

@@ -28,6 +28,21 @@ object Relational3 {
              |SELECT o_orderkey, o_custkey, o_totalprice FROM h
              |WHERE ${Relational.duckHex8("m", 1)} % 20 = 0""".stripMargin)),
 
+    // equi-width value histogram (width_bucket shape): the profiling scan
+    // every feature-engineering pass runs. Bucket assignment is a pure
+    // per-row projection (floor of one exact double division on identical
+    // IEEE inputs), then one partial-aggregated groupBy — linear, one
+    // shuffle of ~n_buckets rows.
+    GraftQuery("q_histogram",
+      (s, d) => ord(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / lit(500.0)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi")),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // MERGE-style upsert: an updates set (10% changed rows + a disjoint
     // insert set) merged into orders — matched keys take the update,
     // unmatched keep the target row, new keys append. Expressed as ONE

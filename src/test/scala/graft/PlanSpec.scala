@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("mm_gated_decode pushes the metadata gate to the scan (prune-before-decode)") {
+    val p = plan("mm_gated_decode")
+    assert(p.contains("EqualTo(lang,en)"), "lang gate must reach the parquet scan\n" + p)
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
+      "size gate must reach the parquet scan\n" + p)
+  }
+
+  test("q_sample's hash filter is a pure per-row projection (no shuffle)") {
+    val p = plan("q_sample")
+    assert(!p.contains("Exchange"), "sampling must not shuffle\n" + p)
+  }
+
   test("dot_product stays inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("ann_topk")(spark, sf)
     df.queryExecution.toRdd.count() // finalize the adaptive plan
