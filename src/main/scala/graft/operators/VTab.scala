@@ -146,6 +146,19 @@ object VTab {
              |JOIN nation ON i = n_nationkey
              |WHERE n_regionkey = 1""".stripMargin)),
 
+    // 33e. aggregate pushdown (DSv2 SupportsPushDownAggregates, partial
+    // mode): COUNT/MIN/MAX over a key range are answered by the plugin in
+    // closed form — one partial row per split, Spark merges — so the
+    // "how many rows match" question costs zero pagination (spec asserts
+    // scan() was never called). The API analog of a count endpoint.
+    GraftQuery("vt_agg_pushdown",
+      (s, d) => numbers(s)
+        .filter(col("id") >= 1000L && col("id") < 9000L)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id")),
+      Some("""SELECT COUNT(*) AS n, MIN(i) AS min_id, MAX(i) AS max_id
+             |FROM range(1000, 9000) t(i)""".stripMargin)),
+
     // 39b. dynamic schema refresh: the `dyn` plugin's schema depends on
     // connection config; after configure, `graft.dyn.wide` resolves the
     // NEW column set (reference configure_fn.go:104-125 drops/recreates

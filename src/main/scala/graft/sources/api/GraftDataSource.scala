@@ -73,11 +73,13 @@ case class GraftTable(pluginAlias: String, table: ApiTable, config: PluginConfig
 
 class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfig)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schemaFor(config)
   private var limit: Option[Long] = None
+  private var pushedAggs: Option[Seq[AggSpec]] = None
 
   /** sources.Filter → Qual, for the operators the reference plugin
     * protocol understands (mapping.go:34-60) plus IN, which SQLite
@@ -130,6 +132,49 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
   override def pushLimit(l: Int): Boolean = { limit = Some(l.toLong); true }
   override def isPartiallyPushed: Boolean = true // Spark keeps its own LIMIT
 
+  /** DSv2 aggregate pushdown (PARTIAL mode): a plugin that can answer
+    * COUNT/MIN/MAX in closed form (the API count endpoint) returns one
+    * partial row per split and Spark runs the final merge — no pagination
+    * at all. Only taken when every pushed qual is exactly enforced: with a
+    * residual re-check pending, a pushed aggregate would count rows Spark
+    * might still drop. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    if (agg.groupByExpressions.nonEmpty) return false
+    val quals = pushed.flatMap(toQual).toSeq
+    if (!quals.forall(table.exactlyHandled)) return false
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggSpec("count_star", None))
+      case m: Min => fieldOf(m.column).map(f => AggSpec("min", Some(f)))
+      case m: Max => fieldOf(m.column).map(f => AggSpec("max", Some(f)))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    val flat = specs.flatten
+    // probe the table once: can it answer this agg set in closed form?
+    val qc = QueryContext(requiredSchema.fieldNames.toSeq, quals, None)
+    val answerable = table.splits(qc, config).headOption
+      .forall(s => table.aggregateSplit(s, qc, config, flat).isDefined)
+    if (!answerable) return false
+    pushedAggs = Some(flat)
+    // readSchema must align positionally with the aggregate expressions
+    requiredSchema = StructType(flat.map {
+      case AggSpec("count_star", _) =>
+        org.apache.spark.sql.types.StructField("count_star",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case AggSpec(fn, Some(f)) =>
+        val src = table.schemaFor(config)(f)
+        org.apache.spark.sql.types.StructField(s"$fn($f)", src.dataType, src.nullable)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    })
+    true
+  }
+
   override def build(): Scan = {
     val quals = pushed.flatMap(toQual).toSeq
     // Only push LIMIT to the source when it cannot change results: with
@@ -155,12 +200,15 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
     val cacheTtl = math.min(
       spark.conf.get("spark.graft.cache.ttl", "300").toLong,
       envMaxTtl.getOrElse(Long.MaxValue))
-    GraftScan(pluginAlias, table, config, qc, requiredSchema, cacheEnabled, cacheTtl)
+    pushedAggs.foreach(a => ScanLedger.lastPushedAggs = a)
+    GraftScan(pluginAlias, table, config, qc, requiredSchema, cacheEnabled, cacheTtl,
+      pushedAggs)
   }
 }
 
 case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
-    qc: QueryContext, prunedSchema: StructType, cacheEnabled: Boolean, cacheTtl: Long)
+    qc: QueryContext, prunedSchema: StructType, cacheEnabled: Boolean, cacheTtl: Long,
+    pushedAggs: Option[Seq[AggSpec]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -239,7 +287,8 @@ case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan($pluginAlias.${table.name}, quals=[${qc.quals.mkString(", ")}], " +
-      s"limit=${qc.limit.getOrElse(-1L)}, columns=[${qc.columns.mkString(",")}])"
+      s"limit=${qc.limit.getOrElse(-1L)}, columns=[${qc.columns.mkString(",")}]" +
+      pushedAggs.fold("")(a => s", aggs=[${a.mkString(",")}]") + ")"
 
   /** Qual-narrowed size estimate → Catalyst join planning: a key-narrowed
     * API page is broadcast-able instead of forcing a sort-merge join. */
@@ -260,21 +309,30 @@ case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
     ss.map(s => GraftInputPartition(s, eqc): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(pluginAlias, table, config, cacheEnabled, cacheTtl)
+    GraftReaderFactory(pluginAlias, table, config, cacheEnabled, cacheTtl, pushedAggs)
 }
 
 case class GraftInputPartition(split: ApiSplit, qc: QueryContext) extends InputPartition
 
 case class GraftReaderFactory(pluginAlias: String, table: ApiTable,
-    config: PluginConfig, cacheEnabled: Boolean, cacheTtl: Long)
+    config: PluginConfig, cacheEnabled: Boolean, cacheTtl: Long,
+    pushedAggs: Option[Seq[AggSpec]] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       private val it: Iterator[Array[Any]] = {
-        def fetch = { ScanLedger.record(p.qc); table.scan(p.split, p.qc, config) }
-        if (cacheEnabled)
+        // pushed aggregate: one closed-form partial row per split, no
+        // pagination, no cache involvement (nothing heavy to cache)
+        def fetch = pushedAggs match {
+          case Some(aggs) =>
+            Iterator.single(table.aggregateSplit(p.split, p.qc, config, aggs).getOrElse(
+              throw new IllegalStateException(
+                s"plugin accepted aggregate pushdown but returned no row for $aggs")))
+          case None => ScanLedger.record(p.qc); table.scan(p.split, p.qc, config)
+        }
+        if (cacheEnabled && pushedAggs.isEmpty)
           // config is part of the key: two connections with identical splits
           // but different connection config must not share entries. The key
           // is content-hashed from serialized forms (a user-land non-case-

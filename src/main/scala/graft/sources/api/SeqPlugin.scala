@@ -122,6 +122,24 @@ object NumbersTable extends ApiTable {
     (lo, hi, inIds)
   }
 
+  /** Closed-form partial aggregates over a key-range split — the API
+    * analog of a count endpoint: id is the key itself and ts sits on the
+    * exact minute grid, so COUNT/MIN/MAX need no row enumeration at all. */
+  override def aggregateSplit(split: ApiSplit, qc: QueryContext,
+      config: PluginConfig, aggs: Seq[AggSpec]): Option[Array[Any]] = {
+    val RangeSplit(lo, hi) = split: @unchecked
+    val vals = aggs.map {
+      case AggSpec("count_star", _) => Some(hi - lo)
+      case AggSpec("min", Some("id")) => Some(lo)
+      case AggSpec("max", Some("id")) => Some(hi - 1)
+      case AggSpec("min", Some("ts")) => Some(baseTs + lo * tickUs)
+      case AggSpec("max", Some("ts")) => Some(baseTs + (hi - 1) * tickUs)
+      case _ => None
+    }
+    if (vals.exists(_.isEmpty)) None
+    else Some(vals.flatten.map(_.asInstanceOf[Any]).toArray)
+  }
+
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
     val RangeSplit(lo, hi) = split: @unchecked
     val residual = qc.quals.filterNot(_.field == "id") // id handled by range

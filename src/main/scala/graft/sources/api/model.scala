@@ -77,7 +77,22 @@ trait ApiTable extends Serializable {
     * scan stops Spark from pushing the limit). All other quals stay
     * belt-and-braces like the reference's Omit=false (table.go:127). */
   def exactlyHandled(q: Qual): Boolean = false
+
+  /** Closed-form PARTIAL aggregate for one split, if the plugin can answer
+    * without enumerating rows (the API-count-endpoint shape). Called only
+    * when every pushed qual is exactlyHandled (no residual re-check to
+    * starve). Return one row with the partial values in `aggs` order;
+    * Spark runs the final merge (SUM of counts, MIN of mins, MAX of maxs)
+    * across splits. None ⇒ this agg set isn't answerable → Spark falls
+    * back to the row scan. */
+  def aggregateSplit(split: ApiSplit, qc: QueryContext, config: PluginConfig,
+      aggs: Seq[AggSpec]): Option[Array[Any]] = None
 }
+
+/** One pushed-down aggregate: fn ∈ {"count_star", "min", "max"} with the
+  * target field for min/max — the DSv2 SupportsPushDownAggregates surface
+  * reduced to what a paginated API can realistically answer. */
+final case class AggSpec(fn: String, field: Option[String]) extends Serializable
 
 /** A connector plugin: a named family of tables (reference: one compiled
   * steampipe plugin per extension, register.go). */
@@ -195,8 +210,10 @@ object ScanLedger {
   @volatile var lastQc: Option[QueryContext] = None
   @volatile var lastSplitCount: Int = -1
   @volatile var lastRuntimeQuals: Seq[Qual] = Nil
+  @volatile var lastPushedAggs: Seq[AggSpec] = Nil
   def record(qc: QueryContext): Unit = { scans.incrementAndGet(); lastQc = Some(qc) }
   def reset(): Unit = {
-    scans.set(0); lastQc = None; lastSplitCount = -1; lastRuntimeQuals = Nil
+    scans.set(0); lastQc = None; lastSplitCount = -1
+    lastRuntimeQuals = Nil; lastPushedAggs = Nil
   }
 }

@@ -20,7 +20,7 @@ class VTabSpec extends SparkSpec {
   test("qual pushdown narrows the key range to one split") {
     noCache {
       ScanLedger.reset()
-      val n = numbers.filter(col("id") >= 2000L && col("id") < 2100L).count()
+      val n = numbers.filter(col("id") >= 2000L && col("id") < 2100L).collect().length
       assert(n == 100)
       assert(ScanLedger.lastSplitCount == 1, "id-range quals must prune splits")
       val qc = ScanLedger.lastQc.get
@@ -40,7 +40,7 @@ class VTabSpec extends SparkSpec {
   test("non-key quals are pushed AND re-checked by Spark") {
     noCache {
       ScanLedger.reset()
-      val n = numbers.filter(col("flag") === true && col("id") < 100L).count()
+      val n = numbers.filter(col("flag") === true && col("id") < 100L).collect().length
       assert(n == 50)
       assert(ScanLedger.lastQc.get.quals.exists(_.field == "flag"))
     }
@@ -68,10 +68,10 @@ class VTabSpec extends SparkSpec {
     QueryCache.clear()
     ScanLedger.reset()
     val q = numbers.filter(col("id") >= 5000L && col("id") < 5050L)
-    q.count()
+    q.collect() // row scan (an aggregate would push down and skip the cursor)
     val fetchesAfterFirst = ScanLedger.scans.get()
     assert(fetchesAfterFirst > 0)
-    q.count() // identical QueryContext → served from cache
+    q.collect() // identical QueryContext → served from cache
     assert(ScanLedger.scans.get() == fetchesAfterFirst, "second scan must hit cache")
     assert(QueryCache.hits.get() > 0)
   }
@@ -82,10 +82,10 @@ class VTabSpec extends SparkSpec {
     spark.conf.set("spark.graft.cache.ttl", "0") // immediate expiry
     try {
       val q = numbers.filter(col("id") >= 7000L && col("id") < 7010L)
-      q.count()
+      q.collect()
       val first = ScanLedger.scans.get()
       Thread.sleep(5)
-      q.count()
+      q.collect()
       assert(ScanLedger.scans.get() > first, "expired entry must re-fetch")
     } finally spark.conf.set("spark.graft.cache.ttl", "300")
   }
@@ -115,7 +115,7 @@ class VTabSpec extends SparkSpec {
   test("IN-list pushdown probes one split per value (table.go:127-151)") {
     noCache {
       ScanLedger.reset()
-      val n = numbers.filter(col("id").isin(5L, 777L, 8888L)).count()
+      val n = numbers.filter(col("id").isin(5L, 777L, 8888L)).collect().length
       assert(n == 3)
       assert(ScanLedger.lastSplitCount == 3,
         s"IN must expand to per-value probe splits, got ${ScanLedger.lastSplitCount}")
@@ -140,12 +140,26 @@ class VTabSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown answers COUNT/MIN/MAX without any pagination " +
+      "(SupportsPushDownAggregates partial mode)") {
+    noCache {
+      ScanLedger.reset()
+      val r = numbers.filter(col("id") >= 1000L && col("id") < 9000L)
+        .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8000L, 1000L, 8999L)))
+      assert(ScanLedger.lastPushedAggs.map(_.fn) == Seq("count_star", "min", "max"),
+        s"aggs must reach the builder, got ${ScanLedger.lastPushedAggs}")
+      assert(ScanLedger.scans.get() == 0,
+        "closed-form aggregates must not paginate the plugin")
+    }
+  }
+
   test("timestamp quals reach the plugin as epoch micros (mapping.go:108-158)") {
     noCache {
       ScanLedger.reset()
       val n = numbers.filter(
         col("ts") >= lit("2024-01-01 05:00:00").cast("timestamp_ntz") &&
-          col("ts") < lit("2024-01-01 06:00:00").cast("timestamp_ntz")).count()
+          col("ts") < lit("2024-01-01 06:00:00").cast("timestamp_ntz")).collect().length
       assert(n == 60) // one row per minute
       assert(ScanLedger.lastSplitCount == 1, "ts range must narrow to one page")
       val quals = ScanLedger.lastQc.get.quals.filter(_.field == "ts")
