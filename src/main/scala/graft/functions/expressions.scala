@@ -193,6 +193,31 @@ case class TopBigramStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TopBigramStats = copy(c)
 }
 
+/** Simpson-index diversity stats in one pass: per-char and per-token
+  * squared-frequency sums plus the counts, from the RAW text (tokenization
+  * inside the loop, same reasoning as TopBigramStats). Replaces two
+  * array_distinct × aggregate HOF chains that were O(distinct · len) per
+  * row in interpreted lambdas. Exact integers → struct<char_sumsq,
+  * tok_sumsq, n_chars, n_toks>; the SQL oracle's replace()/list_filter()
+  * formulation produces the identical values. */
+case class SimpsonStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("char_sumsq", LongType, nullable = false),
+    StructField("tok_sumsq", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_toks", LongType, nullable = false)))
+  override def prettyName: String = "simpson_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.simpsonStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.simpsonStats($c);")
+
+  override protected def withNewChildInternal(c: Expression): SimpsonStats = copy(c)
+}
+
 /** Static helpers shared by interpreted eval and generated code. */
 object VectorMath {
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -295,6 +320,39 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** One-pass char + token frequency squared sums (SimpsonStats). Token
+    * split matches filter(split(text, ' '), t -> t <> ''); char counting
+    * matches length()/replace() arithmetic on the corpus's ASCII text. */
+  def simpsonStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val charCounts = new java.util.HashMap[Character, Int]()
+    val tokCounts = new java.util.HashMap[String, Int]()
+    var nToks = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      charCounts.merge(s.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        tokCounts.merge(s.substring(st, i), 1, (a, b) => a + b)
+        nToks += 1
+      }
+    }
+    var charSq = 0L
+    val ci = charCounts.values().iterator()
+    while (ci.hasNext) { val c = ci.next().toLong; charSq += c * c }
+    var tokSq = 0L
+    val ti = tokCounts.values().iterator()
+    while (ti.hasNext) { val c = ti.next().toLong; tokSq += c * c }
+    InternalRow(charSq, tokSq, len.toLong, nToks)
+  }
+
   /** Space-tokenizes like filter(split(text, ' '), t -> t <> '') — empty
     * runs of spaces are skipped — and counts word bigrams in one pass. */
   def topBigram(text: UTF8String): InternalRow = {
@@ -334,6 +392,7 @@ object F {
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
+    ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),
     ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))),
     ("minhash_union", (es: Seq[Expression]) =>

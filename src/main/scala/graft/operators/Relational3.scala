@@ -43,6 +43,44 @@ object Relational3 {
              |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // batch RANGE JOIN via bucket blocking: views within 2h before each
+    // purchase, per user. A naive theta join (user_id equality + time
+    // range) degenerates to O(events²) within hot users; blocking the time
+    // axis into tolerance-sized buckets makes it an EQUI-join on
+    // (user_id, bucket) — each probe unrolls exactly 2 buckets, candidates
+    // are bucket-bounded, and the residual range check runs post-join.
+    // This is the scale shape for every "events near events" query.
+    GraftQuery("q_range_join", (s, d) => {
+      val bucketUs = 7200000000L // 2h, = the tolerance → 2 probe buckets
+      val ev = Tables.t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pus"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("vus"))
+        .withColumn("bkt", expr(s"vus div $bucketUs"))
+      val probes = p.withColumn("bkt",
+        explode(array(expr(s"pus div $bucketUs"), expr(s"pus div $bucketUs - 1"))))
+      val matches = probes
+        .join(v, col("pu") === col("vu") && probes("bkt") === v("bkt") &&
+          col("vus") >= col("pus") - lit(bucketUs) && col("vus") <= col("pus"))
+        .groupBy("purchase_id").agg(count(lit(1)).as("n_views"))
+      p.select(col("purchase_id"), col("pu").as("user_id"))
+        .join(matches, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+    },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  COALESCE(c.n, 0) AS n_views
+             |FROM events p LEFT JOIN (
+             |  SELECT p2.event_id AS pid, COUNT(*) AS n
+             |  FROM events p2 JOIN events v ON p2.user_id = v.user_id
+             |    AND v.event_type = 'view'
+             |    AND v.ts >= p2.ts - INTERVAL 2 HOUR AND v.ts <= p2.ts
+             |  WHERE p2.event_type = 'purchase' GROUP BY 1) c ON c.pid = p.event_id
+             |WHERE p.event_type = 'purchase'""".stripMargin)),
+
     // MERGE-style upsert: an updates set (10% changed rows + a disjoint
     // insert set) merged into orders — matched keys take the update,
     // unmatched keep the target row, new keys append. Expressed as ONE

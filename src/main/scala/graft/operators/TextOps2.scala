@@ -82,23 +82,20 @@ object TextOps2 {
     // engines agree bit-for-bit (SURVEY §6; entropy's log2 last-ulp is
     // libm-dependent). Pure projection: no shuffle, trivially parallel.
     GraftQuery("ta_diversity", (s, d) => {
+      // one-pass native expression (simpson_stats): the HOF formulation
+      // (array_distinct × aggregate with a replace() per distinct char)
+      // was O(distinct · len) interpreted work per row — 2.5 s of the
+      // sf0.1 bench for what is one hash-map pass
+      graft.functions.F.register(s)
       docs(s, d)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("char_sumsq", expr(
-          """aggregate(array_distinct(split(text, '')), 0L,
-            |  (s, c) -> s + CAST(length(text) - length(replace(text, c, '')) AS BIGINT)
-            |                * (length(text) - length(replace(text, c, ''))))""".stripMargin))
-        .withColumn("tok_sumsq", expr(
-          """aggregate(array_distinct(toks), 0L,
-            |  (s, t) -> s + CAST(size(filter(toks, x -> x = t)) AS BIGINT)
-            |                * size(filter(toks, x -> x = t)))""".stripMargin))
-        .select(col("doc_id"), col("char_sumsq"), col("tok_sumsq"),
-          (col("char_sumsq").cast("double")
-            / (length(col("text")).cast("long") * length(col("text"))))
-            .as("simpson_char"),
-          (col("tok_sumsq").cast("double")
-            / (expr("size(toks)").cast("long") * expr("size(toks)")))
-            .as("simpson_tok"))
+        .withColumn("st", expr("simpson_stats(text)"))
+        .select(col("doc_id"),
+          col("st.char_sumsq").as("char_sumsq"),
+          col("st.tok_sumsq").as("tok_sumsq"),
+          (col("st.char_sumsq").cast("double")
+            / (col("st.n_chars") * col("st.n_chars"))).as("simpson_char"),
+          (col("st.tok_sumsq").cast("double")
+            / (col("st.n_toks") * col("st.n_toks"))).as("simpson_tok"))
     },
       Some("""WITH t AS (SELECT doc_id, text,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
