@@ -66,7 +66,9 @@ case class GraftTable(pluginAlias: String, table: ApiTable, config: PluginConfig
   // on the next load, while plans already handed out keep theirs
   override def schema(): StructType = table.schemaFor(config)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (table.latestKey(config).isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(pluginAlias, table, config)
 }
@@ -310,6 +312,49 @@ case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(pluginAlias, table, config, cacheEnabled, cacheTtl, pushedAggs)
+
+  /** Streaming read of an ordered-key plugin table — the API-polling shape
+    * as a first-class Structured Streaming source (beyond the batch-only
+    * reference): the offset is a key-space position; each micro-batch scans
+    * the [start, end) range that appeared since the last trigger, through
+    * the same split/pushdown machinery as the batch path. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this)
+}
+
+/** Key-space offset (json = the exclusive upper key already ingested). */
+case class GraftKeyOffset(key: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = key.toString
+}
+
+class GraftMicroBatchStream(scan: GraftScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftKeyOffset(0L)
+  override def latestOffset(): Offset =
+    GraftKeyOffset(scan.table.latestKey(scan.config).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = GraftKeyOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftKeyOffset].key
+    val hi = end.asInstanceOf[GraftKeyOffset].key
+    // the batch's key window rides in as ordinary range quals on the
+    // table's (first) key column, so the plugin's own narrowing + paging
+    // logic plans the micro-batch
+    val keyCol = scan.table.keyColumns.headOption.map(_.name).getOrElse("id")
+    val qc = QueryContext(scan.qc.columns,
+      scan.qc.quals ++ Seq(Qual(keyCol, ">=", lo), Qual(keyCol, "<", hi)), None)
+    scan.table.splits(qc, scan.config)
+      .map(s => GraftInputPartition(s, qc): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(scan.pluginAlias, scan.table, scan.config,
+      cacheEnabled = false, scan.cacheTtl)
 }
 
 case class GraftInputPartition(split: ApiSplit, qc: QueryContext) extends InputPartition

@@ -122,6 +122,8 @@ object NumbersTable extends ApiTable {
     (lo, hi, inIds)
   }
 
+  override def latestKey(config: PluginConfig): Option[Long] = Some(config.n)
+
   /** Closed-form partial aggregates over a key-range split — the API
     * analog of a count endpoint: id is the key itself and ts sits on the
     * exact minute grid, so COUNT/MIN/MAX need no row enumeration at all. */

@@ -78,6 +78,12 @@ trait ApiTable extends Serializable {
     * belt-and-braces like the reference's Omit=false (table.go:127). */
   def exactlyHandled(q: Qual): Boolean = false
 
+  /** Upper bound (exclusive) of the key space currently available, if the
+    * table supports ordered-key streaming (the API-polling shape: each
+    * micro-batch reads the key range that appeared since the last one).
+    * None ⇒ the table is batch-only. */
+  def latestKey(config: PluginConfig): Option[Long] = None
+
   /** Closed-form PARTIAL aggregate for one split, if the plugin can answer
     * without enumerating rows (the API-count-endpoint shape). Called only
     * when every pushed qual is exactlyHandled (no residual re-check to

@@ -259,6 +259,23 @@ object Streams {
              |  FROM t)
              |SELECT doc_id, n_toks, quality FROM m WHERE quality >= 0.5""".stripMargin)),
 
+    // 55g. streaming CONNECTOR source: the plugin table itself as a
+    // Structured Streaming input (API polling as a first-class stream —
+    // beyond the batch-only reference). The offset is a key-space
+    // position; micro-batches ride the same split/pushdown machinery as
+    // batch reads. Aggregated in complete mode so the finite poll matches
+    // the batch oracle exactly.
+    GraftQuery("st_connector_stream", (s, d) => {
+      val stream = s.readStream.format("graft")
+        .option("plugin", "seq").option("table", "numbers").load()
+        .groupBy((col("id") % 10).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"))
+      runToTable(s, stream, OutputMode.Complete())
+    },
+      Some("""SELECT i % 10 AS m, COUNT(*) AS n,
+             |  CAST(SUM((i * 7) % 97) AS BIGINT) AS sum_x
+             |FROM range(0, 10000) t(i) GROUP BY 1""".stripMargin)),
+
     GraftQuery("st_interval_join", (s, d) => {
       val p = eventsStream(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),

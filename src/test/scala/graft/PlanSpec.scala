@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "sampling must not shuffle\n" + p)
   }
 
+  test("simpson_stats stays inside whole-stage codegen (no fallback)") {
+    val df = SparkEntry.queries("ta_diversity")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("simpson_stats")).getOrElse("")
+    assert(line.contains("*("),
+      s"simpson_stats must be in a codegen stage, got: $line\n$p")
+  }
+
   test("dot_product stays inside whole-stage codegen (no fallback)") {
     val df = SparkEntry.queries("ann_topk")(spark, sf)
     df.queryExecution.toRdd.count() // finalize the adaptive plan
