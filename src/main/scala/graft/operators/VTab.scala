@@ -159,6 +159,31 @@ object VTab {
       Some("""SELECT COUNT(*) AS n, MIN(i) AS min_id, MAX(i) AS max_id
              |FROM range(1000, 9000) t(i)""".stripMargin)),
 
+    // 33f. TopN pushdown (DSv2 SupportsPushDownTopN, FULL push): ORDER BY
+    // on an ordered key column + LIMIT becomes one sorted page fetch —
+    // the `?sort=key&per_page=n` API shape. Spark removes its own
+    // Sort+Limit entirely (spec asserts one split + no Sort in the plan);
+    // a cloud-API "latest 7 events" costs one page, not a full pagination
+    // feeding a cluster-wide sort.
+    GraftQuery("vt_topn_pushdown",
+      (s, d) => numbers(s).filter(col("id") < 5000L)
+        .select("id", "x", "s").orderBy(col("id").desc).limit(7),
+      Some("""SELECT i AS id, (i * 7) % 97 AS x, 'row_' || i AS s
+             |FROM range(4993, 5000) t(i)""".stripMargin)),
+
+    // 33g. OFFSET pushdown (DSv2 SupportsPushDownOffset): LIMIT n OFFSET m
+    // rides the accepted TopN as a page start — `?page=m/n&per_page=n`
+    // answered at the source, zero rows skipped Spark-side.
+    GraftQuery("vt_offset_pushdown", (s, d) => {
+      GraftConfigure.ensureCatalog(s)
+      s.sql("""SELECT id, ts, x FROM graft.seq.numbers
+              |ORDER BY ts LIMIT 50 OFFSET 1200""".stripMargin)
+    },
+      Some("""SELECT i AS id,
+             |  TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 minute' AS ts,
+             |  (i * 7) % 97 AS x
+             |FROM range(1200, 1250) t(i)""".stripMargin)),
+
     // 39b. dynamic schema refresh: the `dyn` plugin's schema depends on
     // connection config; after configure, `graft.dyn.wide` resolves the
     // NEW column set (reference configure_fn.go:104-125 drops/recreates

@@ -33,7 +33,7 @@ object WideTable extends ApiTable {
       q.value.isInstanceOf[Long]
 
   override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] =
-    Some(splits(qc, config).map { case RangeSplit(lo, hi) => hi - lo }.sum)
+    Some(splits(qc, config).map { case RangeSplit(lo, hi, _) => hi - lo }.sum)
 
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     var lo = 0L
@@ -56,7 +56,7 @@ object WideTable extends ApiTable {
   }
 
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
-    val RangeSplit(lo, hi) = split: @unchecked
+    val RangeSplit(lo, hi, _) = split: @unchecked
     val names = cols(config)
     Iterator.range(lo, hi).map { i =>
       qc.columns.map {

@@ -76,11 +76,14 @@ case class GraftTable(pluginAlias: String, table: ApiTable, config: PluginConfig
 class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfig)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schemaFor(config)
   private var limit: Option[Long] = None
+  private var topN: Option[(SortKey, Int)] = None
+  private var pushedOffset: Int = 0
   private var pushedAggs: Option[Seq[AggSpec]] = None
 
   /** sources.Filter → Qual, for the operators the reference plugin
@@ -132,7 +135,49 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
   override def pushLimit(l: Int): Boolean = { limit = Some(l.toLong); true }
-  override def isPartiallyPushed: Boolean = true // Spark keeps its own LIMIT
+  // One method serves BOTH SupportsPushDownLimit and SupportsPushDownTopN:
+  // plain LIMIT stays partial (Spark re-applies it — splits each cut at
+  // `limit` but several splits may run); an accepted TopN is answered
+  // FULLY (one ordered page split), so Spark removes its Sort+Limit.
+  override def isPartiallyPushed: Boolean = topN.isEmpty
+
+  /** DSv2 TopN pushdown: `ORDER BY <key> [DESC] LIMIT n` becomes one
+    * sorted page fetch when the plugin's key space is ordered (the
+    * `?sort=key&per_page=n` API shape) — no pagination, no cluster sort.
+    * Only taken when the table promises the full contract
+    * (supportsOrderedPage), since Spark deletes its own Sort on a full
+    * push. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (orders.length != 1) return false
+    val o = orders.head
+    val key = o.expression() match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+          if n.fieldNames.length == 1 =>
+        Some(SortKey(n.fieldNames.head, o.direction() == SortDirection.DESCENDING))
+      case _ => None
+    }
+    key match {
+      case Some(k) =>
+        val quals = pushed.flatMap(toQual).toSeq
+        val probe = QueryContext(requiredSchema.fieldNames.toSeq, quals,
+          Some(l.toLong), Seq(k), 0L)
+        if (quals.forall(table.exactlyHandled) &&
+            table.supportsOrderedPage(probe, config)) {
+          topN = Some((k, l)); true
+        } else false
+      case None => false
+    }
+  }
+
+  /** OFFSET rides the accepted TopN (Spark pushes `LIMIT n OFFSET m` as
+    * TopN(n+m) then offset m): the page starts m rows into the ordered
+    * stream — `?page=` pagination answered at the source. */
+  override def pushOffset(o: Int): Boolean = topN match {
+    case Some(_) => pushedOffset = o; true
+    case None => false
+  }
 
   /** DSv2 aggregate pushdown (PARTIAL mode): a plugin that can answer
     * COUNT/MIN/MAX in closed form (the API count endpoint) returns one
@@ -182,8 +227,16 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
     // Only push LIMIT to the source when it cannot change results: with
     // residual quals the source's early cut could starve Spark's re-check.
     // (Spark only calls pushLimit in that shape anyway; this is defensive.)
-    val qc = QueryContext(requiredSchema.fieldNames.toSeq, quals,
-      limit.filter(_ => quals.forall(table.exactlyHandled)))
+    val qc = topN match {
+      case Some((key, l)) =>
+        // Spark pushed TopN(limit+offset) then offset: the page to emit is
+        // positions [offset, limit) of the ordered stream → limit field
+        // carries the page SIZE, offset the page start.
+        QueryContext(requiredSchema.fieldNames.toSeq, quals,
+          Some(math.max(0L, l.toLong - pushedOffset)), Seq(key), pushedOffset.toLong)
+      case None => QueryContext(requiredSchema.fieldNames.toSeq, quals,
+        limit.filter(_ => quals.forall(table.exactlyHandled)))
+    }
     // Required-key enforcement (reference table.go:180-215; it responds
     // with a max-cost plan so the plugin errors richly — we fail fast).
     val missing = table.keyColumns.filter(_.required)
@@ -290,6 +343,8 @@ case class GraftScan(pluginAlias: String, table: ApiTable, config: PluginConfig,
   override def description(): String =
     s"GraftScan($pluginAlias.${table.name}, quals=[${qc.quals.mkString(", ")}], " +
       s"limit=${qc.limit.getOrElse(-1L)}, columns=[${qc.columns.mkString(",")}]" +
+      (if (qc.orderBy.nonEmpty)
+        s", orderBy=[${qc.orderBy.mkString(",")}], offset=${qc.offset}" else "") +
       pushedAggs.fold("")(a => s", aggs=[${a.mkString(",")}]") + ")"
 
   /** Qual-narrowed size estimate → Catalyst join planning: a key-narrowed

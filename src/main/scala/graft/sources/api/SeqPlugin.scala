@@ -16,7 +16,8 @@ object SeqPlugin extends Plugin {
   override def tables: Seq[ApiTable] = Seq(NumbersTable, KvTable)
 }
 
-final case class RangeSplit(start: Long, end: Long) extends ApiSplit
+final case class RangeSplit(start: Long, end: Long, desc: Boolean = false)
+    extends ApiSplit
 
 object NumbersTable extends ApiTable {
   override def name: String = "numbers"
@@ -69,7 +70,21 @@ object NumbersTable extends ApiTable {
     * emit one probe split per IN value. */
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] = {
     val (lo, hi, inIds) = narrowed(qc, config)
-    inIds match {
+    if (qc.orderBy.nonEmpty) {
+      // accepted ordered page (supportsOrderedPage): both sortable columns
+      // (id, ts) are monotone in the key, so ORDER BY + OFFSET + LIMIT is
+      // a closed-form key slice — ONE split, already in order
+      val desc = qc.orderBy.head.descending
+      val (lo2, hi2) =
+        if (desc) {
+          val h = hi - qc.offset
+          (qc.limit.fold(lo)(l => math.max(lo, h - l)), math.max(lo, h))
+        } else {
+          val l2 = lo + qc.offset
+          (math.min(l2, hi), qc.limit.fold(hi)(l => math.min(hi, l2 + l)))
+        }
+      if (lo2 >= hi2) Seq.empty else Seq(RangeSplit(lo2, hi2, desc))
+    } else inIds match {
       case Some(ids) =>
         ids.filter(v => v >= lo && v < hi).distinct.sorted
           .map(v => RangeSplit(v, v + 1))
@@ -78,6 +93,15 @@ object NumbersTable extends ApiTable {
           .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
     }
   }
+
+  /** ORDER BY id|ts [DESC] LIMIT/OFFSET is answerable in closed form: both
+    * columns are strictly monotone in the key, every supported qual is
+    * exact key narrowing, and the page is one contiguous slice. IN probes
+    * are excluded (they fan into per-value splits, breaking the one-split
+    * ordering contract). */
+  override def supportsOrderedPage(qc: QueryContext, config: PluginConfig): Boolean =
+    qc.orderBy.length == 1 && Seq("id", "ts").contains(qc.orderBy.head.field) &&
+      qc.quals.forall(exactlyHandled) && !qc.quals.exists(_.op == "in")
 
   private def narrowed(qc: QueryContext, config: PluginConfig): (Long, Long, Option[Seq[Long]]) = {
     var lo = 0L
@@ -129,7 +153,7 @@ object NumbersTable extends ApiTable {
     * exact minute grid, so COUNT/MIN/MAX need no row enumeration at all. */
   override def aggregateSplit(split: ApiSplit, qc: QueryContext,
       config: PluginConfig, aggs: Seq[AggSpec]): Option[Array[Any]] = {
-    val RangeSplit(lo, hi) = split: @unchecked
+    val RangeSplit(lo, hi, _) = split: @unchecked
     val vals = aggs.map {
       case AggSpec("count_star", _) => Some(hi - lo)
       case AggSpec("min", Some("id")) => Some(lo)
@@ -143,10 +167,10 @@ object NumbersTable extends ApiTable {
   }
 
   override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
-    val RangeSplit(lo, hi) = split: @unchecked
+    val RangeSplit(lo, hi, desc) = split: @unchecked
     val residual = qc.quals.filterNot(_.field == "id") // id handled by range
     val limit = qc.limit.getOrElse(Long.MaxValue)
-    Iterator.range(lo, hi)
+    (if (desc) Iterator.range(hi - 1, lo - 1, -1L) else Iterator.range(lo, hi))
       .map(row)
       .filter(r => residual.forall(q => satisfies(r, q)))
       .take(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)

@@ -27,11 +27,21 @@ import org.apache.spark.sql.types.StructType
   * parses TIMESTAMP/DATETIME qual strings the same way). */
 final case class Qual(field: String, op: String, value: Any) extends Serializable
 
-/** The scan contract handed to a plugin table (reference table.go:28-33). */
+/** One pushed ORDER BY key (DSv2 TopN pushdown — beyond the reference,
+  * whose vtables always enumerate in rowid order). */
+final case class SortKey(field: String, descending: Boolean) extends Serializable
+
+/** The scan contract handed to a plugin table (reference table.go:28-33).
+  * `orderBy`/`offset` are set only when the plugin accepted a TopN/OFFSET
+  * pushdown (supportsOrderedPage): splits() must then cover exactly the
+  * rows at positions [offset, offset+limit) of the ordered stream, in
+  * order — the API pagination shape `?sort=key&page=..&per_page=..`. */
 final case class QueryContext(
     columns: Seq[String],
     quals: Seq[Qual],
-    limit: Option[Long]) extends Serializable
+    limit: Option[Long],
+    orderBy: Seq[SortKey] = Nil,
+    offset: Long = 0L) extends Serializable
 
 /** Key-column declaration (reference: plugin.KeyColumn — required key
   * columns MUST appear as quals or the scan is rejected, table.go:180-215). */
@@ -77,6 +87,14 @@ trait ApiTable extends Serializable {
     * scan stops Spark from pushing the limit). All other quals stay
     * belt-and-braces like the reference's Omit=false (table.go:127). */
   def exactlyHandled(q: Qual): Boolean = false
+
+  /** True iff this table can answer `qc` — including its orderBy, offset
+    * and limit — in closed form as ONE ordered split (the sorted-pagination
+    * API shape). Spark then removes its own Sort/Limit/Offset entirely: a
+    * `ORDER BY key LIMIT k OFFSET o` over a cloud API becomes one page
+    * fetch instead of a full pagination + cluster-wide sort. Tables that
+    * return true must make splits()/scan() honor the contract exactly. */
+  def supportsOrderedPage(qc: QueryContext, config: PluginConfig): Boolean = false
 
   /** Upper bound (exclusive) of the key space currently available, if the
     * table supports ordered-key streaming (the API-polling shape: each

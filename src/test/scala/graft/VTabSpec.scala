@@ -55,6 +55,39 @@ class VTabSpec extends SparkSpec {
     }
   }
 
+  test("TopN+OFFSET fully pushed: one ordered page split, Sort/Limit removed") {
+    noCache {
+      ScanLedger.reset()
+      val df = numbers.filter(col("id") < 5000L).select("id")
+        .orderBy(col("id").desc).offset(1200).limit(7)
+      val ids = df.collect().map(_.getLong(0)).toSeq
+      assert(ids == (3793L to 3799L).reverse, s"got $ids")
+      assert(ScanLedger.lastSplitCount == 1, "ordered page must be ONE split")
+      val qc = ScanLedger.lastQc.get
+      assert(qc.orderBy == Seq(SortKey("id", descending = true)))
+      assert(qc.offset == 1200L && qc.limit.contains(7L))
+      val plan = df.queryExecution.executedPlan.toString
+      // physical sort operators print as "Sort [" / "TakeOrderedAndProject"
+      // (bare "Sort" would also match SortKey in the scan description)
+      assert(!plan.contains("Sort [") && !plan.contains("TakeOrdered"),
+        "source answers the TopN fully; Spark must not re-sort\n" + plan)
+    }
+  }
+
+  test("TopN on a non-key column is NOT pushed; Spark sorts") {
+    noCache {
+      ScanLedger.reset()
+      val df = numbers.filter(col("id") < 100L).select("id", "x")
+        .orderBy(col("x").asc, col("id").asc).limit(5)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.map(_._2) == rows.map(_._2).sorted)
+      assert(ScanLedger.lastQc.get.orderBy.isEmpty, "x is not an ordered key")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrdered") || plan.contains("Sort"),
+        "Spark must keep its own sort\n" + plan)
+    }
+  }
+
   test("required key column enforced (reference table.go:180-215)") {
     val kv = spark.read.format("graft").option("plugin", "seq").option("table", "kv").load()
     val e = intercept[Exception] { kv.count() }
