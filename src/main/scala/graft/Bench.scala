@@ -45,9 +45,32 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Full per-query timings to a file (the stdout capture downstream keeps
+    // only a bounded tail, which a 117-entry map overflows).
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // ONE compact JSON line on stdout: total over ALL queries plus the
+    // headline subset, sized to survive a ~2000-char tail capture.
+    val headline = Set(
+      "dd_cluster", "dd_decontaminate", "dd_embed_cosine", "dd_exact",
+      "dd_minhash_lsh", "dd_ngram_jaccard", "dd_pipeline", "dd_simhash",
+      "dd_source_overlap", "ann_ivf", "ann_lsh", "ann_topk",
+      "mm_decode", "mm_frame_sample", "mm_pool",
+      "q_agg_basic", "q_agg_stats", "q_join_inner", "q_join_star",
+      "q_bucketed_join", "q_string_funcs", "q_subquery_in",
+      "q_subquery_scalar", "q_lateral", "q_window_running", "q_percentile",
+      "q_cte_recursive", "q_sessionize", "q_topk_per_group", "q_sink_csv",
+      "st_interval_join", "st_sessionize", "st_window_agg", "st_dedup",
+      "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_diversity",
+      "vt_scan", "vt_runtime_filter")
+    val qs = jsonMap(results.filter(r => headline(r._1)))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
