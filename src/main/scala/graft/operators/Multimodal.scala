@@ -31,6 +31,8 @@ object Multimodal {
       f4: Double, f5: Double, f6: Double, f7: Double)
   final case class FrameRow(doc_id: Long, frame_idx: Long, frame_bytes: Long,
       frame_sum: Long)
+  final case class PhashRow(doc_id: Long, phash: Long,
+      b3: Long, b2: Long, b1: Long, b0: Long)
 
   /** STUB decoder: 8-dim "embedding" from exact byte-bucket sums —
     * f_k = (Σ bytes at positions ≡ k mod 8) / (255 · n), one double
@@ -47,6 +49,34 @@ object Multimodal {
     }
     f
   }
+
+  /** STUB perceptual hash (the DCT-pHash analog over an opaque payload):
+    * 64 equal byte blocks, bit j = 1 iff block j's mean byte value exceeds
+    * the payload mean. Exact integer cross-multiplication (blockSum · n vs
+    * totalSum · blockLen) instead of float means, so the oracle rebuilds
+    * every bit. MSB-first assembly matches the SimHash fingerprint
+    * convention; Long wrap-around equals the oracle's HUGEINT → signed-64
+    * conversion. */
+  private def phashStub(payload: Array[Byte]): PhashRow0 = {
+    val n = payload.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (payload(i) & 0xff); i += 1 }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      val lo = j * n / 64
+      val hi = (j + 1) * n / 64
+      var bs = 0L
+      var k = lo
+      while (k < hi) { bs += (payload(k) & 0xff); k += 1 }
+      val bit = if (hi > lo && bs * n > total * (hi - lo)) 1L else 0L
+      fp = (fp << 1) | bit
+      j += 1
+    }
+    PhashRow0(fp)
+  }
+  private final case class PhashRow0(fp: Long)
 
   private def media(s: SparkSession, d: String) = {
     import s.implicits._
@@ -169,6 +199,100 @@ object Multimodal {
              |SELECT source, CAST(FLOOR(prior / 4096) AS BIGINT) AS shard_id,
              |  COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
              |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // 52f. media near-dup: perceptual-hash fingerprints (64-bit block-mean
+    // stub, exact integer compares) + 4×16-bit hamming bands — the image
+    // dedup shape: fingerprint per payload, band equijoin for candidates
+    // (pigeonhole: any pair within hamming 3 shares an intact band; the
+    // oracle mirrors the banding so recall is part of the contract), exact
+    // popcount(xor) verify ≤ 8. Never all-pairs: candidates are
+    // bucket-bounded exactly like SimHash/MinHash text dedup.
+    //
+    // Ground truth: every 7th payload also appears as a deterministic
+    // "re-encode" variant (+1 on every 11th byte, length-preserving — the
+    // aligned value-perturbation a lossy re-compress produces; id offset
+    // 1e6). pHash is an ALIGNED-media matcher — byte-stream text with
+    // insertions is exactly what it must NOT match (that's MinHash's job) —
+    // so the planted pairs land at hamming ≤ 4 while the text near-dup
+    // background sits at ≥ 14 (measured p01 = 20), and the verify
+    // threshold 8 splits them with margin on both sides.
+    GraftQuery("mm_phash", (s, d) => {
+      import s.implicits._
+      val ph = media(s, d).mapPartitions { batch =>
+        batch.flatMap { m =>
+          def row(id: Long, payload: Array[Byte]): PhashRow = {
+            val f = phashStub(payload).fp
+            PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
+              (f >>> 16) & 0xffff, f & 0xffff)
+          }
+          if (m.doc_id % 7 == 0) {
+            val variant = new Array[Byte](m.payload.length)
+            var i = 0
+            while (i < m.payload.length) {
+              val b = m.payload(i) & 0xff
+              variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
+              i += 1
+            }
+            Iterator(row(m.doc_id, m.payload), row(m.doc_id + 1000000L, variant))
+          } else Iterator(row(m.doc_id, m.payload))
+        }
+      }.toDF()
+      val banded = ph.select(col("doc_id"), posexplode(
+        array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
+      val cand = banded.toDF("ia", "band", "bk")
+        .join(banded.toDF("ib", "band", "bk"), Seq("band", "bk"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      cand.join(ph.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
+        .join(ph.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
+        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select("ia", "ib", "hamming")
+    },
+      Some("""WITH raw AS (SELECT doc_id, strlen(text) AS n,
+             |    list_transform(range(1, strlen(text) + 1),
+             |      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS bytes
+             |  FROM documents),
+             |am AS (SELECT doc_id, n, bytes FROM raw
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, n,
+             |    list_transform(range(1, n + 1),
+             |      i -> bytes[CAST(i AS INTEGER)] + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END)
+             |  FROM raw WHERE doc_id % 7 = 0),
+             |m AS (SELECT doc_id, n, bytes, COALESCE(list_sum(bytes), 0) AS total FROM am),
+             |bitv AS (SELECT doc_id, j,
+             |    CASE WHEN ((j + 1) * n) // 64 > (j * n) // 64 AND
+             |      COALESCE(list_sum(list_slice(bytes,
+             |        CAST((j * n) // 64 + 1 AS BIGINT),
+             |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * n
+             |      > total * (((j + 1) * n) // 64 - (j * n) // 64)
+             |    THEN 1 ELSE 0 END AS bit
+             |  FROM m, range(0, 64) r(j)),
+             |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
+             |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+             |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
+             |  FROM bl),
+             |ph AS (SELECT doc_id,
+             |    CAST(CASE WHEN ufp >= 9223372036854775808
+             |      THEN ufp - 18446744073709551616 ELSE ufp END AS BIGINT) AS phash,
+             |    CAST((ufp // 281474976710656) % 65536 AS BIGINT) AS b3,
+             |    CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
+             |    CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
+             |    CAST(ufp % 65536 AS BIGINT) AS b0
+             |  FROM fp),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, b0 AS bk FROM ph UNION ALL
+             |  SELECT doc_id, 1, b1 FROM ph UNION ALL
+             |  SELECT doc_id, 2, b2 FROM ph UNION ALL
+             |  SELECT doc_id, 3, b3 FROM ph),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM bands a JOIN bands b
+             |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT ia, ib, CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+             |FROM cand
+             |JOIN ph pa ON pa.doc_id = cand.ia
+             |JOIN ph pb ON pb.doc_id = cand.ib
+             |WHERE bit_count(xor(pa.phash, pb.phash)) <= 8""".stripMargin)),
 
     // 52c. fixed-rate downsampling (the resize/pooling shape): the payload
     // is average-pooled over non-overlapping 16-byte windows — exact
