@@ -116,6 +116,45 @@ object TextOps2 {
              |    AS simpson_tok
              |FROM c""".stripMargin)),
 
+    // corpus-level line dedup (C4/RefinedWeb boilerplate removal): drop any
+    // "line" occurring in >= 3 distinct docs, keep the rest in order. The
+    // synthetic docs are single-line, so fixed 4-word segments stand in for
+    // lines (same plan shape: explode → global frequency → re-join →
+    // ordered reassembly). Scale: two shuffles — segment-frequency agg
+    // (map-side combined) and the per-doc regroup; the frequency join is
+    // on the exploded segment key, never all-pairs, and reassembly sorts
+    // WITHIN each doc's collected list, not globally.
+    GraftQuery("ta_line_dedup", (s, d) => {
+      val segs = Tables.widened(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, CAST((size(toks) - 1) / 4 AS INT)), " +
+            "j -> array_join(slice(toks, 4 * j + 1, 4), ' '))"))
+          .as(Seq("pos", "seg")))
+      val freq = segs.groupBy("seg").agg(countDistinct("doc_id").as("nd"))
+      segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(IF(nd < 3, struct(pos, seg), NULL))), x -> x.seg)"),
+            " ").as("clean_text"),
+          sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_removed"))
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |seg AS (SELECT doc_id, j AS pos,
+             |    array_to_string(list_slice(toks,
+             |      CAST(4 * j + 1 AS BIGINT), CAST(4 * j + 4 AS BIGINT)), ' ') AS seg
+             |  FROM t, range(0, 500) r(j) WHERE 4 * j < len(toks)),
+             |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY seg)
+             |SELECT doc_id,
+             |  COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE nd < 3), ' '),
+             |    '') AS clean_text,
+             |  CAST(COUNT(*) FILTER (WHERE nd >= 3) AS BIGINT) AS n_removed
+             |FROM seg JOIN freq USING (seg)
+             |GROUP BY doc_id""".stripMargin)),
+
     // PII scrub: email / IPv4 / long-digit-run redaction — the compliance
     // gate every corpus passes before training. The synthetic corpus
     // carries no PII, so each doc gets a deterministic planted suffix
