@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++
       operators.TextOps.defs ++ operators.TextOps2.defs ++
-      operators.Similarity.defs ++ operators.VTab.defs ++
+      operators.Similarity.defs ++ operators.Similarity2.defs ++
+      operators.VTab.defs ++
       operators.Multimodal.defs ++ operators.Sinks.defs ++
       streaming.Streams.defs
 
