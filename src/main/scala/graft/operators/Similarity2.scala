@@ -75,6 +75,112 @@ object Similarity2 {
              |v AS (SELECT nid, oid, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
              |  FROM pre JOIN d da ON da.doc_id = pre.nid
              |  JOIN d db ON db.doc_id = pre.oid)
-             |SELECT nid, oid, jacc FROM v WHERE jacc >= 0.7""".stripMargin))
+             |SELECT nid, oid, jacc FROM v WHERE jacc >= 0.7""".stripMargin)),
+
+    // 46c. product-quantization ANN: 8 subspaces × 8 dims, deterministic
+    // codebook (every 50th vector's subvectors), 8-bit codes per vector,
+    // asymmetric-distance search (query × codebook table, codes looked up,
+    // never full vectors), exact cosine re-rank of the approximate top-50 (10×k — the usual production re-rank depth).
+    // Scale: the code table is ~8 B/vector vs 512 B of floats (64×
+    // smaller scan), the codebook broadcasts, and real vectors are only
+    // read for the ~50 re-rank candidates per query. Float determinism:
+    // every distance is an in-expression left fold (subspace-major, then
+    // dim-major) — no cross-row float SUM whose order could differ between
+    // engines — so the oracle reproduces assignment, ADC ranking and
+    // re-rank bit-exactly.
+    GraftQuery("ann_pq", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      F.register(s)
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      // codebook: subvector m of every 50th vector; flat cb[m*K + crank]
+      val subs = base.filter(col("vec_id") % 50 === 0)
+        .select(expr("CAST(vec_id DIV 50 AS INT)").as("crank"), col("v"))
+        .select(col("crank"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m AS m, slice(v, 8 * m + 1, 8) AS sub))"))
+          .as("ms"))
+        .select(col("ms.m").as("m"), col("crank"), col("ms.sub").as("sub"))
+      val cbDF = subs.agg(expr(
+        "transform(array_sort(collect_list(struct(m, crank, sub))), x -> x.sub)").as("cb"))
+      // encode: nearest codeword per (vector, subspace); window argmin with
+      // (dist, crank) tie-break, codes packed m-ordered
+      val wAsgn = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist").asc, col("crank").asc)
+      val codes = base.crossJoin(broadcast(subs))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(slice(v, 8 * m + 1, 8), sub, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS DOUBLE), (s, x) -> s + x)"))
+        .withColumn("rn", row_number().over(wAsgn))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, crank))), x -> x.crank)")
+          .as("codes"))
+        .join(base, "vec_id")
+        .select(col("vec_id").as("n_id"), col("codes"), col("v"), col("n2"))
+      // search: ADC over codes (one in-expression fold per candidate), then
+      // exact re-rank of the approximate top-50
+      val qs = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      broadcast(qs.crossJoin(cbDF))
+        .join(codes, col("n_id") =!= col("q_id"))
+        .withColumn("adist", expr(
+          "aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (s, m) -> s + " +
+            "aggregate(zip_with(slice(qv, 8 * m + 1, 8), " +
+            "element_at(cb, m * CAST(size(cb) DIV 8 AS INT) + element_at(codes, m + 1) + 1), " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s2, x) -> s2 + x))"))
+        .withColumn("ra", row_number().over(wA))
+        .filter(col("ra") <= 50)
+        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "n_id", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+             |      (s, x) -> s + x) AS n2 FROM e),
+             |sub AS (SELECT m, CAST(vec_id // 50 AS INTEGER) AS crank,
+             |    list_slice(v, 8 * m + 1, 8 * m + 8) AS sub
+             |  FROM e, range(0, 8) r(m) WHERE vec_id % 50 = 0),
+             |cb AS (SELECT list(sub ORDER BY m, crank) AS cb,
+             |    CAST(COUNT(*) // 8 AS INTEGER) AS k FROM sub),
+             |dists AS (SELECT n.vec_id, s.m, s.crank,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+             |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
+             |         * (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)]))),
+             |      (acc, x) -> acc + x) AS dist
+             |  FROM n CROSS JOIN sub s),
+             |asgn AS (SELECT vec_id, m, crank,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, crank) AS rn
+             |  FROM dists),
+             |codes AS (SELECT a.vec_id AS n_id, list(a.crank ORDER BY a.m) AS codes
+             |  FROM asgn a WHERE a.rn = 1 GROUP BY a.vec_id),
+             |ct AS (SELECT c.n_id, c.codes, n.v, n.n2 FROM codes c JOIN n ON n.vec_id = c.n_id),
+             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
+             |adc AS (SELECT q.q_id, q.qv, q.qn, ct.n_id, ct.v, ct.n2,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
+             |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+             |        i -> (q.qv[CAST(8 * m + i AS INTEGER)]
+             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)])
+             |           * (q.qv[CAST(8 * m + i AS INTEGER)]
+             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)]))),
+             |        (s2, x) -> s2 + x))), (acc, x) -> acc + x) AS adist
+             |  FROM q CROSS JOIN cb JOIN ct ON ct.n_id <> q.q_id),
+             |top AS (SELECT q_id, qv, qn, n_id, v, n2,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS ra
+             |  FROM adc),
+             |rr AS (SELECT q_id, n_id,
+             |    list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]),
+             |      (s, x) -> s + x) / (sqrt(qn) * sqrt(n2)) AS cos
+             |  FROM top WHERE ra <= 50),
+             |fin AS (SELECT q_id, n_id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+             |  FROM rr)
+             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin))
   )
 }
