@@ -140,3 +140,122 @@ case class KmvSketchAgg(
   override protected def withNewChildInternal(c: Expression): KmvSketchAgg =
     copy(child = c)
 }
+
+/** Space-Saving heavy-hitters sketch (Metwally et al. 2005) over a string
+  * column: at most `capacity` monitored items per group; on overflow the
+  * minimum-count item is evicted and the newcomer inherits its count as
+  * error bound. Guarantees: any item with true count > n/capacity is
+  * retained, and reported count overestimates by at most its `err`.
+  * Merge is the summary union of Agarwal et al. 2012 ("Mergeable
+  * Summaries"): add counts/errors pointwise, re-truncate to capacity —
+  * the map-side-combinable shape heavy hitters need at 100 TB (shuffle is
+  * `capacity` entries per group, not the corpus).
+  *
+  * Determinism contract: when distinct(group) ≤ capacity no eviction ever
+  * fires, counts are exact and err = 0 regardless of partitioning/merge
+  * order — the oracle-checked regime. Above capacity the top set is still
+  * guaranteed but per-item err depends on arrival order (spec-tested
+  * bound, not oracle-checked). */
+case class TopKFreqAgg(
+    child: Expression,
+    capacity: Int = 256,
+    k: Int = 20,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+    with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "approx_topk"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  /** Add `cnt` observations of `tok` (err `e`), evicting min if over cap. */
+  private def add(buf: java.util.HashMap[String, Array[Long]],
+      tok: String, cnt: Long, e: Long): Unit = {
+    val cur = buf.get(tok)
+    if (cur != null) { cur(0) += cnt; cur(1) += e }
+    else if (buf.size < capacity) buf.put(tok, Array(cnt, e))
+    else {
+      // evict the (min count, max token) entry — the deterministic choice
+      var minTok: String = null
+      var minCnt = Long.MaxValue
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        val c = en.getValue()(0)
+        if (c < minCnt || (c == minCnt && (minTok == null || en.getKey > minTok))) {
+          minCnt = c; minTok = en.getKey
+        }
+      }
+      buf.remove(minTok)
+      buf.put(tok, Array(minCnt + cnt, minCnt + e))
+    }
+  }
+
+  override def update(buf: java.util.HashMap[String, Array[Long]],
+      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Array[Long]],
+      b: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      add(a, en.getKey, en.getValue()(0), en.getValue()(1))
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val entries = new Array[(String, Long, Long)](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val en = it.next()
+      entries(i) = (en.getKey, en.getValue()(0), en.getValue()(1))
+      i += 1
+    }
+    val top = entries.sortBy { case (t, c, _) => (-c, t) }.take(k)
+    new GenericArrayData(top.map { case (t, c, e) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), c, e)
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      out.writeUTF(en.getKey)
+      out.writeLong(en.getValue()(0))
+      out.writeLong(en.getValue()(1))
+    }
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < n) { m.put(in.readUTF(), Array(in.readLong(), in.readLong())); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKFreqAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKFreqAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TopKFreqAgg =
+    copy(child = c)
+}

@@ -398,7 +398,9 @@ object F {
     ("minhash_union", (es: Seq[Expression]) =>
       MinHashUnionAgg(es.head).toAggregateExpression()),
     ("kmv_sketch", (es: Seq[Expression]) =>
-      KmvSketchAgg(es.head).toAggregateExpression()))
+      KmvSketchAgg(es.head).toAggregateExpression()),
+    ("approx_topk", (es: Seq[Expression]) =>
+      TopKFreqAgg(es.head).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -113,6 +113,38 @@ object Relational3 {
              |  COALESCE(u.u_status, o.o_orderstatus) AS status,
              |  COALESCE(u.u_price, CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
              |    AS price
-             |FROM orders o FULL OUTER JOIN u ON u.u_key = o.o_orderkey""".stripMargin))
+             |FROM orders o FULL OUTER JOIN u ON u.u_key = o.o_orderkey""".stripMargin)),
+
+    // approximate heavy hitters: Space-Saving sketch aggregate (native
+    // TypedImperativeAggregate, graft.functions.TopKFreqAgg) — top tokens
+    // per source with error bounds. The shuffle carries ≤ capacity entries
+    // per group (map-side partial merge), never the token stream — the
+    // 100 TB shape for "most common domains/tokens/urls". On this corpus
+    // vocab ≤ capacity, so counts are exact, err = 0, and the oracle
+    // checks the sketch answer against exact SQL counts; the
+    // over-capacity bound (cnt - err ≤ true ≤ cnt, err ≤ n/capacity) is
+    // spec-tested.
+    GraftQuery("q_approx_topk", (s, d) => {
+      graft.functions.F.register(s)
+      Tables.widened(s, d, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        .groupBy("source")
+        .agg(expr("approx_topk(token)").as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("t.token").as("token"), col("t.cnt").as("cnt"), col("t.err").as("err"))
+    },
+      Some("""WITH tok AS (SELECT source,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+             |  FROM documents),
+             |cnt AS (SELECT source, token, COUNT(*) AS cnt
+             |  FROM tok GROUP BY source, token),
+             |r AS (SELECT source, token, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rk
+             |  FROM cnt)
+             |SELECT source, CAST(rk AS BIGINT) AS rk, token, cnt,
+             |  CAST(0 AS BIGINT) AS err
+             |FROM r WHERE rk <= 20""".stripMargin))
   )
 }

@@ -132,4 +132,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("space-saving sketch: heavy hitters survive over-capacity with bounded error") {
+    assert(registered)
+    // 4000 rows, zipf-ish: token_0 × 2000, token_1 × 1000, 1000 singletons;
+    // capacity 16 << 1002 distinct
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("approx_topk_c16"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", "approx_topk_c16"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.TopKFreqAgg(es.head, capacity = 16, k = 5).toAggregateExpression())
+    val rows = Seq.fill(2000)("token_0") ++ Seq.fill(1000)("token_1") ++
+      (0 until 1000).map(i => s"rare_$i")
+    val df = rows.toDF("tok").repartition(8)
+    val top = df.agg(expr("approx_topk_c16(tok)").as("top"))
+      .select(explode(col("top")).as("t"))
+      .select("t.token", "t.cnt", "t.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = rows.size
+    val byTok = top.map(t => t._1 -> t).toMap
+    // any item with true count > n/capacity (= 250) must be retained
+    assert(byTok.contains("token_0") && byTok.contains("token_1"))
+    for ((tok, cnt, err) <- top) {
+      val truth = tok match {
+        case "token_0" => 2000L
+        case "token_1" => 1000L
+        case _ => 1L
+      }
+      assert(cnt >= truth, s"$tok: reported $cnt < true $truth")
+      assert(cnt - err <= truth, s"$tok: lower bound ${cnt - err} > true $truth")
+    }
+  }
 }
