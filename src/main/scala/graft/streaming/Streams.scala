@@ -87,6 +87,55 @@ object Streams {
       staged.toString
     })
 
+  /** Stage a deterministic 4-batch replay for the late-data entry:
+    * 00_ontime = even users, 01_tick = one clock-only row (Spark's late
+    * filter uses the watermark from TWO commits back — SPARK-40925 made
+    * late filtering lag eviction by one batch so chained stateful
+    * operators see consistent watermarks; the tick batch lets the on-time
+    * watermark reach the late filter before the late file arrives),
+    * 02_late = odd users (now genuinely filtered against the on-time
+    * watermark), zz_sentinel = one year-2100 event (flushes every
+    * surviving window through the normal eviction path).
+    * maxFilesPerTrigger=1 + mtime spacing make the batch boundaries, and
+    * therefore the whole watermark sequence, fully deterministic. */
+  private val lateDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageLate(s: SparkSession, d: String): String =
+    lateDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_late_src")
+      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw nanos bigint
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_late_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      // The tick and sentinel rows flow through the aggregation UNFILTERED:
+      // a pre-agg filter would be pushed below the EventTimeWatermark node
+      // into the scan, and rows filtered at the scan never reach the
+      // event-time stats — the sentinel would stop advancing the clock.
+      // Instead both rows are constructed to be harmless: the tick lands in
+      // the first window with value 0.00 at the corpus epoch (the oracle
+      // mirrors that one row), and the sentinel's year-2100 window can
+      // never be passed by the watermark, so it never emits in Append mode.
+      put(raw.filter(col("user_id") % 2 === 0), "00_ontime.parquet", 180000)
+      put(raw.limit(1)
+        .withColumn("user_id", lit(-2L)).withColumn("event_id", lit(-2L))
+        .withColumn("event_type", lit("tick")).withColumn("value", lit(0.0))
+        .withColumn("ts", lit(1704067200000000000L)), // 2024-01-01T00:00Z
+        "01_tick.parquet", 120000)
+      put(raw.filter(col("user_id") % 2 =!= 0), "02_late.parquet", 60000)
+      put(raw.limit(1)
+        .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel")).withColumn("value", lit(0.0))
+        .withColumn("ts", lit(4102444800000000000L)), "zz_sentinel.parquet", 0)
+      staged.toString
+    })
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 53. watermarked tumbling-window aggregation. Window origin is
@@ -275,6 +324,45 @@ object Streams {
       Some("""SELECT i % 10 AS m, COUNT(*) AS n,
              |  CAST(SUM((i * 7) % 97) AS BIGINT) AS sum_x
              |FROM range(0, 10000) t(i) GROUP BY 1""".stripMargin)),
+
+    // 55h. late-data handling: the watermark actually DROPS late rows and
+    // the oracle knows exactly which. Batch 1 = even users (watermark
+    // advances to max(even ts) - 1h), batch 2 = odd users (rows whose 6h
+    // window already closed under that watermark are discarded; the rest
+    // still aggregate), batch 3 = sentinel (flushes survivors). Spark
+    // tracks watermarks in WHOLE MILLISECONDS (event-time stats are
+    // ms-floored), so the oracle recomputes the same ms-floored watermark
+    // and the same window.end > watermark keep-predicate — late-row
+    // dropping, usually invisible nondeterminism, becomes a hash-checked
+    // contract. In production this IS the correctness boundary of every
+    // streaming aggregation: state for a window is freed exactly when the
+    // watermark passes it, which is what bounds state at 100 TB/day rates.
+    GraftQuery("st_late_data", (s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${stageLate(s, d)}/*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+      val agg = evs.groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n"), col("total"))
+      runToTable(s, agg, OutputMode.Append())
+    },
+      Some("""WITH wm AS (
+             |  SELECT ((epoch_us(MAX(ts)) // 1000) - 3600000) * 1000 AS wus
+             |  FROM events WHERE user_id % 2 = 0),
+             |kept AS (
+             |  SELECT e.ts, e.value FROM events e, wm
+             |  WHERE e.user_id % 2 = 0
+             |     OR epoch_us(time_bucket(INTERVAL '6 hours', e.ts)
+             |          + INTERVAL '6 hours') > wm.wus
+             |  UNION ALL
+             |  SELECT TIMESTAMP '2024-01-01 00:00:00', 0.0)
+             |SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS ws,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM kept GROUP BY 1""".stripMargin)),
 
     GraftQuery("st_interval_join", (s, d) => {
       val p = eventsStream(s, d).filter(col("event_type") === "purchase")
