@@ -195,6 +195,16 @@ object VTab {
       df
     },
       Some("""SELECT i AS id, i * 2 AS alpha, i * 3 AS beta, i * 4 AS gamma
-             |FROM range(0, 200) t(i)""".stripMargin))
+             |FROM range(0, 200) t(i)""".stripMargin)),
+
+    // 33h. transient-failure retry: every split of the `flaky` table fails
+    // its first scan attempt with a simulated rate limit; the scan layer's
+    // split-granularity retry (GraftReaderFactory, reference SDK
+    // RetryConfig analog) re-fetches and the result is still complete and
+    // bit-exact. Spec asserts the retries actually happened.
+    GraftQuery("vt_retry",
+      (s, d) => s.read.format("graft").option("plugin", "seq")
+        .option("table", "flaky").load(),
+      Some("SELECT i AS id, (i * 13) % 101 AS x FROM range(0, 10000) t(i)"))
   )
 }

@@ -425,12 +425,31 @@ case class GraftReaderFactory(pluginAlias: String, table: ApiTable,
       private val it: Iterator[Array[Any]] = {
         // pushed aggregate: one closed-form partial row per split, no
         // pagination, no cache involvement (nothing heavy to cache)
+        // Transient API failures retry at split granularity (the reference
+        // SDK's RetryConfig analog): a rate-limited page re-fetches without
+        // failing the whole Spark task. Attempt count from connection
+        // config; backoff is skipped for determinism in local runs (a
+        // production plugin sleeps inside its own scan()).
+        def withRetry(f: => Iterator[Array[Any]]): Iterator[Array[Any]] = {
+          val attempts = config.extra.get("retry_attempts").map(_.toInt).getOrElse(3)
+          var last: Throwable = null
+          var i = 0
+          while (i < attempts) {
+            try return f
+            catch { case e: TransientApiError =>
+              last = e; ScanLedger.retries.incrementAndGet()
+            }
+            i += 1
+          }
+          throw last
+        }
         def fetch = pushedAggs match {
           case Some(aggs) =>
             Iterator.single(table.aggregateSplit(p.split, p.qc, config, aggs).getOrElse(
               throw new IllegalStateException(
                 s"plugin accepted aggregate pushdown but returned no row for $aggs")))
-          case None => ScanLedger.record(p.qc); table.scan(p.split, p.qc, config)
+          case None =>
+            ScanLedger.record(p.qc); withRetry(table.scan(p.split, p.qc, config))
         }
         if (cacheEnabled && pushedAggs.isEmpty)
           // config is part of the key: two connections with identical splits

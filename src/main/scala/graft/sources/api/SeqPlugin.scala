@@ -13,7 +13,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * DOUBLE, STRING, TIMESTAMP (NTZ micros), JSON, IPADDR, CIDR, LTREE. */
 object SeqPlugin extends Plugin {
   override def name: String = "seq"
-  override def tables: Seq[ApiTable] = Seq(NumbersTable, KvTable)
+  override def tables: Seq[ApiTable] = Seq(NumbersTable, KvTable, FlakyTable)
+}
+
+/** A table whose first scan attempt of every (split, query) FAILS with a
+  * transient error — the rate-limited/5xx API every production connector
+  * meets. Proves the scan layer's split-granularity retry: results stay
+  * complete and deterministic, failures visible only in ScanLedger.retries. */
+object FlakyTable extends ApiTable {
+  override def name: String = "flaky"
+  override def schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("x", LongType, nullable = false)))
+
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] =
+    (0L until config.n by config.pageSize)
+      .map(s => RangeSplit(s, math.min(s + config.pageSize, config.n)))
+
+  override def scan(split: ApiSplit, qc: QueryContext, config: PluginConfig): Iterator[Array[Any]] = {
+    val RangeSplit(lo, hi, _) = split: @unchecked
+    val key = s"$lo-$hi/${qc.columns.mkString(",")}/${qc.quals.mkString(",")}"
+    if (attempts.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+      throw new TransientApiError(s"simulated rate limit on split [$lo, $hi)")
+    Iterator.range(lo, hi).map { i =>
+      val row = Map[String, Any]("id" -> i, "x" -> (i * 13) % 101)
+      qc.columns.map(row).toArray
+    }
+  }
 }
 
 final case class RangeSplit(start: Long, end: Long, desc: Boolean = false)

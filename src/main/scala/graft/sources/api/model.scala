@@ -227,17 +227,25 @@ object QueryCache {
   }
 }
 
+/** A transient plugin failure (rate limit, 5xx, connection reset): the
+  * scan layer retries the split instead of failing the Spark task — the
+  * reference SDK's RetryConfig/backoff analog, applied at the natural
+  * retry unit (one split = one API page stream). Anything else propagates
+  * and fails the task (which Spark then retries at task granularity). */
+class TransientApiError(msg: String) extends RuntimeException(msg)
+
 /** Test/observability ledger: records what actually reached the plugin
   * (the spec-level proof that pushdown works, not just that results match). */
 object ScanLedger {
   val scans = new AtomicLong(0)
+  val retries = new AtomicLong(0)
   @volatile var lastQc: Option[QueryContext] = None
   @volatile var lastSplitCount: Int = -1
   @volatile var lastRuntimeQuals: Seq[Qual] = Nil
   @volatile var lastPushedAggs: Seq[AggSpec] = Nil
   def record(qc: QueryContext): Unit = { scans.incrementAndGet(); lastQc = Some(qc) }
   def reset(): Unit = {
-    scans.set(0); lastQc = None; lastSplitCount = -1
+    scans.set(0); retries.set(0); lastQc = None; lastSplitCount = -1
     lastRuntimeQuals = Nil; lastPushedAggs = Nil
   }
 }

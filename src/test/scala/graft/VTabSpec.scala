@@ -136,7 +136,7 @@ class VTabSpec extends SparkSpec {
     val n = spark.sql("SELECT * FROM graft.seq.numbers WHERE id < 5").count()
     assert(n == 5)
     val tables = spark.sql("SHOW TABLES IN graft.seq").collect().map(_.getString(1)).toSet
-    assert(tables == Set("numbers", "kv", "config"))
+    assert(tables == Set("numbers", "kv", "flaky", "config"))
   }
 
   test("explain shows pushed filters and pruned schema") {
@@ -249,6 +249,17 @@ class VTabSpec extends SparkSpec {
     val p = joined.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "narrowed API scan must broadcast:\n" + p)
+  }
+
+  test("transient failures retry per split and the scan still completes") {
+    import graft.sources.api.ScanLedger
+    ScanLedger.reset()
+    val df = spark.read.format("graft").option("plugin", "seq")
+      .option("table", "flaky").load()
+    assert(df.count() === 10000L)
+    // 10000 / 2500 page size = 4 splits, each failed exactly once
+    assert(ScanLedger.retries.get() === 4L,
+      s"expected one retry per split, got ${ScanLedger.retries.get()}")
   }
 
   test("config table emits valid JSON even with quotes in values") {
