@@ -182,6 +182,70 @@ object Similarity2 {
              |fin AS (SELECT q_id, n_id, cos,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
              |  FROM rr)
-             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin))
+             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin)),
+
+    // 45c. semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space with a deterministic coarse quantizer, then dedup
+    // ONLY within clusters — pairwise work is bounded by cluster size, and
+    // pairs straddling cluster boundaries are out of contract by design
+    // (that is the SemDeDup trade: candidate generation from semantic
+    // clusters instead of labels/LSH). Assignment is the same map-only
+    // in-expression argmin as ann_pq's encoder (centroids broadcast, no
+    // shuffle); the pairwise stage shuffles once on cluster_id.
+    GraftQuery("dd_semantic", (s, d) => {
+      F.register(s)
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      val cents = base.filter(col("vec_id") % 50 === 0)
+        .select(expr("CAST(vec_id DIV 50 AS INT)").as("crank"), col("v").as("cv"))
+        .agg(expr("transform(array_sort(collect_list(struct(crank, cv))), x -> x.cv)")
+          .as("cents"))
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("cluster_id", expr(
+          "aggregate(" +
+            "transform(sequence(0, size(cents) - 1), r -> " +
+            "  struct(aggregate(zip_with(v, element_at(cents, r + 1), " +
+            "    (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x) AS d, " +
+            "  r AS r)), " +
+            "struct(CAST('Infinity' AS DOUBLE) AS d, -1 AS r), " +
+            "(acc, c) -> IF(c.d < acc.d, c, acc)).r"))
+        .select(col("vec_id"), col("cluster_id"), col("v"), col("n2"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("ia"),
+        col("v").as("va"), col("n2").as("na"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("cluster_id"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("ia"), col("ib"), col("cos"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+             |      (s, x) -> s + x) AS n2 FROM e),
+             |c AS (SELECT CAST(vec_id // 50 AS INTEGER) AS crank, v AS cv
+             |  FROM e WHERE vec_id % 50 = 0),
+             |asgn AS (SELECT vec_id, crank AS cluster_id FROM (
+             |    SELECT n.vec_id, c.crank,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |          list_transform(range(1, 65),
+             |            i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
+             |          (acc, x) -> acc + x), c.crank) AS rn
+             |    FROM n CROSS JOIN c) WHERE rn = 1),
+             |j AS (SELECT a.cluster_id, na.vec_id AS ia, nb.vec_id AS ib,
+             |    list_reduce(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]),
+             |      (s, x) -> s + x) / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |  FROM asgn a JOIN asgn b ON a.cluster_id = b.cluster_id
+             |    AND a.vec_id < b.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id
+             |  JOIN n nb ON nb.vec_id = b.vec_id)
+             |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, ia, ib, cos
+             |FROM j WHERE cos >= 0.35""".stripMargin))
   )
 }
