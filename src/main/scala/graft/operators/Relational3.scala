@@ -145,6 +145,44 @@ object Relational3 {
              |  FROM cnt)
              |SELECT source, CAST(rk AS BIGINT) AS rk, token, cnt,
              |  CAST(0 AS BIGINT) AS err
-             |FROM r WHERE rk <= 20""".stripMargin))
+             |FROM r WHERE rk <= 20""".stripMargin)),
+
+    // Z-order layout: Morton-interleave two 16-bit dimensions into one
+    // clustering key — the multi-dimensional file-clustering trick behind
+    // Delta/Iceberg OPTIMIZE ZORDER. Sorting by z and cutting the curve
+    // into equal buckets gives every bucket a small RECTANGLE of the
+    // (d1, d2) space, so min/max file stats prune scans on EITHER
+    // dimension — at 100 TB this is the difference between reading one
+    // z-run and the whole table for a 2-predicate query. The per-bucket
+    // min/max spans in the output ARE the locality proof (≤ 4096 per dim
+    // for 2^24-wide buckets), and the whole computation is a per-row
+    // projection + one partial-aggregated groupBy. /16.0 is a power-of-two
+    // scale, exact in IEEE, so floor() agrees bit-for-bit across engines.
+    GraftQuery("q_zorder",
+      (s, d) => Tables.t(s, d, "orders")
+        .withColumn("d1", (col("o_custkey") % 65536).cast("long"))
+        .withColumn("d2",
+          floor(col("o_totalprice") / lit(16.0)).cast("long") % 65536)
+        .withColumn("z", expr(
+          "aggregate(sequence(0, 15), 0L, (acc, i) -> acc " +
+            "+ shiftleft(shiftright(d1, i) & 1, 2 * i + 1) " +
+            "+ shiftleft(shiftright(d2, i) & 1, 2 * i))"))
+        .groupBy(expr("z DIV 16777216").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("d1").as("min_d1"), max("d1").as("max_d1"),
+          min("d2").as("min_d2"), max("d2").as("max_d2")),
+      Some("""WITH b AS (SELECT
+             |    CAST(o_custkey % 65536 AS BIGINT) AS d1,
+             |    CAST(CAST(FLOOR(o_totalprice / 16.0) AS BIGINT) % 65536 AS BIGINT) AS d2
+             |  FROM orders),
+             |z AS (SELECT d1, d2, CAST(list_sum(list_transform(range(0, 16), i ->
+             |    (((d1 >> CAST(i AS INTEGER)) & 1) << CAST(2 * i + 1 AS INTEGER)) +
+             |    (((d2 >> CAST(i AS INTEGER)) & 1) << CAST(2 * i AS INTEGER))))
+             |    AS BIGINT) AS z
+             |  FROM b)
+             |SELECT z // 16777216 AS zbucket, COUNT(*) AS n,
+             |  MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+             |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
+             |FROM z GROUP BY 1""".stripMargin))
   )
 }
