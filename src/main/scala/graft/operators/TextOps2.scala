@@ -155,6 +155,47 @@ object TextOps2 {
              |FROM seg JOIN freq USING (seg)
              |GROUP BY doc_id""".stripMargin)),
 
+    // TF-IDF salient terms per doc — the classic relevance signal, in the
+    // EXACT-arithmetic variant (SURVEY §6): idf as the linear rarity ratio
+    // N/df instead of log(N/df), so the score is one correctly-rounded
+    // double division of two exact integer products ((tf·N) / (|d|·df)) —
+    // the ranking a transcendental would give, without libm's last-ulp
+    // engine dependence. Two shuffles (doc-term tf agg, term df agg), df
+    // re-joined on the term key, top-5 via per-doc window.
+    GraftQuery("ta_tfidf", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.widened(s, d, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = tok.select(countDistinct("doc_id").as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(df, "token").join(dlen, "doc_id").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double")
+            / (col("dlen") * col("df")).cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "rk", "token", "tf", "df", "score")
+    },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dlen AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+             |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+             |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dlen.dlen * df.df AS DOUBLE)
+             |      AS score
+             |  FROM tf JOIN df USING (token) JOIN dlen USING (doc_id) CROSS JOIN n),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, token) AS rk FROM sc)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, df, score
+             |FROM r WHERE rk <= 5""".stripMargin)),
+
     // PII scrub: email / IPv4 / long-digit-run redaction — the compliance
     // gate every corpus passes before training. The synthetic corpus
     // carries no PII, so each doc gets a deterministic planted suffix

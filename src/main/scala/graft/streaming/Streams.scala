@@ -325,6 +325,45 @@ object Streams {
              |  CAST(SUM((i * 7) % 97) AS BIGINT) AS sum_x
              |FROM range(0, 10000) t(i) GROUP BY 1""".stripMargin)),
 
+    // 54b. declarative sessionization: Catalyst's native session_window()
+    // — the same 30-min-gap semantics as st_sessionize but expressed as a
+    // windowed aggregation (merging session state handled by the engine's
+    // session-window state store, not hand-written flatMapGroupsWithState).
+    // Append mode + the sentinel replay flushes every closed session; the
+    // sentinel's own session (user -1, year 2100) can never be passed by
+    // the watermark, so it never emits and needs no filtering (a pre-agg
+    // filter would be pushed below the watermark node — see st_late_data).
+    GraftQuery("st_session_window", (s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${stageWithSentinel(s, d)}/*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 second")
+      val agg = evs
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+      runToTable(s, agg, OutputMode.Append())
+    },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+             |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM x)
+             |SELECT user_id, MIN(us) AS start_us,
+             |  MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // 55h. late-data handling: the watermark actually DROPS late rows and
     // the oracle knows exactly which. Batch 1 = even users (watermark
     // advances to max(even ts) - 1h), batch 2 = odd users (rows whose 6h
