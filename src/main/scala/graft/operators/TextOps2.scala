@@ -155,6 +155,87 @@ object TextOps2 {
              |FROM seg JOIN freq USING (seg)
              |GROUP BY doc_id""".stripMargin)),
 
+    // URL canonicalization dedup — the crawl-frontier staple: the same
+    // logical page arrives as many raw URL spellings (case-varied host,
+    // explicit default port, fragment, trailing slash, permuted query
+    // params); canonicalize then exact-dedup on the canonical form. The
+    // corpus carries no URLs, so each doc gets a deterministic planted URL
+    // (3 spelling variants; doc 3k and 3k+1 canonicalize equal, 3k+2 is
+    // unique), and the oracle re-runs the same canonicalization — every
+    // normalization step is hash-checked, not just the group count. Pure
+    // per-row string work + one groupBy shuffle on the canonical key.
+    GraftQuery("dd_url_canon", (s, d) => {
+      Tables.t(s, d, "documents")
+        .withColumn("h", expr("(doc_id DIV 3) % 20"))
+        .withColumn("p", expr("(doc_id DIV 3) % 30"))
+        .withColumn("raw", expr(
+          "CASE doc_id % 3 " +
+            "WHEN 0 THEN concat('https://CDN', h, '.Example.COM:443/doc/', p, '/?b=2&a=1#sec') " +
+            "WHEN 1 THEN concat('https://cdn', h, '.example.com/doc/', p, '?a=1&b=2') " +
+            "ELSE concat('https://cdn', h, '.example.com/doc/', p, '/extra?a=1&b=2') END"))
+        .withColumn("scheme", lower(expr("substring_index(raw, '://', 1)")))
+        .withColumn("rest", expr("substring(raw, instr(raw, '://') + 3)"))
+        .withColumn("hostport", expr("substring_index(rest, '/', 1)"))
+        .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+        .withColumn("host", lower(expr("substring_index(hostport, ':', 1)")))
+        .withColumn("port", expr(
+          "IF(instr(hostport, ':') > 0, substring(hostport, instr(hostport, ':') + 1), '')"))
+        .withColumn("keep_port", expr(
+          "NOT (port = '' OR (scheme = 'https' AND port = '443') " +
+            "OR (scheme = 'http' AND port = '80'))"))
+        .withColumn("nofrag", expr("substring_index(pathq, '#', 1)"))
+        .withColumn("path0", expr("substring_index(nofrag, '?', 1)"))
+        .withColumn("path", expr(
+          "IF(path0 = '', '/', IF(length(path0) > 1 AND endswith(path0, '/'), " +
+            "substring(path0, 1, length(path0) - 1), path0))"))
+        .withColumn("q0", expr(
+          "IF(instr(nofrag, '?') > 0, substring(nofrag, instr(nofrag, '?') + 1), '')"))
+        .withColumn("qs", expr(
+          "IF(q0 = '', '', array_join(array_sort(split(q0, '&')), '&'))"))
+        .withColumn("canon_url", expr(
+          "concat(scheme, '://', host, IF(keep_port, concat(':', port), ''), " +
+            "path, IF(qs = '', '', concat('?', qs)))"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_forms"), min("doc_id").as("keep_id"))
+    },
+      Some("""WITH u AS (SELECT doc_id,
+             |    (doc_id // 3) % 20 AS h, (doc_id // 3) % 30 AS p
+             |  FROM documents),
+             |r AS (SELECT doc_id, CASE doc_id % 3
+             |    WHEN 0 THEN 'https://CDN' || h || '.Example.COM:443/doc/' || p || '/?b=2&a=1#sec'
+             |    WHEN 1 THEN 'https://cdn' || h || '.example.com/doc/' || p || '?a=1&b=2'
+             |    ELSE 'https://cdn' || h || '.example.com/doc/' || p || '/extra?a=1&b=2' END AS raw
+             |  FROM u),
+             |c1 AS (SELECT doc_id, lower(split_part(raw, '://', 1)) AS scheme,
+             |    substr(raw, strpos(raw, '://') + 3) AS rest FROM r),
+             |c2 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+             |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq FROM c1),
+             |c3 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+             |    CASE WHEN strpos(hostport, ':') > 0
+             |         THEN substr(hostport, strpos(hostport, ':') + 1) ELSE '' END AS port,
+             |    split_part(pathq, '#', 1) AS nofrag FROM c2),
+             |c4 AS (SELECT *,
+             |    NOT (port = '' OR (scheme = 'https' AND port = '443')
+             |         OR (scheme = 'http' AND port = '80')) AS keep_port,
+             |    split_part(nofrag, '?', 1) AS path0,
+             |    CASE WHEN strpos(nofrag, '?') > 0
+             |         THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS q0
+             |  FROM c3),
+             |c5 AS (SELECT *,
+             |    CASE WHEN path0 = '' THEN '/'
+             |         WHEN length(path0) > 1 AND ends_with(path0, '/')
+             |         THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+             |    CASE WHEN q0 = '' THEN ''
+             |         ELSE array_to_string(list_sort(string_split(q0, '&')), '&') END AS qs
+             |  FROM c4),
+             |canon AS (SELECT doc_id,
+             |    scheme || '://' || host ||
+             |    CASE WHEN keep_port THEN ':' || port ELSE '' END ||
+             |    path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+             |  FROM c5)
+             |SELECT canon_url, COUNT(*) AS n_forms, MIN(doc_id) AS keep_id
+             |FROM canon GROUP BY canon_url""".stripMargin)),
+
     // TF-IDF salient terms per doc — the classic relevance signal, in the
     // EXACT-arithmetic variant (SURVEY §6): idf as the linear rarity ratio
     // N/df instead of log(N/df), so the score is one correctly-rounded
