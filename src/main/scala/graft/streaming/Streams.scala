@@ -325,6 +325,49 @@ object Streams {
              |  CAST(SUM((i * 7) % 97) AS BIGINT) AS sum_x
              |FROM range(0, 10000) t(i) GROUP BY 1""".stripMargin)),
 
+    // 55i. checkpoint recovery: the fault-tolerance contract a production
+    // stream lives on. Run 1 dedups batch 1 into an exactly-once FILE sink
+    // and is STOPPED; run 2 is a NEW query restarted from the same
+    // checkpoint over a grown directory. The restored state store must
+    // suppress duplicates run 2 never saw in its own lifetime, and the
+    // restored source offsets must not re-read batch 1 — so the sink
+    // directory ends up holding exactly DISTINCT over everything, which is
+    // what the oracle checks. Without recovery this double-emits (state
+    // lost) or double-reads (offsets lost); either breaks the hash.
+    GraftQuery("st_recovery", (s, d) => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_recov_src")
+      val ckpt = Files.createTempDirectory("graft_recov_ckpt").toString
+      val outDir = Files.createTempDirectory("graft_recov_out").toString
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def put(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft_recov_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(part, staged.resolve(name))
+      }
+      val schema = raw.schema
+      def run(): Unit = {
+        val dedup = s.readStream.schema(schema).parquet(s"$staged/*.parquet")
+          .select(col("event_type"), col("value"))
+          .dropDuplicates("event_type", "value")
+        val q = dedup.writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .option("path", outDir)
+          .format("parquet").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      put(raw.filter(col("user_id") % 2 === 0), "01_first.parquet")
+      run()
+      put(raw, "02_rest.parquet") // full set: every batch-1 key repeats
+      run()
+      // batch read honors the sink's _spark_metadata exactly-once manifest
+      s.read.parquet(outDir).select("event_type", "value")
+    },
+      Some("SELECT DISTINCT event_type, value FROM events")),
+
     // 54b. declarative sessionization: Catalyst's native session_window()
     // — the same 30-min-gap semantics as st_sessionize but expressed as a
     // windowed aggregation (merging session state handled by the engine's
