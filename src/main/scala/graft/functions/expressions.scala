@@ -218,6 +218,60 @@ case class SimpsonStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimpsonStats = copy(c)
 }
 
+/** Product-quantization encoder: nearest codeword per 8-dim subspace of an
+  * array<double>(64) against a flat codebook array<array<double>>(8·K)
+  * laid out subspace-major (cb[m·K + r] = codeword r of subspace m).
+  * Returns array<int>(8). One tight double loop per row replaces the
+  * interpreted HOF argmin (measured 3.0 s → sub-second for the sf0.1
+  * encode). Arithmetic is the identical left fold (i ascending, strict `<`
+  * keeps the earliest codeword on ties), so the oracle match is unchanged. */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    PqEncode.compute(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqEncode.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+object PqEncode {
+  val subspaces = 8
+  def compute(v: ArrayData, cb: ArrayData): ArrayData = {
+    val m = subspaces
+    val k = cb.numElements() / m
+    val dims = v.numElements() / m
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.PositiveInfinity
+      var bestR = -1
+      var r = 0
+      while (r < k) {
+        val cw = cb.getArray(mi * k + r)
+        var s = 0.0
+        var i = 0
+        while (i < dims) {
+          val diff = v.getDouble(mi * dims + i) - cw.getDouble(i)
+          s += diff * diff
+          i += 1
+        }
+        if (s < best) { best = s; bestR = r }
+        r += 1
+      }
+      codes(mi) = bestR
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
 /** Static helpers shared by interpreted eval and generated code. */
 object VectorMath {
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -391,6 +445,7 @@ object F {
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+    ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),

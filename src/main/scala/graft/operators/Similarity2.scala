@@ -104,21 +104,14 @@ object Similarity2 {
         .select(col("ms.m").as("m"), col("crank"), col("ms.sub").as("sub"))
       val cbDF = subs.agg(expr(
         "transform(array_sort(collect_list(struct(m, crank, sub))), x -> x.sub)").as("cb"))
-      // encode: nearest codeword per (vector, subspace) as ONE in-expression
-      // argmin over the broadcast codebook — a pure projection (no 4M-row
-      // window shuffle; at corpus scale encoding is map-only). Strict `<`
-      // keeps the earliest codeword on distance ties, identical to the
-      // oracle's ORDER BY dist, crank.
+      // encode: nearest codeword per (vector, subspace) via the native
+      // pq_encode expression (functions.PqEncode) over the broadcast
+      // codebook — a pure map-only projection in one codegen'd tight loop
+      // (no window shuffle, no interpreted HOF argmin). Strict `<` keeps
+      // the earliest codeword on distance ties, identical to the oracle's
+      // ORDER BY dist, crank.
       val codes = base.crossJoin(broadcast(cbDF))
-        .withColumn("codes", expr(
-          "transform(sequence(0, 7), m -> aggregate(" +
-            "transform(sequence(0, CAST(size(cb) DIV 8 AS INT) - 1), r -> " +
-            "  struct(aggregate(zip_with(slice(v, 8 * m + 1, 8), " +
-            "    element_at(cb, m * CAST(size(cb) DIV 8 AS INT) + r + 1), " +
-            "    (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x) AS d, " +
-            "  r AS r)), " +
-            "struct(CAST('Infinity' AS DOUBLE) AS d, -1 AS r), " +
-            "(acc, c) -> IF(c.d < acc.d, c, acc)).r)"))
+        .withColumn("codes", expr("pq_encode(v, cb)"))
         .select(col("vec_id").as("n_id"), col("codes"), col("v"), col("n2"))
       // search: ADC over codes (one in-expression fold per candidate), then
       // exact re-rank of the approximate top-50
