@@ -92,6 +92,93 @@ object Multimodal {
       s"i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS DOUBLE), 0.0) " +
       s"/ (255.0 * strlen(text)) AS f$k"
 
+  /** Shared phash near-dup pair pipeline (feeds mm_phash and
+    * mm_phash_cluster): fingerprints (originals + planted re-encode
+    * variants), 4×16-bit hamming bands for candidates, popcount verify
+    * ≤ 8. See the mm_phash entry for the full design rationale. */
+  private def phashPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ph = media(s, d).mapPartitions { batch =>
+      batch.flatMap { m =>
+        def row(id: Long, payload: Array[Byte]): PhashRow = {
+          val f = phashStub(payload).fp
+          PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
+            (f >>> 16) & 0xffff, f & 0xffff)
+        }
+        if (m.doc_id % 7 == 0) {
+          val variant = new Array[Byte](m.payload.length)
+          var i = 0
+          while (i < m.payload.length) {
+            val b = m.payload(i) & 0xff
+            variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
+            i += 1
+          }
+          Iterator(row(m.doc_id, m.payload), row(m.doc_id + 1000000L, variant))
+        } else Iterator(row(m.doc_id, m.payload))
+      }
+    }.toDF()
+    val banded = ph.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
+    val cand = banded.toDF("ia", "band", "bk")
+      .join(banded.toDF("ib", "band", "bk"), Seq("band", "bk"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    cand.join(ph.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
+      .join(ph.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select("ia", "ib", "hamming")
+  }
+
+  /** DuckDB CTE chain mirroring phashPairs; ends with `pairs(ia, ib,
+    * hamming)`. */
+  private def phashPairsSql: String =
+    """WITH raw AS (SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text) + 1),
+      |      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS bytes
+      |  FROM documents),
+      |am AS (SELECT doc_id, n, bytes FROM raw
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n,
+      |    list_transform(range(1, n + 1),
+      |      i -> bytes[CAST(i AS INTEGER)] + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END)
+      |  FROM raw WHERE doc_id % 7 = 0),
+      |m AS (SELECT doc_id, n, bytes, COALESCE(list_sum(bytes), 0) AS total FROM am),
+      |bitv AS (SELECT doc_id, j,
+      |    CASE WHEN ((j + 1) * n) // 64 > (j * n) // 64 AND
+      |      COALESCE(list_sum(list_slice(bytes,
+      |        CAST((j * n) // 64 + 1 AS BIGINT),
+      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * n
+      |      > total * (((j + 1) * n) // 64 - (j * n) // 64)
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM m, range(0, 64) r(j)),
+      |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
+      |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
+      |  FROM bl),
+      |ph AS (SELECT doc_id,
+      |    CAST(CASE WHEN ufp >= 9223372036854775808
+      |      THEN ufp - 18446744073709551616 ELSE ufp END AS BIGINT) AS phash,
+      |    CAST((ufp // 281474976710656) % 65536 AS BIGINT) AS b3,
+      |    CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
+      |    CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
+      |    CAST(ufp % 65536 AS BIGINT) AS b0
+      |  FROM fp),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, b0 AS bk FROM ph UNION ALL
+      |  SELECT doc_id, 1, b1 FROM ph UNION ALL
+      |  SELECT doc_id, 2, b2 FROM ph UNION ALL
+      |  SELECT doc_id, 3, b3 FROM ph),
+      |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT ia, ib, CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN ph pa ON pa.doc_id = cand.ia
+      |  JOIN ph pb ON pb.doc_id = cand.ib
+      |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 8)""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
     // 52. binary column + metadata in, fixed-shape features out, batched
     // per partition; the stub's exact integer arithmetic makes even this
@@ -216,83 +303,57 @@ object Multimodal {
     // so the planted pairs land at hamming ≤ 4 while the text near-dup
     // background sits at ≥ 14 (measured p01 = 20), and the verify
     // threshold 8 splits them with margin on both sides.
-    GraftQuery("mm_phash", (s, d) => {
-      import s.implicits._
-      val ph = media(s, d).mapPartitions { batch =>
-        batch.flatMap { m =>
-          def row(id: Long, payload: Array[Byte]): PhashRow = {
-            val f = phashStub(payload).fp
-            PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
-              (f >>> 16) & 0xffff, f & 0xffff)
-          }
-          if (m.doc_id % 7 == 0) {
-            val variant = new Array[Byte](m.payload.length)
-            var i = 0
-            while (i < m.payload.length) {
-              val b = m.payload(i) & 0xff
-              variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
-              i += 1
-            }
-            Iterator(row(m.doc_id, m.payload), row(m.doc_id + 1000000L, variant))
-          } else Iterator(row(m.doc_id, m.payload))
-        }
-      }.toDF()
-      val banded = ph.select(col("doc_id"), posexplode(
-        array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
-      val cand = banded.toDF("ia", "band", "bk")
-        .join(banded.toDF("ib", "band", "bk"), Seq("band", "bk"))
-        .filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      cand.join(ph.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
-        .join(ph.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
-        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-        .filter(col("hamming") <= 8)
-        .select("ia", "ib", "hamming")
+    GraftQuery("mm_phash",
+      (s, d) => phashPairs(s, d),
+      Some(s"""$phashPairsSql
+             |SELECT ia, ib, hamming FROM pairs""".stripMargin)),
+
+    // 52g. media dedup capstone: connected components over the verified
+    // phash pair graph (the media twin of dd_cluster) — re-encoded
+    // variants collapse into one cluster with a canonical survivor
+    // (min id). Components via iterative min-label propagation (rounds =
+    // cluster diameter, shallow for near-dup graphs); recursive-CTE
+    // oracle.
+    GraftQuery("mm_phash_cluster", (s, d) => {
+      val pairs = phashPairs(s, d).select("ia", "ib").persist()
+      val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      def checksum(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
+      var prev = checksum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .select(col("src").as("id"), col("label"))
+        val next = labels.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label")).persist()
+        val cs = checksum(next)
+        converged = cs == prev
+        prev = cs
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "label")
+        .select(col("id").as("media_id"), col("label").as("cluster_id"),
+          col("n_members"), (col("id") === col("label")).as("keep"))
     },
-      Some("""WITH raw AS (SELECT doc_id, strlen(text) AS n,
-             |    list_transform(range(1, strlen(text) + 1),
-             |      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS bytes
-             |  FROM documents),
-             |am AS (SELECT doc_id, n, bytes FROM raw
-             |  UNION ALL
-             |  SELECT doc_id + 1000000, n,
-             |    list_transform(range(1, n + 1),
-             |      i -> bytes[CAST(i AS INTEGER)] + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END)
-             |  FROM raw WHERE doc_id % 7 = 0),
-             |m AS (SELECT doc_id, n, bytes, COALESCE(list_sum(bytes), 0) AS total FROM am),
-             |bitv AS (SELECT doc_id, j,
-             |    CASE WHEN ((j + 1) * n) // 64 > (j * n) // 64 AND
-             |      COALESCE(list_sum(list_slice(bytes,
-             |        CAST((j * n) // 64 + 1 AS BIGINT),
-             |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * n
-             |      > total * (((j + 1) * n) // 64 - (j * n) // 64)
-             |    THEN 1 ELSE 0 END AS bit
-             |  FROM m, range(0, 64) r(j)),
-             |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
-             |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-             |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
-             |  FROM bl),
-             |ph AS (SELECT doc_id,
-             |    CAST(CASE WHEN ufp >= 9223372036854775808
-             |      THEN ufp - 18446744073709551616 ELSE ufp END AS BIGINT) AS phash,
-             |    CAST((ufp // 281474976710656) % 65536 AS BIGINT) AS b3,
-             |    CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
-             |    CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
-             |    CAST(ufp % 65536 AS BIGINT) AS b0
-             |  FROM fp),
-             |bands AS (
-             |  SELECT doc_id, 0 AS band, b0 AS bk FROM ph UNION ALL
-             |  SELECT doc_id, 1, b1 FROM ph UNION ALL
-             |  SELECT doc_id, 2, b2 FROM ph UNION ALL
-             |  SELECT doc_id, 3, b3 FROM ph),
-             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-             |  FROM bands a JOIN bands b
-             |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-             |SELECT ia, ib, CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
-             |FROM cand
-             |JOIN ph pa ON pa.doc_id = cand.ia
-             |JOIN ph pb ON pb.doc_id = cand.ib
-             |WHERE bit_count(xor(pa.phash, pb.phash)) <= 8""".stripMargin)),
+      Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM pairs
+             |      UNION ALL SELECT ib, ia FROM pairs),
+             |reach(n2, m2) AS (
+             |  SELECT a, a FROM e GROUP BY a
+             |  UNION
+             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
+             |cc AS (SELECT n2 AS media_id, MIN(m2) AS cluster_id FROM reach GROUP BY n2),
+             |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
+             |SELECT cc.media_id, cc.cluster_id, cs.n_members,
+             |  cc.media_id = cc.cluster_id AS keep
+             |FROM cc JOIN cs USING (cluster_id)""".stripMargin)),
 
     // 52c. fixed-rate downsampling (the resize/pooling shape): the payload
     // is average-pooled over non-overlapping 16-byte windows — exact

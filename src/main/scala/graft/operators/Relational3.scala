@@ -147,6 +147,30 @@ object Relational3 {
              |  CAST(0 AS BIGINT) AS err
              |FROM r WHERE rk <= 20""".stripMargin)),
 
+    // incremental aggregate maintenance: merge a MATERIALIZED partial-state
+    // snapshot (the base corpus, aggregated once and stored) with a
+    // freshly aggregated delta — the incremental-ETL shape that avoids
+    // rescanning 100 TB for yesterday's totals. Partials stay DECIMAL
+    // until the final merge (summing double partials would reintroduce
+    // float-order drift); the oracle computes the same totals from scratch
+    // over everything, so the merge is proven equivalent to recompute.
+    GraftQuery("q_incremental_agg", (s, d) => {
+      val ev = Tables.t(s, d, "events")
+      def part(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("dec_total"))
+      val base = part(col("event_id") % 10 < 8).persist()
+      base.count() // materialize: this is the stored snapshot artifact
+      val delta = part(col("event_id") % 10 >= 8)
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("dec_total")).cast("double").as("total"))
+    },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Z-order layout: Morton-interleave two 16-bit dimensions into one
     // clustering key — the multi-dimensional file-clustering trick behind
     // Delta/Iceberg OPTIMIZE ZORDER. Sorting by z and cutting the curve

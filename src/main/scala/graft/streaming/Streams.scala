@@ -325,6 +325,56 @@ object Streams {
              |  CAST(SUM((i * 7) % 97) AS BIGINT) AS sum_x
              |FROM range(0, 10000) t(i) GROUP BY 1""".stripMargin)),
 
+    // 55j. Update output mode: each micro-batch emits ONLY the groups it
+    // changed — the mode a downstream upsert sink (key-value store,
+    // dashboard) consumes. Deterministic 2-batch replay (evens then odds,
+    // mtime-ordered): batch 1 emits every window at its evens-only value,
+    // batch 2 re-emits just the windows odd rows touched, at the merged
+    // value. The memory sink accumulates both emissions, and the oracle
+    // reproduces exactly that union — update semantics as a hash-checked
+    // contract, not a trust-me.
+    GraftQuery("st_update_mode", (s, d) => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_upd_src")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_upd_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      put(raw.filter(col("user_id") % 2 === 0), "00_evens.parquet", 120000)
+      put(raw.filter(col("user_id") % 2 =!= 0), "01_odds.parquet", 60000)
+      val schema = raw.schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n"), col("total"))
+      runToTable(s, agg, OutputMode.Update())
+    },
+      Some("""WITH b1 AS (
+             |  SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS ws,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |  FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+             |b2 AS (
+             |  SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS ws,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |  FROM events
+             |  GROUP BY 1
+             |  HAVING COUNT(*) FILTER (WHERE user_id % 2 <> 0) > 0)
+             |SELECT ws, n, total FROM b1
+             |UNION ALL
+             |SELECT ws, n, total FROM b2""".stripMargin)),
+
     // 55i. checkpoint recovery: the fault-tolerance contract a production
     // stream lives on. Run 1 dedups batch 1 into an exactly-once FILE sink
     // and is STOPPED; run 2 is a NEW query restarted from the same
