@@ -155,6 +155,72 @@ object TextOps2 {
              |FROM seg JOIN freq USING (seg)
              |GROUP BY doc_id""".stripMargin)),
 
+    // sequence packing for training: greedily pack docs into fixed
+    // 512-token windows per source (docs in id order), reporting per-bin
+    // fill and padding waste — the "pack to context length" step between a
+    // clean corpus and a token shard. Same scale shape as the shard
+    // manifest: the running sum is windowed PER SOURCE, so packing
+    // parallelizes across sources with no global sort, and bins never
+    // straddle sources.
+    GraftQuery("ta_pack_sequences", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqLen = 512L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      Tables.widened(s, d, "documents")
+        .withColumn("n_toks", expr(s"CAST(size($toksExpr) AS BIGINT)"))
+        .select(col("source"), col("doc_id"), col("n_toks"))
+        .withColumn("bin", floor(coalesce(sum(col("n_toks")).over(w), lit(0L)) / seqLen))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"),
+          (lit(seqLen) * ceil(sum("n_toks") / lit(seqLen.toDouble))
+            - sum("n_toks")).cast("long").as("n_pad"))
+    },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             |      AS n_toks
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_toks,
+             |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM t)
+             |SELECT source, CAST(FLOOR(prior / 512) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+             |  CAST(512 * CEIL(SUM(n_toks) / 512.0) - SUM(n_toks) AS BIGINT) AS n_pad
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // deterministic quota resampling — the data-mixing step: every source
+    // is up/down-weighted to an exact per-source quota (here 40 docs).
+    // Docs rank by md5(doc_id) within their source (a stable shuffle both
+    // engines reproduce); rank i of n gets floor(q/n) copies plus one more
+    // iff i <= q mod n — copies sum to the quota EXACTLY, reproducible
+    // across engines, runs and partitionings (rand()-weighted sampling is
+    // none of those). Output stays one row per doc with its multiplicity:
+    // the training loader explodes it, the shuffle never carries clones.
+    GraftQuery("ta_resample", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quota = 40L
+      val w = Window.partitionBy(col("source"))
+        .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+      Tables.widened(s, d, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("n_copies",
+          expr(s"CAST($quota DIV n_src AS BIGINT)")
+            + when(col("rk") <= lit(quota) % col("n_src"), 1L).otherwise(0L))
+        .select("source", "doc_id", "rk", "n_copies")
+    },
+      Some("""WITH r AS (SELECT source, doc_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+             |    COUNT(*) OVER (PARTITION BY source) AS n_src
+             |  FROM documents)
+             |SELECT source, doc_id, rk,
+             |  CAST(40 // n_src + CASE WHEN rk <= 40 % n_src THEN 1 ELSE 0 END
+             |    AS BIGINT) AS n_copies
+             |FROM r""".stripMargin)),
+
     // URL canonicalization dedup — the crawl-frontier staple: the same
     // logical page arrives as many raw URL spellings (case-varied host,
     // explicit default port, fragment, trailing slash, permuted query
