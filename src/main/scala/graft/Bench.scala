@@ -61,15 +61,19 @@ object Bench {
     val headline = Set(
       "dd_cluster", "dd_decontaminate", "dd_embed_cosine", "dd_exact",
       "dd_minhash_lsh", "dd_ngram_jaccard", "dd_pipeline", "dd_simhash",
-      "dd_source_overlap", "ann_ivf", "ann_lsh", "ann_topk",
-      "mm_decode", "mm_frame_sample", "mm_pool",
+      "dd_incremental", "dd_semantic", "dd_url_canon",
+      "ann_ivf", "ann_lsh", "ann_topk", "ann_pq",
+      "mm_decode", "mm_frame_sample", "mm_phash", "mm_phash_cluster",
       "q_agg_basic", "q_agg_stats", "q_join_inner", "q_join_star",
-      "q_bucketed_join", "q_string_funcs", "q_subquery_in",
-      "q_subquery_scalar", "q_lateral", "q_window_running", "q_percentile",
-      "q_cte_recursive", "q_sessionize", "q_topk_per_group", "q_sink_csv",
+      "q_bucketed_join", "q_string_funcs", "q_subquery_scalar",
+      "q_lateral", "q_window_running", "q_percentile",
+      "q_cte_recursive", "q_sessionize", "q_topk_per_group",
+      "q_zorder", "q_approx_topk", "q_incremental_agg",
       "st_interval_join", "st_sessionize", "st_window_agg", "st_dedup",
-      "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_diversity",
-      "vt_scan", "vt_runtime_filter")
+      "st_late_data", "st_recovery", "st_session_window",
+      "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_line_dedup",
+      "ta_tfidf", "ta_pack_sequences",
+      "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
