@@ -319,13 +319,15 @@ object Multimodal {
       // stats never change on this tiny graph, and adaptive stage-by-stage
       // materialization multiplies each round's latency (measured 20 s →
       // ~3 s at sf0.1). Restored after the loop.
+      // pair-graph build keeps AQE (it has real joins to re-plan); only the
+      // fixed-shape propagation loop runs with it off
+      val pairs = phashPairs(s, d).select("ia", "ib").persist()
+      val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+        .toDF("src", "dst").persist()
+      edges.count() // materialize once; the loop reads the cached graph
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       val labels = try {
-        val pairs = phashPairs(s, d).select("ia", "ib").persist()
-        val edges = pairs.union(pairs.select(col("ib"), col("ia")))
-          .toDF("src", "dst").persist()
-        edges.count() // materialize once; the loop reads the cached graph
         var labels = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id")).persist()
         def checksum(df: org.apache.spark.sql.DataFrame): Long = df
