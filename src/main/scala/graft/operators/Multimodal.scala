@@ -325,8 +325,12 @@ object Multimodal {
       val edges = pairs.union(pairs.select(col("ib"), col("ia")))
         .toDF("src", "dst").persist()
       edges.count() // materialize once; the loop reads the cached graph
+      // the propagation loop also narrows the shuffle: a few-thousand-edge
+      // graph in 32 shuffle partitions is pure per-stage overhead
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val labels = try {
         var labels = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id")).persist()
@@ -348,7 +352,10 @@ object Multimodal {
           iter += 1
         }
         labels
-      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("media_id"), col("label").as("cluster_id"),

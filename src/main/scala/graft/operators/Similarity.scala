@@ -293,7 +293,9 @@ object Similarity {
       // (measured 2.1s → 0.7s/round at sf0.1). Restored after the loop —
       // the big LSH plan above and everything else keeps AQE.
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // few-thousand-edge graph
       val labels = try {
         val edges = pairs.union(pairs.select(col("ib"), col("ia")))
           .toDF("src", "dst").persist()
@@ -319,7 +321,10 @@ object Similarity {
           iter += 1
         }
         labels
-      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
