@@ -36,6 +36,7 @@ object Bench {
     // of the persisted snapshot, the production shape).
     operators.Similarity.warmSharedIndex(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
+    operators.Multimodal.warmPhashIndex(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
