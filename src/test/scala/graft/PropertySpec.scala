@@ -133,6 +133,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pq_encode equals a reference argmin on random vectors") {
+    assert(registered)
+    val rnd = new scala.util.Random(11)
+    val k = 6
+    val cb = Array.fill(8 * k)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    forAll(Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 250.0)), 10) { vec =>
+      if (vec.length == 64) {
+        val v = vec.toArray
+        val got = Seq((v.toSeq, cb.map(_.toSeq).toSeq)).toDF("v", "cb")
+          .select(expr("pq_encode(v, cb)").as("c"))
+          .head.getAs[scala.collection.Seq[Int]]("c")
+        val want = (0 until 8).map { m =>
+          (0 until k).minBy { r =>
+            val cw = cb(m * k + r)
+            // same fold order as the expression
+            (0 until 8).foldLeft(0.0)((s, i) =>
+              s + (v(m * 8 + i) - cw(i)) * (v(m * 8 + i) - cw(i)))
+          }
+        }
+        assert(got.toSeq == want, s"codes $got != $want")
+      }
+    }
+  }
+
+  test("space-saving sketch is partitioning-invariant below capacity") {
+    assert(registered)
+    val rows = (0 until 500).map(i => s"tok_${i % 37}")
+    def top(parts: Int) = rows.toDF("tok").repartition(parts)
+      .agg(expr("approx_topk(tok)").as("t"))
+      .select(explode(col("t")).as("e")).select("e.token", "e.cnt", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top(1) == top(8), "below capacity the sketch must be exact " +
+      "regardless of partitioning/merge order")
+  }
+
   test("space-saving sketch: heavy hitters survive over-capacity with bounded error") {
     assert(registered)
     // 4000 rows, zipf-ish: token_0 × 2000, token_1 × 1000, 1000 singletons;
