@@ -155,6 +155,68 @@ object TextOps2 {
              |FROM seg JOIN freq USING (seg)
              |GROUP BY doc_id""".stripMargin)),
 
+    // Bloom-filter decontamination gate — the memory-bounded variant of
+    // dd_decontaminate: instead of broadcasting the raw eval-set shingles,
+    // broadcast a FIXED-SIZE filter (65536 positions, 4 md5-derived
+    // probes per shingle). At 100 TB the eval set can be millions of
+    // n-grams but the filter stays 8 KB — and false positives are part of
+    // the contract, not noise: the oracle recomputes the same positions,
+    // so even FPR-induced flags hash-match exactly.
+    GraftQuery("dd_bloom_gate", (s, d) => {
+      graft.functions.F.register(s)
+      val all = Tables.widened(s, d, "documents")
+      // word-8-gram spans, already md5'd by spanExpr — the 4 probe
+      // positions fold disjoint segments of that digest, no second hash
+      def pos(off: Int) =
+        expr(s"CAST(conv(substring(sg, $off, 8), 16, 10) AS BIGINT) % 65536")
+      val grams = all.withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(expr(spanExpr)).as("sg"))
+      val bench = grams.filter(col("doc_id") % 10 === 3).select("sg").distinct()
+      val bloom = bench
+        .select(explode(array(pos(1), pos(9), pos(17), pos(25))).as("pos"))
+        .distinct()
+      val probes = grams.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("sg"), posexplode(
+          array(pos(1), pos(9), pos(17), pos(25))).as(Seq("j", "pos")))
+      val flagged = probes.join(broadcast(bloom), Seq("pos"), "left_semi")
+        .groupBy("doc_id", "sg").agg(count(lit(1)).as("k_hits"))
+        .filter(col("k_hits") === 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      all.filter(col("doc_id") % 10 =!= 3).select("doc_id")
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          (coalesce(col("n_flagged"), lit(0L)) > 0).as("gated"))
+    },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, len(toks) - 6),
+             |    i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sh
+             |  FROM t),
+             |bs AS (SELECT DISTINCT unnest(sh) AS sg FROM sh WHERE doc_id % 10 = 3),
+             |bp AS (SELECT DISTINCT unnest([
+             |    ${Relational.duckHex8("m", 1)} % 65536,
+             |    ${Relational.duckHex8("m", 9)} % 65536,
+             |    ${Relational.duckHex8("m", 17)} % 65536,
+             |    ${Relational.duckHex8("m", 25)} % 65536]) AS pos
+             |  FROM (SELECT sg AS m FROM bs)),
+             |tr AS (SELECT doc_id, unnest(sh) AS sg FROM sh WHERE doc_id % 10 <> 3),
+             |tp AS (SELECT doc_id, sg, unnest([
+             |    ${Relational.duckHex8("m", 1)} % 65536,
+             |    ${Relational.duckHex8("m", 9)} % 65536,
+             |    ${Relational.duckHex8("m", 17)} % 65536,
+             |    ${Relational.duckHex8("m", 25)} % 65536]) AS pos
+             |  FROM (SELECT doc_id, sg, sg AS m FROM tr)),
+             |gh AS (SELECT doc_id, sg FROM tp JOIN bp USING (pos)
+             |  GROUP BY doc_id, sg HAVING COUNT(*) = 4),
+             |nf AS (SELECT doc_id, COUNT(*) AS n_flagged FROM gh GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(nf.n_flagged, 0) AS n_flagged,
+             |  COALESCE(nf.n_flagged, 0) > 0 AS gated
+             |FROM documents d LEFT JOIN nf USING (doc_id)
+             |WHERE d.doc_id % 10 <> 3""".stripMargin)),
+
     // sequence packing for training: greedily pack docs into fixed
     // 512-token windows per source (docs in id order), reporting per-bin
     // fill and padding waste — the "pack to context length" step between a
