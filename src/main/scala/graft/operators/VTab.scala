@@ -197,6 +197,18 @@ object VTab {
       Some("""SELECT i AS id, i * 2 AS alpha, i * 3 AS beta, i * 4 AS gamma
              |FROM range(0, 200) t(i)""".stripMargin)),
 
+    // 33i. LIKE-prefix pushdown: `s LIKE 'row_123%'` reaches the plugin as
+    // a StringStartsWith qual, and because `s` embeds the key the prefix
+    // INVERTS to exact key ranges — one per decimal magnitude (123,
+    // 1230-1239, ...) — instead of a full pagination + residual LIKE.
+    // The API "name begins with" filter answered at the source.
+    GraftQuery("vt_like_pushdown",
+      (s, d) => numbers(s).filter(col("s").startsWith("row_123"))
+        .select("id", "s", "x"),
+      Some("""SELECT i AS id, 'row_' || i AS s, (i * 7) % 97 AS x
+             |FROM range(0, 10000) t(i)
+             |WHERE ('row_' || i) LIKE 'row_123%'""".stripMargin)),
+
     // 33h. transient-failure retry: every split of the `flaky` table fails
     // its first scan attempt with a simulated rate limit; the scan layer's
     // split-granularity retry (GraftReaderFactory, reference SDK

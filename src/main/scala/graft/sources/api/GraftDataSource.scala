@@ -100,6 +100,10 @@ class GraftScanBuilder(pluginAlias: String, table: ApiTable, config: PluginConfi
       val normed = vs.toSeq.map(norm)
       if (normed.nonEmpty && normed.forall(_.isDefined))
         Some(Qual(a, "in", normed.flatten)) else None
+    // LIKE 'prefix%' arrives as StringStartsWith; a plugin whose string
+    // column embeds the key (s = 'row_<id>') inverts the prefix to exact
+    // key ranges — the API "name begins with" filter answered at the source
+    case sources.StringStartsWith(a, v) => Some(Qual(a, "starts_with", v))
     case _ => None
   }
   /** Typed qual values reach the plugin (reference mapping.go:108-158

@@ -80,7 +80,47 @@ object NumbersTable extends ApiTable {
           case _ => false
         }))
     case "ts" => Seq(">", ">=", "<", "<=").contains(q.op) && q.value.isInstanceOf[Long]
+    // s = 'row_<id>' embeds the key, so any LIKE-prefix inverts to EXACT
+    // key ranges (empty, full, or one range per decimal magnitude)
+    case "s" => q.op == "starts_with" && q.value.isInstanceOf[String]
     case _ => false
+  }
+
+  /** Key ranges whose rows' `s` column starts with `p`: ids have no
+    * leading zeros, so a digit prefix d matches [d·10^k, (d+1)·10^k) for
+    * every magnitude k (d = 0 matches only id 0). */
+  private def prefixRanges(p: String, n: Long): Seq[(Long, Long)] = {
+    val base = "row_"
+    if (p.length <= base.length) {
+      if (base.startsWith(p)) Seq((0L, n)) else Seq.empty
+    } else if (!p.startsWith(base)) Seq.empty
+    else {
+      val rest = p.substring(base.length)
+      if (!rest.forall(_.isDigit)) Seq.empty
+      else if (rest == "0") Seq((0L, 1L))
+      else if (rest.head == '0') Seq.empty
+      else {
+        val d = rest.toLong
+        Iterator.iterate(1L)(_ * 10)
+          .takeWhile(m => m <= n && d <= n / m)
+          .map(m => (d * m, math.min(Math.addExact(d, 1) * m, n)))
+          .filter { case (l, h) => l < h }
+          .toSeq
+      }
+    }
+  }
+
+  /** Intersection of all pushed prefix quals' range sets (None = no
+    * prefix qual pushed). */
+  private def prefixNarrowed(qc: QueryContext, config: PluginConfig): Option[Seq[(Long, Long)]] = {
+    val ps = qc.quals.collect { case Qual("s", "starts_with", p: String) => p }
+    if (ps.isEmpty) None
+    else Some(ps.map(p => prefixRanges(p, config.n)).reduce { (a, b) =>
+      for {
+        (al, ah) <- a; (bl, bh) <- b
+        l = math.max(al, bl); h = math.min(ah, bh); if l < h
+      } yield (l, h)
+    })
   }
 
   private def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
@@ -89,7 +129,12 @@ object NumbersTable extends ApiTable {
   override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] = {
     val (lo, hi, inIds) = narrowed(qc, config)
     Some(inIds.map(_.count(v => v >= lo && v < hi).toLong)
-      .getOrElse(math.max(0L, hi - lo)))
+      .getOrElse(prefixNarrowed(qc, config) match {
+        case Some(rs) => rs.map { case (l, h) =>
+          math.max(0L, math.min(h, hi) - math.max(l, lo))
+        }.sum
+        case None => math.max(0L, hi - lo)
+      }))
   }
 
   /** Narrow the key range with the pushed id AND ts quals (the reference's
@@ -116,9 +161,19 @@ object NumbersTable extends ApiTable {
       case Some(ids) =>
         ids.filter(v => v >= lo && v < hi).distinct.sorted
           .map(v => RangeSplit(v, v + 1))
-      case None =>
-        (lo until hi by config.pageSize)
-          .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+      case None => prefixNarrowed(qc, config) match {
+        case Some(ranges) =>
+          // one page-bounded split per (prefix range ∩ key bounds)
+          ranges.flatMap { case (l0, h0) =>
+            val l = math.max(l0, lo)
+            val h = math.min(h0, hi)
+            (l until h by config.pageSize)
+              .map(s => RangeSplit(s, math.min(s + config.pageSize, h)))
+          }
+        case None =>
+          (lo until hi by config.pageSize)
+            .map(s => RangeSplit(s, math.min(s + config.pageSize, hi)))
+      }
     }
   }
 
@@ -129,7 +184,8 @@ object NumbersTable extends ApiTable {
     * ordering contract). */
   override def supportsOrderedPage(qc: QueryContext, config: PluginConfig): Boolean =
     qc.orderBy.length == 1 && Seq("id", "ts").contains(qc.orderBy.head.field) &&
-      qc.quals.forall(exactlyHandled) && !qc.quals.exists(_.op == "in")
+      qc.quals.forall(exactlyHandled) &&
+      !qc.quals.exists(q => q.op == "in" || q.op == "starts_with")
 
   private def narrowed(qc: QueryContext, config: PluginConfig): (Long, Long, Option[Seq[Long]]) = {
     var lo = 0L

@@ -251,6 +251,20 @@ class VTabSpec extends SparkSpec {
       "narrowed API scan must broadcast:\n" + p)
   }
 
+  test("LIKE-prefix qual inverts to exact key-range splits") {
+    noCache {
+      ScanLedger.reset()
+      val rows = numbers.filter(col("s").startsWith("row_123"))
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == (123L +: (1230L to 1239L)).sorted,
+        s"got ${rows.mkString(",")}")
+      assert(ScanLedger.lastQc.get.quals.exists(q =>
+        q.field == "s" && q.op == "starts_with"), "prefix qual must reach the plugin")
+      assert(ScanLedger.lastSplitCount == 2,
+        s"one split per magnitude range, got ${ScanLedger.lastSplitCount}")
+    }
+  }
+
   test("transient failures retry per split and the scan still completes") {
     import graft.sources.api.ScanLedger
     ScanLedger.reset()
