@@ -147,6 +147,32 @@ object Relational3 {
              |  CAST(0 AS BIGINT) AS err
              |FROM r WHERE rk <= 20""".stripMargin)),
 
+    // deletion propagation (the right-to-be-forgotten pass every corpus
+    // with user data needs): given a deletion set (users with user_id % 53
+    // == 0 — "forget requests"), drop their events via a broadcast
+    // anti-join and emit the audit a DPA wants: per-user tombstones with
+    // purged-row counts, plus a retained-total check row. One anti-join
+    // (deletion set broadcast — at 100 TB the forget list is always the
+    // tiny side) and one aggregation; the oracle recomputes both.
+    GraftQuery("q_forget", (s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val forget = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 53 === 0)
+      val tombstones = ev.join(broadcast(forget), Seq("user_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purged"))
+        .select(col("user_id"), col("n_purged"), lit("tombstone").as("kind"))
+      val retained = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("n_purged"))
+        .select(lit(-1L).as("user_id"), col("n_purged"), lit("retained").as("kind"))
+      tombstones.unionByName(retained)
+    },
+      Some("""SELECT user_id, COUNT(*) AS n_purged, 'tombstone' AS kind
+             |FROM events WHERE user_id % 53 = 0 GROUP BY user_id
+             |UNION ALL
+             |SELECT -1 AS user_id, COUNT(*) AS n_purged, 'retained' AS kind
+             |FROM events WHERE user_id % 53 <> 0""".stripMargin)),
+
     // incremental aggregate maintenance: merge a MATERIALIZED partial-state
     // snapshot (the base corpus, aggregated once and stored) with a
     // freshly aggregated delta — the incremental-ETL shape that avoids

@@ -402,10 +402,17 @@ object Streams {
         val dedup = s.readStream.schema(schema).parquet(s"$staged/*.parquet")
           .select(col("event_type"), col("value"))
           .dropDuplicates("event_type", "value")
-        val q = dedup.writeStream.outputMode(OutputMode.Append())
+        // same state-width scoping as runToTable: replay-rate state in 8
+        // partitions, not the session's batch shuffle width (locks into
+        // the checkpoint at first start)
+        val was = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          s.conf.get("spark.graft.stream.statePartitions", "8"))
+        val q = try dedup.writeStream.outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .option("path", outDir)
           .format("parquet").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", was)
         q.processAllAvailable()
         q.stop()
       }
