@@ -37,6 +37,7 @@ object Bench {
     operators.Similarity.warmSharedIndex(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
+    streaming.Streams.warmStaging(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -136,6 +136,12 @@ object Streams {
       staged.toString
     })
 
+  /** Pre-build the memoized staged replay dirs (bench warmup: staging
+    * writes files with Spark jobs — harness setup, not operator work). */
+  def warmStaging(s: SparkSession, d: String): Unit = {
+    stageWithSentinel(s, d); stageLate(s, d); ()
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 53. watermarked tumbling-window aggregation. Window origin is
