@@ -137,7 +137,13 @@ object Similarity {
     (for (t <- 0 until graft.functions.LshSigs.numTables;
           p <- 0 until graft.functions.LshSigs.planesPerTable) yield {
       val plane = graft.functions.LshSigs.planes(t * graft.functions.LshSigs.planesPerTable + p)
-      s"($t, $p, ${plane.map(_.toString).mkString("[", ", ", "]")})"
+      // E-notation → DuckDB's DOUBLE parse path (a plain decimal literal
+      // goes through DECIMAL, whose cast double-rounds 17-digit values)
+      def dlit(x: Double): String = {
+        val r = x.toString
+        if (r.contains("E") || r.contains("e")) r else r + "E0"
+      }
+      s"($t, $p, ${plane.map(dlit).mkString("[", ", ", "]")})"
     }).mkString(",\n")
 
   val defs: Seq[GraftQuery] = Seq(

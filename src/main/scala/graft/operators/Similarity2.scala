@@ -177,6 +177,52 @@ object Similarity2 {
              |  FROM rr)
              |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin)),
 
+    // 46d. dimensionality reduction: seeded Johnson-Lindenstrauss random
+    // projection 64 → 16 dims (the first 16 LSH hyperplanes double as the
+    // projection matrix — same seed, identical on every executor). A pure
+    // map-only projection: each output dim is one strict left-fold dot
+    // against a matrix LITERAL baked into the plan (and into the oracle
+    // SQL), no shuffle, no broadcast needed. The standard pre-step before
+    // clustering/ANN when 100 TB of float vectors won't fit the budget.
+    GraftQuery("emb_dim_reduce", (s, d) => {
+      F.register(s)
+      import s.implicits._
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // matrix ships as DATA (createDataFrame), not SQL literals: a
+      // 17-significant-digit literal round-trips through Spark's DECIMAL
+      // parse whose toDouble double-rounds (unscaled > 2^53) — off by an
+      // ulp from the strtod the oracle uses. Binary doubles sidestep it.
+      val planes = (0 until 16).map(j =>
+        (j.toLong, graft.functions.LshSigs.planes(j).toSeq)).toDF("j", "plane")
+      base.crossJoin(broadcast(planes))
+        .withColumn("p", expr("dot_product(v, plane)"))
+        .select("vec_id", "j", "p")
+    },
+      Some({
+        // E-notation forces the DOUBLE parse path (strtod, correctly
+        // rounded); a plain decimal literal goes through DECIMAL whose
+        // cast to DOUBLE double-rounds 17-digit values by an ulp
+        def dlit(x: Double): String = {
+          val r = x.toString
+          if (r.contains("E") || r.contains("e")) r else r + "E0"
+        }
+        val planeRows16 = (0 until 16).map { j =>
+          val lits = graft.functions.LshSigs.planes(j)
+            .map(dlit).mkString("[", ", ", "]")
+          s"($j, $lits)"
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |pl AS (SELECT * FROM (VALUES
+           |$planeRows16) t(j, plane))
+           |SELECT e.vec_id, CAST(pl.j AS BIGINT) AS j,
+           |  list_reduce(list_transform(range(1, 65), i -> e.v[i] * pl.plane[i]),
+           |    (s, x) -> s + x) AS p
+           |FROM e CROSS JOIN pl""".stripMargin
+      })),
+
     // 45c. semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
     // embedding space with a deterministic coarse quantizer, then dedup
     // ONLY within clusters — pairwise work is bounded by cluster size, and
