@@ -389,6 +389,45 @@ object Multimodal {
              |  cc.media_id = cc.cluster_id AS keep
              |FROM cc JOIN cs USING (cluster_id)""".stripMargin)),
 
+    // 52h. lead/tail silence trim (the audio-preprocessing shape): planted
+    // zero-byte "silence" pads each payload (doc_id % 23 bytes front,
+    // doc_id * 7 % 19 back — deterministic, oracle-mirrored); the trimmer
+    // strips bytes below the threshold from both ends only, never interior
+    // content. Per-partition batched like every decoder stub, zero
+    // shuffle; exact byte arithmetic end to end.
+    GraftQuery("mm_silence_trim", (s, d) => {
+      import s.implicits._
+      media(s, d).mapPartitions { batch =>
+        batch.map { m =>
+          val lead = (m.doc_id % 23).toInt
+          val tail = (m.doc_id * 7 % 19).toInt
+          val padded = new Array[Byte](lead + m.payload.length + tail)
+          System.arraycopy(m.payload, 0, padded, lead, m.payload.length)
+          val thr = 32
+          var lo = 0
+          while (lo < padded.length && (padded(lo) & 0xff) < thr) lo += 1
+          var hi = padded.length
+          while (hi > lo && (padded(hi - 1) & 0xff) < thr) hi -= 1
+          var sum = 0L
+          var i = lo
+          while (i < hi) { sum += (padded(i) & 0xff); i += 1 }
+          (m.doc_id, padded.length.toLong, (hi - lo).toLong,
+            lo.toLong, (padded.length - hi).toLong, sum)
+        }
+      }.toDF("doc_id", "padded_bytes", "kept_bytes",
+        "lead_trim", "tail_trim", "kept_sum")
+    },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 23 + strlen(text) + (doc_id * 7) % 19 AS BIGINT)
+             |    AS padded_bytes,
+             |  CAST(strlen(text) AS BIGINT) AS kept_bytes,
+             |  CAST(doc_id % 23 AS BIGINT) AS lead_trim,
+             |  CAST((doc_id * 7) % 19 AS BIGINT) AS tail_trim,
+             |  CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+             |    i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0) AS BIGINT)
+             |    AS kept_sum
+             |FROM documents""".stripMargin)),
+
     // 52c. fixed-rate downsampling (the resize/pooling shape): the payload
     // is average-pooled over non-overlapping 16-byte windows — exact
     // integer sums, one double division per window, so the oracle matches

@@ -147,6 +147,29 @@ object Relational3 {
              |  CAST(0 AS BIGINT) AS err
              |FROM r WHERE rk <= 20""".stripMargin)),
 
+    // SCD type-2 dimension build: each user's event stream becomes
+    // validity intervals — valid_from = the event, valid_to = the next
+    // event (NULL while current) — the slowly-changing-dimension shape
+    // point-in-time joins consume. One window per user partition, no
+    // global sort; at 100 TB this shuffles once on user_id.
+    GraftQuery("q_scd2", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("us").as("valid_from_us"),
+          lead(col("us"), 1).over(w).as("valid_to_us"),
+          lead(col("us"), 1).over(w).isNull.as("is_current"))
+    },
+      Some("""SELECT user_id, event_id, event_type,
+             |  epoch_us(ts) AS valid_from_us,
+             |  LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+             |  LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // deletion propagation (the right-to-be-forgotten pass every corpus
     // with user data needs): given a deletion set (users with user_id % 53
     // == 0 — "forget requests"), drop their events via a broadcast
