@@ -147,6 +147,52 @@ object Relational3 {
              |  CAST(0 AS BIGINT) AS err
              |FROM r WHERE rk <= 20""".stripMargin)),
 
+    // nearest-event AS-OF variant: each purchase matched to the CLOSEST
+    // view of the same user within ±2h — either direction, unlike the
+    // backward-only q_asof_join. Same bucket-blocking scale shape as
+    // q_range_join (each probe unrolls 3 tolerance-sized buckets, the
+    // equi-join bounds candidates), then a per-purchase argmin window with
+    // (distance, view_id) tie-break.
+    GraftQuery("q_asof_nearest", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucketUs = 7200000000L
+      val ev = Tables.t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pus"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("vus"))
+        .withColumn("bkt", expr(s"vus div $bucketUs"))
+      val probes = p.withColumn("bkt", explode(expr(
+        s"array(pus div $bucketUs - 1, pus div $bucketUs, pus div $bucketUs + 1)")))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(abs(col("vus") - col("pus")).asc, col("view_id").asc)
+      val best = probes
+        .join(v, col("pu") === col("vu") && probes("bkt") === v("bkt") &&
+          abs(col("vus") - col("pus")) <= lit(bucketUs))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("view_id"),
+          abs(col("vus") - col("pus")).as("dist_us"))
+      p.select(col("purchase_id"), col("pu").as("user_id"))
+        .join(best, Seq("purchase_id"), "left")
+        .select("purchase_id", "user_id", "view_id", "dist_us")
+    },
+      Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+             |  FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+             |  FROM events WHERE event_type = 'view'),
+             |cand AS (SELECT p.purchase_id, p.user_id, v.view_id,
+             |    abs(v.vus - p.pus) AS dist_us,
+             |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+             |      ORDER BY abs(v.vus - p.pus), v.view_id) AS rn
+             |  FROM p JOIN v ON v.user_id = p.user_id
+             |    AND abs(v.vus - p.pus) <= 7200000000),
+             |best AS (SELECT purchase_id, view_id, dist_us FROM cand WHERE rn = 1)
+             |SELECT p.purchase_id, p.user_id, b.view_id, b.dist_us
+             |FROM p LEFT JOIN best b USING (purchase_id)""".stripMargin)),
+
     // SCD type-2 dimension build: each user's event stream becomes
     // validity intervals — valid_from = the event, valid_to = the next
     // event (NULL while current) — the slowly-changing-dimension shape

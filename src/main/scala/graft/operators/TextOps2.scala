@@ -155,6 +155,74 @@ object TextOps2 {
              |FROM seg JOIN freq USING (seg)
              |GROUP BY doc_id""".stripMargin)),
 
+    // content-defined chunk dedup (the rsync/CDC primitive): chunk
+    // boundaries fall where a 16-byte rolling polynomial hash hits
+    // h % 64 == 0, so boundaries move WITH content — an insertion early in
+    // a doc shifts every fixed-window shingle but only local CDC chunks,
+    // which is why chunk-level dedup survives edits that break offset-based
+    // schemes. Exact integer arithmetic ((acc·257 + byte) mod 2^20), chunk
+    // identity by md5, one global chunk-frequency shuffle; per-doc output
+    // is the dup-chunk profile (the dd_span analog with content-defined
+    // boundaries).
+    GraftQuery("dd_chunk_dedup", (s, d) => {
+      val base = Tables.widened(s, d, "documents")
+        .withColumn("b0", expr(
+          "IF(length(text) >= 16, filter(sequence(16, length(text)), i -> " +
+            "aggregate(sequence(i - 15, i), 0L, (acc, k) -> " +
+            "(acc * 257 + ascii(substring(text, k, 1))) % 1048576) % 64 = 0), " +
+            "array())"))
+        // append the end-of-doc boundary unless it already is one (no
+        // array_distinct: DuckDB's list_distinct does not preserve order)
+        .withColumn("bnds", expr(
+          "CASE WHEN size(b0) > 0 AND element_at(b0, size(b0)) = length(text) " +
+            "THEN b0 ELSE concat(b0, array(length(text))) END"))
+        .withColumn("chunks", expr(
+          "transform(sequence(1, size(bnds)), j -> md5(substring(text, " +
+            "IF(j = 1, 1, element_at(bnds, j - 1) + 1), " +
+            "element_at(bnds, j) - IF(j = 1, 0, element_at(bnds, j - 1)))))"))
+      val ch = base.select(col("doc_id"), explode(col("chunks")).as("ch")).persist()
+      val dup = ch.groupBy("ch").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("ch")
+      val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val dupPerDoc = ch.join(dup, Seq("ch"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+      base.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+    },
+      Some("""WITH b0 AS (SELECT doc_id, text,
+             |    list_filter(range(16, strlen(text) + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(i - 15, i + 1), k ->
+             |          CAST(ord(substr(text, CAST(k AS INTEGER), 1)) AS BIGINT))),
+             |        (acc, x) -> (acc * 257 + x) % 1048576) % 64 = 0) AS b0
+             |  FROM documents),
+             |b AS (SELECT doc_id, text,
+             |    CASE WHEN len(b0) > 0 AND b0[CAST(len(b0) AS INTEGER)] = strlen(text)
+             |         THEN b0 ELSE list_concat(b0, [CAST(strlen(text) AS BIGINT)]) END
+             |      AS bnds
+             |  FROM b0),
+             |c AS (SELECT doc_id, unnest(list_transform(range(1, len(bnds) + 1), j ->
+             |    md5(substr(text,
+             |      CAST(CASE WHEN j = 1 THEN 1 ELSE bnds[CAST(j - 1 AS INTEGER)] + 1 END AS INTEGER),
+             |      CAST(bnds[CAST(j AS INTEGER)]
+             |        - CASE WHEN j = 1 THEN 0 ELSE bnds[CAST(j - 1 AS INTEGER)] END AS INTEGER)))))
+             |    AS ch
+             |  FROM b),
+             |dup AS (SELECT ch FROM (SELECT ch, COUNT(DISTINCT doc_id) AS nd
+             |  FROM c GROUP BY ch) WHERE nd >= 2),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+             |dd AS (SELECT doc_id, COUNT(*) AS n_dup_chunks
+             |  FROM c JOIN dup USING (ch) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(pd.n_chunks, 0) AS n_chunks,
+             |  COALESCE(dd.n_dup_chunks, 0) AS n_dup_chunks
+             |FROM documents d
+             |LEFT JOIN pd USING (doc_id) LEFT JOIN dd USING (doc_id)""".stripMargin)),
+
     // Bloom-filter decontamination gate — the memory-bounded variant of
     // dd_decontaminate: instead of broadcasting the raw eval-set shingles,
     // broadcast a FIXED-SIZE filter (65536 positions, 4 md5-derived
