@@ -272,6 +272,63 @@ object PqEncode {
   }
 }
 
+/** Content-defined chunking: md5 hex of each chunk of an ASCII text,
+  * boundaries where the 16-byte rolling polynomial hash
+  * fold((acc·257 + byte) mod 2^20) over the trailing window ≡ 0 (mod 64),
+  * end-of-text always a boundary. One O(16·n) pass per row — the
+  * interpreted HOF formulation was O(16·n²) (positional substring seeks)
+  * and went quadratic on long docs. Arithmetic identical to the oracle's
+  * per-position fold. */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunks.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks = copy(c)
+}
+
+object CdcChunks {
+  private val W = 16
+  private val M = 1048576L
+  private val Mask = 64L
+
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val bounds = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = W
+    while (i <= n) {
+      // same fold as the oracle: left-to-right over the trailing 16 bytes
+      var acc = 0L
+      var k = i - W
+      while (k < i) { acc = (acc * 257 + (bytes(k) & 0xff)) % M; k += 1 }
+      if (acc % Mask == 0) bounds += i
+      i += 1
+    }
+    if (bounds.isEmpty || bounds.last != n) bounds += n
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bounds.length)
+    var j = 0
+    var lo = 0
+    while (j < bounds.length) {
+      val hi = bounds(j)
+      md.reset()
+      md.update(bytes, lo, hi - lo)
+      val hex = md.digest().map(b => f"$b%02x").mkString
+      out(j) = UTF8String.fromString(hex)
+      lo = hi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Static helpers shared by interpreted eval and generated code. */
 object VectorMath {
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -446,6 +503,7 @@ object F {
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
     ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),
+    ("cdc_chunks", (es: Seq[Expression]) => CdcChunks(es.head)),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),

@@ -165,21 +165,9 @@ object TextOps2 {
     // is the dup-chunk profile (the dd_span analog with content-defined
     // boundaries).
     GraftQuery("dd_chunk_dedup", (s, d) => {
+      graft.functions.F.register(s)
       val base = Tables.widened(s, d, "documents")
-        .withColumn("b0", expr(
-          "IF(length(text) >= 16, filter(sequence(16, length(text)), i -> " +
-            "aggregate(sequence(i - 15, i), 0L, (acc, k) -> " +
-            "(acc * 257 + ascii(substring(text, k, 1))) % 1048576) % 64 = 0), " +
-            "array())"))
-        // append the end-of-doc boundary unless it already is one (no
-        // array_distinct: DuckDB's list_distinct does not preserve order)
-        .withColumn("bnds", expr(
-          "CASE WHEN size(b0) > 0 AND element_at(b0, size(b0)) = length(text) " +
-            "THEN b0 ELSE concat(b0, array(length(text))) END"))
-        .withColumn("chunks", expr(
-          "transform(sequence(1, size(bnds)), j -> md5(substring(text, " +
-            "IF(j = 1, 1, element_at(bnds, j - 1) + 1), " +
-            "element_at(bnds, j) - IF(j = 1, 0, element_at(bnds, j - 1)))))"))
+        .withColumn("chunks", expr("cdc_chunks(text)"))
       val ch = base.select(col("doc_id"), explode(col("chunks")).as("ch")).persist()
       val dup = ch.groupBy("ch").agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("ch")
