@@ -28,6 +28,12 @@ object FlakyTable extends ApiTable {
 
   private val attempts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Re-arm the one-failure-per-split simulation. Called from
+    * ScanLedger.reset() so each spec/bench run observes the same retry
+    * count — otherwise a key fails only once per JVM and a second
+    * identical scan exercises no retries. */
+  def resetAttempts(): Unit = attempts.clear()
+
   override def splits(qc: QueryContext, config: PluginConfig): Seq[ApiSplit] =
     (0L until config.n by config.pageSize)
       .map(s => RangeSplit(s, math.min(s + config.pageSize, config.n)))
@@ -128,8 +134,11 @@ object NumbersTable extends ApiTable {
 
   override def estimatedRows(qc: QueryContext, config: PluginConfig): Option[Long] = {
     val (lo, hi, inIds) = narrowed(qc, config)
-    Some(inIds.map(_.count(v => v >= lo && v < hi).toLong)
-      .getOrElse(prefixNarrowed(qc, config) match {
+    val pr = prefixNarrowed(qc, config)
+    Some(inIds
+      .map(_.count(v => v >= lo && v < hi &&
+        pr.forall(_.exists(r => v >= r._1 && v < r._2))).toLong)
+      .getOrElse(pr match {
         case Some(rs) => rs.map { case (l, h) =>
           math.max(0L, math.min(h, hi) - math.max(l, lo))
         }.sum
@@ -159,7 +168,13 @@ object NumbersTable extends ApiTable {
       if (lo2 >= hi2) Seq.empty else Seq(RangeSplit(lo2, hi2, desc))
     } else inIds match {
       case Some(ids) =>
-        ids.filter(v => v >= lo && v < hi).distinct.sorted
+        // exactlyHandled drops Spark's residual LIKE, so the IN probes must
+        // also respect any pushed starts_with prefix ranges — without this
+        // intersection `id IN (...) AND s LIKE 'row_p%'` leaks non-matches
+        val pr = prefixNarrowed(qc, config)
+        ids.filter(v => v >= lo && v < hi &&
+            pr.forall(_.exists(r => v >= r._1 && v < r._2)))
+          .distinct.sorted
           .map(v => RangeSplit(v, v + 1))
       case None => prefixNarrowed(qc, config) match {
         case Some(ranges) =>

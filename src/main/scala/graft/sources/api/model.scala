@@ -247,5 +247,6 @@ object ScanLedger {
   def reset(): Unit = {
     scans.set(0); retries.set(0); lastQc = None; lastSplitCount = -1
     lastRuntimeQuals = Nil; lastPushedAggs = Nil
+    FlakyTable.resetAttempts()
   }
 }
