@@ -146,9 +146,13 @@ case class KmvSketchAgg(
   * minimum-count item is evicted and the newcomer inherits its count as
   * error bound. Guarantees: any item with true count > n/capacity is
   * retained, and reported count overestimates by at most its `err`.
-  * Merge is the summary union of Agarwal et al. 2012 ("Mergeable
-  * Summaries"): add counts/errors pointwise, re-truncate to capacity —
-  * the map-side-combinable shape heavy hitters need at 100 TB (shuffle is
+  * Merge folds each incoming partial's entries through the same
+  * Space-Saving insert (an already-monitored item adds counts/errors
+  * pointwise; a newcomer to a full summary evicts the min-count entry and
+  * inherits its count as error) — per-entry insertion rather than the
+  * pointwise-add-then-re-truncate union of Agarwal et al. 2012, but the
+  * same O(n/capacity) error bound holds, and it keeps the
+  * map-side-combinable shape heavy hitters need at 100 TB (shuffle is
   * `capacity` entries per group, not the corpus).
   *
   * Determinism contract: when distinct(group) ≤ capacity no eviction ever

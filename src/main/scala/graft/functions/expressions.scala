@@ -272,6 +272,79 @@ object PqEncode {
   }
 }
 
+/** Index of the candidate vector with the smallest squared-L2 distance to
+  * `v` (ties → lowest index). Candidates arrive as one broadcast
+  * array<array<double>>(K), so quantizer assignment (IVF cells, SemDeDup
+  * clusters) is a pure map-side projection — no N×K crossJoin, no window
+  * shuffle, and the cost is K·dims flops per row with K FIXED (the
+  * codebook is a hash-sample, never corpus-sized). Arithmetic is the
+  * strict left fold Σ(x−y)² the DuckDB oracles use, so assignment is
+  * bit-exact across engines. */
+case class ArgMinL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmin_l2"
+
+  override def nullSafeEval(v: Any, cands: Any): Any =
+    java.lang.Integer.valueOf(VectorMath.argminL2(
+      v.asInstanceOf[ArrayData], cands.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.argminL2($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgMinL2 =
+    copy(left = l, right = r)
+}
+
+/** Asymmetric PQ distance: Σ_m Σ_i (qv[m·dims+i] − cb[m·K + codes[m]][i])²
+  * between a full query vector and a PQ-coded candidate, against the same
+  * flat subspace-major codebook PqEncode consumes. One tight double loop
+  * per (query, candidate) replaces two nested interpreted HOF lambdas.
+  * Fold order (subspace-major, then dim-major, both strict left folds)
+  * matches the DuckDB oracle exactly. */
+case class AdcDist(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_dist"
+
+  override def nullSafeEval(qv: Any, cb: Any, codes: Any): Any =
+    java.lang.Double.valueOf(VectorMath.adcDist(
+      qv.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.VectorMath.adcDist($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): AdcDist =
+    copy(first = f, second = s, third = t)
+}
+
+/** Bloom-gate probe: count of md5-hex spans whose 4 filter positions
+  * (disjoint 8-hex-digit folds of the digest, mod 65536) are ALL present
+  * in the sorted broadcast position array. Folds the whole probe side of
+  * dd_bloom_gate — explode, 4-way posexplode, semi-join, two groupBys —
+  * into one map pass per document: 4 binary searches per span against an
+  * ≤8 KB broadcast, zero shuffles on the corpus. */
+case class BloomFlagCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_flag_count"
+
+  override def nullSafeEval(spans: Any, positions: Any): Any =
+    java.lang.Long.valueOf(HashOps.bloomFlagCount(
+      spans.asInstanceOf[ArrayData], positions.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.bloomFlagCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomFlagCount =
+    copy(left = l, right = r)
+}
+
 /** Content-defined chunking: md5 hex of each chunk of an ASCII text,
   * boundaries where the 16-byte rolling polynomial hash
   * fold((acc·257 + byte) mod 2^20) over the trailing window ≡ 0 (mod 64),
@@ -340,6 +413,54 @@ object VectorMath {
     while (i < n) { acc += x(i) * y(i); i += 1 }
     acc
   }
+  /** Index of the min-Σ(x−y)² candidate; strict `<` keeps the earliest on
+    * ties, matching the oracles' ORDER BY dist, rank. */
+  def argminL2(v: ArrayData, cands: ArrayData): Int = {
+    val x = v.toDoubleArray()
+    val k = cands.numElements()
+    var best = Double.PositiveInfinity
+    var bestR = -1
+    var r = 0
+    while (r < k) {
+      val cw = cands.getArray(r)
+      var s = 0.0
+      var i = 0
+      val n = math.min(x.length, cw.numElements())
+      while (i < n) {
+        val diff = x(i) - cw.getDouble(i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < best) { best = s; bestR = r }
+      r += 1
+    }
+    bestR
+  }
+
+  /** Asymmetric PQ distance against a flat subspace-major codebook
+    * (cb[m·K + r] = codeword r of subspace m); fold order matches the
+    * oracle: per-subspace inner fold, then subspace-major outer fold. */
+  def adcDist(qv: ArrayData, cb: ArrayData, codes: ArrayData): Double = {
+    val m = PqEncode.subspaces
+    val k = cb.numElements() / m
+    val dims = qv.numElements() / m
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cw = cb.getArray(mi * k + codes.getInt(mi))
+      var s = 0.0
+      var i = 0
+      while (i < dims) {
+        val diff = qv.getDouble(mi * dims + i) - cw.getDouble(i)
+        s += diff * diff
+        i += 1
+      }
+      acc += s
+      mi += 1
+    }
+    acc
+  }
+
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val set = new java.util.HashSet[UTF8String](a.numElements() * 2)
     var i = 0
@@ -431,6 +552,41 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Count of spans (32-char md5 hex strings) whose 4 Bloom positions all
+    * occur in the SORTED `positions` array. Positions are the same folds
+    * the oracle computes: conv(substring(sg, off, 8), 16, 10) % 65536 for
+    * off ∈ {1, 9, 17, 25} (1-based SQL offsets). */
+  def bloomFlagCount(spans: ArrayData, positions: ArrayData): Long = {
+    val np = positions.numElements()
+    def present(p: Long): Boolean = {
+      var lo = 0
+      var hi = np - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = positions.getLong(mid)
+        if (v == p) return true
+        if (v < p) lo = mid + 1 else hi = mid - 1
+      }
+      false
+    }
+    var flagged = 0L
+    var i = 0
+    val n = spans.numElements()
+    while (i < n) {
+      val hex = spans.getUTF8String(i).toString
+      var all = true
+      var off = 0
+      while (all && off < 32) {
+        val p = java.lang.Long.parseLong(hex.substring(off, off + 8), 16) % 65536L
+        if (!present(p)) all = false
+        off += 8
+      }
+      if (all) flagged += 1L
+      i += 1
+    }
+    flagged
+  }
+
   /** One-pass char + token frequency squared sums (SimpsonStats). Token
     * split matches filter(split(text, ' '), t -> t <> ''); char counting
     * matches length()/replace() arithmetic on the corpus's ASCII text. */
@@ -503,6 +659,9 @@ object F {
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
     ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),
+    ("argmin_l2", (es: Seq[Expression]) => ArgMinL2(es(0), es(1))),
+    ("adc_dist", (es: Seq[Expression]) => AdcDist(es(0), es(1), es(2))),
+    ("bloom_flag_count", (es: Seq[Expression]) => BloomFlagCount(es(0), es(1))),
     ("cdc_chunks", (es: Seq[Expression]) => CdcChunks(es.head)),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),

@@ -128,7 +128,10 @@ object Multimodal {
             variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
             i += 1
           }
-          Iterator(row(m.doc_id, m.payload), row(m.doc_id + 1000000L, variant))
+          // planted variants live in the NEGATIVE id namespace: disjoint
+          // from genuine doc_ids (always >= 0) at every corpus size — a
+          // fixed positive offset collides once real ids reach it
+          Iterator(row(m.doc_id, m.payload), row(-(m.doc_id + 1L), variant))
         } else Iterator(row(m.doc_id, m.payload))
       }
     }.toDF()
@@ -154,7 +157,7 @@ object Multimodal {
       |  FROM documents),
       |am AS (SELECT doc_id, n, bytes FROM raw
       |  UNION ALL
-      |  SELECT doc_id + 1000000, n,
+      |  SELECT -(doc_id + 1), n,
       |    list_transform(range(1, n + 1),
       |      i -> bytes[CAST(i AS INTEGER)] + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END)
       |  FROM raw WHERE doc_id % 7 = 0),

@@ -119,11 +119,14 @@ object Relational3 {
     // TypedImperativeAggregate, graft.functions.TopKFreqAgg) — top tokens
     // per source with error bounds. The shuffle carries ≤ capacity entries
     // per group (map-side partial merge), never the token stream — the
-    // 100 TB shape for "most common domains/tokens/urls". On this corpus
-    // vocab ≤ capacity, so counts are exact, err = 0, and the oracle
-    // checks the sketch answer against exact SQL counts; the
+    // 100 TB shape for "most common domains/tokens/urls". The oracle
+    // hardcodes exact counts and err = 0, which is valid ONLY in the
+    // distinct(tokens-per-source) ≤ capacity(256) regime — below capacity
+    // no eviction ever fires, so the sketch is exact regardless of
+    // partitioning/merge order (QueriesSpec pins this precondition per
+    // source so corpus growth can't silently break the contract); the
     // over-capacity bound (cnt - err ≤ true ≤ cnt, err ≤ n/capacity) is
-    // spec-tested.
+    // spec-tested separately.
     GraftQuery("q_approx_topk", (s, d) => {
       graft.functions.F.register(s)
       Tables.widened(s, d, "documents")

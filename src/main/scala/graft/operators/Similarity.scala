@@ -47,6 +47,32 @@ object Similarity {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (s, x) -> s + x)"
 
+  /** DuckDB-side squared-L2 with the identical strict left fold the native
+    * argmin_l2 / adc_dist expressions use (init 0, ascending i). */
+  private[operators] def duckL2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** Fixed quantizer sizes shared by the ANN/SemDeDup stack. K and nprobe
+    * are CONSTANTS, independent of corpus size: the codebook stays
+    * broadcast-able and assignment stays O(N·K) flops at any scale (the
+    * previous every-50th-vector rule made K = N/50 → O(N²/50)). */
+  private[operators] val ivfK = 32
+  private[operators] val ivfNProbe = 8
+
+  /** Deterministic fixed-size hash-sample: the K vec_ids with the smallest
+    * (md5(vec_id), vec_id) — an order both engines reproduce exactly, and
+    * one Spark answers with a TakeOrderedAndProject (per-partition top-K,
+    * no global sort shuffle). */
+  private[operators] def centroids(base: DataFrame, k: Int): DataFrame =
+    base.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** Oracle mirror of `centroids` (expects a CTE `n(vec_id, v, n2)`). */
+  private[operators] def centroidsSql(k: Int): String =
+    s"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n " +
+      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
+
   /** Shared LSH banding candidate generator over a (id, sig:
     * array<long>(64)) signature table: `bands` bands of `rows` consecutive
     * signature positions. Pairs sharing any intact band become candidates;
@@ -348,32 +374,39 @@ object Similarity {
              |  cc.doc_id = cc.cluster_id AS keep
              |FROM cc JOIN cs USING (cluster_id)""".stripMargin)),
 
-    // 46b. IVF ANN: deterministic coarse quantizer (every 50th vector is a
-    // centroid), cell assignment by nearest centroid, search probes the 3
-    // nearest cells. The full index build + search pipeline is
-    // SQL-expressible, so the oracle checks it end to end. At scale the
-    // assignment table is the persisted index; centroids broadcast.
+    // 46b. IVF ANN with a FIXED-size coarse quantizer: K=32 centroids
+    // chosen by a deterministic md5 hash-sample of vec_ids (K is
+    // independent of corpus size — at 100 TB the codebook is still 32
+    // vectors, broadcast-able by construction, and assignment stays
+    // O(N·K) with constant K instead of O(N²/50)). Cell assignment is a
+    // map-only native argmin_l2 over the broadcast centroid array — no
+    // N×K crossJoin materialization, no per-vector window shuffle. The
+    // probe side (queries × centroids) keeps the window: it is 8×K rows.
+    // The full index build + search pipeline is SQL-expressible, so the
+    // oracle checks it end to end.
     GraftQuery("ann_ivf", (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      F.register(s)
       val base = vecs(s, d)
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-      // build: assign each vector to its nearest centroid (L2² = n2 + cn2 - 2·dot)
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
-      val assign = base.crossJoin(broadcast(cents))
-        .withColumn("dist2", col("n2") + col("cn2") - lit(2.0) * expr("dot_product(v, cv)"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id").as("n_id"), col("cid").as("cell"),
+      val cents = centroids(base, ivfK)
+      val cbRow = cents.agg(
+        expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
+        expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
+      // build: map-only nearest-centroid assignment (ties → lowest cid,
+      // identical to the oracle's ORDER BY dist, cid)
+      val assign = base.crossJoin(broadcast(cbRow))
+        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+        .select(col("vec_id").as("n_id"), col("cell"),
           col("v").as("nv"), col("n2").as("nn2"))
-      // search: probe the 3 nearest cells per query, exact top-5 inside
+      // search: probe the nprobe nearest cells per query, exact top-5 inside
       val q = base.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
       val probes = broadcast(q).crossJoin(broadcast(cents))
-        .withColumn("qdist2", col("qn") + col("cn2") - lit(2.0) * expr("dot_product(qv, cv)"))
+        .withColumn("qdist2", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x)"))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 3)
+        .filter(col("prn") <= ivfNProbe)
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
       probes.join(assign, "cell")
@@ -386,20 +419,20 @@ object Similarity {
       Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
              |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
-             |c AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+             |c AS (${centroidsSql(ivfK)}),
              |asg AS (
              |  SELECT vec_id AS n_id, cid AS cell, v AS nv, n2 AS nn2 FROM (
              |    SELECT n.vec_id, c.cid, n.v, n.n2,
              |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             |        ORDER BY n.n2 + c.cn2 - 2.0 * ${duckDot("n.v", "c.cv")}, c.cid) AS arn
+             |        ORDER BY ${duckL2("n.v", "c.cv")}, c.cid) AS arn
              |    FROM n CROSS JOIN c) WHERE arn = 1),
              |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
              |probes AS (
              |  SELECT q_id, qv, qn, cid AS cell FROM (
              |    SELECT q.q_id, q.qv, q.qn, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-             |        ORDER BY q.qn + c.cn2 - 2.0 * ${duckDot("q.qv", "c.cv")}, c.cid) AS prn
-             |    FROM q CROSS JOIN c) WHERE prn <= 3),
+             |        ORDER BY ${duckL2("q.qv", "c.cv")}, c.cid) AS prn
+             |    FROM q CROSS JOIN c) WHERE prn <= $ivfNProbe),
              |cand AS (
              |  SELECT p.q_id, a.n_id,
              |    ${duckDot("p.qv", "a.nv")} / (sqrt(p.qn) * sqrt(a.nn2)) AS cos

@@ -26,6 +26,47 @@ object Similarity2 {
       s"transform(sequence(0, ${bands - 1}), b -> slice(sig, $rows * b + 1, $rows))"))
       .as(Seq("band", "bk")))
 
+  /** Codewords per subspace — FIXED, like Similarity.ivfK: the codebook is
+    * a hash-sample, never corpus-sized. */
+  private val pqK = 64
+
+  /** Flat subspace-major PQ codebook (one row, array<array<double>>(8·K))
+    * from a deterministic md5 hash-sample of `pqK` vectors; codewords
+    * ordered by (subspace, sample rank) in both engines. */
+  private def pqCodebook(base: DataFrame): DataFrame =
+    base.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(pqK)
+      .select(col("h"), col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, slice(v, 8 * m + 1, 8) AS sub))"))
+        .as("ms"))
+      .select(col("ms.m").as("m"), col("h"), col("vec_id"), col("ms.sub").as("sub"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(m, h, vec_id, sub))), x -> x.sub)")
+        .as("cb"))
+
+  /** Oracle mirror of `pqCodebook` (expects a CTE `n(vec_id, v, n2)`);
+    * emits CTEs `sq`, `sub`, `cb(cb, k)`. `crank` is the sample rank —
+    * exactly the codeword's index in the flat Spark-side codebook, so the
+    * oracle's codes are positionally identical to pq_encode's. */
+  private def pqCodebookSql: String =
+    s"""sq AS (SELECT vec_id, v,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |      AS INTEGER) AS crank
+       |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+       |sub AS (SELECT m, crank, list_slice(v, 8 * m + 1, 8 * m + 8) AS sub
+       |  FROM sq, range(0, 8) r(m)),
+       |cb AS (SELECT list(sub ORDER BY m, crank) AS cb,
+       |    CAST(COUNT(*) // 8 AS INTEGER) AS k FROM sub)""".stripMargin
+
+  /** One-row (cids, cvs) centroid arrays for map-only argmin_l2 assignment,
+    * sorted by cid — index r in `cvs` is the centroid whose id is
+    * `cids[r]`, and ties in argmin_l2 (earliest index) therefore match the
+    * oracles' ORDER BY dist, cid. */
+  private[operators] def centroidArrays(cents: DataFrame): DataFrame =
+    cents.agg(
+      expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
+      expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 42d. incremental near-dup: the "new batch" (doc_id % 10 == 0 — the
@@ -77,17 +118,20 @@ object Similarity2 {
              |  JOIN d db ON db.doc_id = pre.oid)
              |SELECT nid, oid, jacc FROM v WHERE jacc >= 0.7""".stripMargin)),
 
-    // 46c. product-quantization ANN: 8 subspaces × 8 dims, deterministic
-    // codebook (every 50th vector's subvectors), 8-bit codes per vector,
-    // asymmetric-distance search (query × codebook table, codes looked up,
-    // never full vectors), exact cosine re-rank of the approximate top-50 (10×k — the usual production re-rank depth).
-    // Scale: the code table is ~8 B/vector vs 512 B of floats (64×
-    // smaller scan), the codebook broadcasts, and real vectors are only
-    // read for the ~50 re-rank candidates per query. Float determinism:
-    // every distance is an in-expression left fold (subspace-major, then
-    // dim-major) — no cross-row float SUM whose order could differ between
-    // engines — so the oracle reproduces assignment, ADC ranking and
-    // re-rank bit-exactly.
+    // 46c. product-quantization ANN: 8 subspaces × 8 dims, FIXED-size
+    // deterministic codebook (K=64 codewords per subspace from an md5
+    // hash-sample of vec_ids — independent of corpus size, so the
+    // broadcast codebook stays ~4 KB and encode stays O(N·K) at 100 TB),
+    // 8-bit codes per vector, asymmetric-distance search (query ×
+    // codebook table, codes looked up, never full vectors), exact cosine
+    // re-rank of the approximate top-50 (10×k — the usual production
+    // re-rank depth). Scale: the code table is ~8 B/vector vs 512 B of
+    // floats (64× smaller scan), the codebook broadcasts, and real
+    // vectors are only read for the ~50 re-rank candidates per query.
+    // Float determinism: every distance is an in-expression left fold
+    // (subspace-major, then dim-major) — no cross-row float SUM whose
+    // order could differ between engines — so the oracle reproduces
+    // assignment, ADC ranking and re-rank bit-exactly.
     GraftQuery("ann_pq", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       F.register(s)
@@ -95,15 +139,7 @@ object Similarity2 {
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
-      // codebook: subvector m of every 50th vector; flat cb[m*K + crank]
-      val subs = base.filter(col("vec_id") % 50 === 0)
-        .select(expr("CAST(vec_id DIV 50 AS INT)").as("crank"), col("v"))
-        .select(col("crank"), explode(expr(
-          "transform(sequence(0, 7), m -> struct(m AS m, slice(v, 8 * m + 1, 8) AS sub))"))
-          .as("ms"))
-        .select(col("ms.m").as("m"), col("crank"), col("ms.sub").as("sub"))
-      val cbDF = subs.agg(expr(
-        "transform(array_sort(collect_list(struct(m, crank, sub))), x -> x.sub)").as("cb"))
+      val cbDF = pqCodebook(base)
       // encode: nearest codeword per (vector, subspace) via the native
       // pq_encode expression (functions.PqEncode) over the broadcast
       // codebook — a pure map-only projection in one codegen'd tight loop
@@ -113,7 +149,8 @@ object Similarity2 {
       val codes = base.crossJoin(broadcast(cbDF))
         .withColumn("codes", expr("pq_encode(v, cb)"))
         .select(col("vec_id").as("n_id"), col("codes"), col("v"), col("n2"))
-      // search: ADC over codes (one in-expression fold per candidate), then
+      // search: native adc_dist per candidate (one codegen'd tight loop —
+      // the interpreted nested-HOF fold was the bench's hottest line), then
       // exact re-rank of the approximate top-50
       val qs = base.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
@@ -121,11 +158,7 @@ object Similarity2 {
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
       broadcast(qs.crossJoin(cbDF))
         .join(codes, col("n_id") =!= col("q_id"))
-        .withColumn("adist", expr(
-          "aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (s, m) -> s + " +
-            "aggregate(zip_with(slice(qv, 8 * m + 1, 8), " +
-            "element_at(cb, m * CAST(size(cb) DIV 8 AS INT) + element_at(codes, m + 1) + 1), " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s2, x) -> s2 + x))"))
+        .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
         .withColumn("ra", row_number().over(wA))
         .filter(col("ra") <= 50)
         .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
@@ -138,11 +171,7 @@ object Similarity2 {
              |n AS (SELECT vec_id, v,
              |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
              |      (s, x) -> s + x) AS n2 FROM e),
-             |sub AS (SELECT m, CAST(vec_id // 50 AS INTEGER) AS crank,
-             |    list_slice(v, 8 * m + 1, 8 * m + 8) AS sub
-             |  FROM e, range(0, 8) r(m) WHERE vec_id % 50 = 0),
-             |cb AS (SELECT list(sub ORDER BY m, crank) AS cb,
-             |    CAST(COUNT(*) // 8 AS INTEGER) AS k FROM sub),
+             |$pqCodebookSql,
              |dists AS (SELECT n.vec_id, s.m, s.crank,
              |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
              |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
@@ -224,32 +253,25 @@ object Similarity2 {
       })),
 
     // 45c. semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
-    // embedding space with a deterministic coarse quantizer, then dedup
-    // ONLY within clusters — pairwise work is bounded by cluster size, and
-    // pairs straddling cluster boundaries are out of contract by design
-    // (that is the SemDeDup trade: candidate generation from semantic
-    // clusters instead of labels/LSH). Assignment is the same map-only
-    // in-expression argmin as ann_pq's encoder (centroids broadcast, no
-    // shuffle); the pairwise stage shuffles once on cluster_id.
+    // embedding space with a deterministic FIXED-size coarse quantizer
+    // (K=32 hash-sampled centroids, like ann_ivf — the centroid array is
+    // size-independent of the corpus, so the broadcast never grows and
+    // assignment stays O(N·K) with constant K), then dedup ONLY within
+    // clusters — pairwise work is bounded by cluster size, and pairs
+    // straddling cluster boundaries are out of contract by design (that is
+    // the SemDeDup trade: candidate generation from semantic clusters
+    // instead of labels/LSH). Assignment is a map-only native argmin_l2
+    // (centroids broadcast, no shuffle, codegen'd tight loop); the
+    // pairwise stage shuffles once on cluster_id.
     GraftQuery("dd_semantic", (s, d) => {
       F.register(s)
       val base = Tables.widened(s, d, "embeddings").select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
-      val cents = base.filter(col("vec_id") % 50 === 0)
-        .select(expr("CAST(vec_id DIV 50 AS INT)").as("crank"), col("v").as("cv"))
-        .agg(expr("transform(array_sort(collect_list(struct(crank, cv))), x -> x.cv)")
-          .as("cents"))
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("cluster_id", expr(
-          "aggregate(" +
-            "transform(sequence(0, size(cents) - 1), r -> " +
-            "  struct(aggregate(zip_with(v, element_at(cents, r + 1), " +
-            "    (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x) AS d, " +
-            "  r AS r)), " +
-            "struct(CAST('Infinity' AS DOUBLE) AS d, -1 AS r), " +
-            "(acc, c) -> IF(c.d < acc.d, c, acc)).r"))
+      val cbRow = centroidArrays(Similarity.centroids(base, Similarity.ivfK))
+      val assigned = base.crossJoin(broadcast(cbRow))
+        .withColumn("cluster_id", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
         .select(col("vec_id"), col("cluster_id"), col("v"), col("n2"))
       val a = assigned.select(col("cluster_id"), col("vec_id").as("ia"),
         col("v").as("va"), col("n2").as("na"))
@@ -267,15 +289,11 @@ object Similarity2 {
              |n AS (SELECT vec_id, v,
              |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
              |      (s, x) -> s + x) AS n2 FROM e),
-             |c AS (SELECT CAST(vec_id // 50 AS INTEGER) AS crank, v AS cv
-             |  FROM e WHERE vec_id % 50 = 0),
-             |asgn AS (SELECT vec_id, crank AS cluster_id FROM (
-             |    SELECT n.vec_id, c.crank,
+             |c AS (${Similarity.centroidsSql(Similarity.ivfK)}),
+             |asgn AS (SELECT vec_id, cid AS cluster_id FROM (
+             |    SELECT n.vec_id, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-             |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |          list_transform(range(1, 65),
-             |            i -> (n.v[i] - c.cv[i]) * (n.v[i] - c.cv[i]))),
-             |          (acc, x) -> acc + x), c.crank) AS rn
+             |        ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS rn
              |    FROM n CROSS JOIN c) WHERE rn = 1),
              |j AS (SELECT a.cluster_id, na.vec_id AS ia, nb.vec_id AS ib,
              |    list_reduce(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]),
@@ -285,6 +303,112 @@ object Similarity2 {
              |  JOIN n na ON na.vec_id = a.vec_id
              |  JOIN n nb ON nb.vec_id = b.vec_id)
              |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, ia, ib, cos
-             |FROM j WHERE cos >= 0.35""".stripMargin))
+             |FROM j WHERE cos >= 0.35""".stripMargin)),
+
+    // 46e. IVF-PQ — the composed production ANN at 100 TB scale: coarse
+    // probe bounds WHICH vectors are considered (nprobe of K fixed cells,
+    // cell assignment map-only argmin_l2), ADC over 8-byte PQ codes bounds
+    // WHAT is read per candidate (codes + broadcast codebook, never full
+    // vectors), and only the approximate top-50 re-reads real vectors for
+    // the exact cosine re-rank. Index build (cell + codes per vector) is
+    // one map-only projection over two one-row broadcasts; search cost is
+    // |probed cells| · 8 B per query plus 50 full-vector reads. Every
+    // stage is the same in-expression left-fold arithmetic as
+    // ann_ivf/ann_pq, so the oracle reproduces the whole pipeline
+    // bit-exactly.
+    GraftQuery("ann_ivf_pq", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      F.register(s)
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      val cents = Similarity.centroids(base, Similarity.ivfK)
+      val cbRow = centroidArrays(cents)
+      val pqCb = pqCodebook(base)
+      // index: (cell, codes) per vector in ONE map pass — at scale this is
+      // the persisted artifact; the full-vector columns ride along here
+      // only because the re-rank needs them and the test corpus is small
+      val index = base.crossJoin(broadcast(cbRow)).crossJoin(broadcast(pqCb))
+        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+        .withColumn("codes", expr("pq_encode(v, cb)"))
+        .select(col("vec_id").as("n_id"), col("cell"), col("codes"),
+          col("v"), col("n2"))
+      val qs = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
+      val probes = broadcast(qs).crossJoin(broadcast(cents))
+        .withColumn("qdist2", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= Similarity.ivfNProbe)
+        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+      val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+      probes.crossJoin(broadcast(pqCb))
+        .join(index, Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
+        .withColumn("ra", row_number().over(wA))
+        .filter(col("ra") <= 50)
+        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "rk", "n_id", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+             |      (s, x) -> s + x) AS n2 FROM e),
+             |c AS (${Similarity.centroidsSql(Similarity.ivfK)}),
+             |asg AS (SELECT vec_id AS n_id, cid AS cell FROM (
+             |    SELECT n.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS arn
+             |    FROM n CROSS JOIN c) WHERE arn = 1),
+             |$pqCodebookSql,
+             |dists AS (SELECT n.vec_id, s.m, s.crank,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+             |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
+             |         * (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)]))),
+             |      (acc, x) -> acc + x) AS dist
+             |  FROM n CROSS JOIN sub s),
+             |asgn AS (SELECT vec_id, m, crank,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, crank) AS rn
+             |  FROM dists),
+             |codes AS (SELECT a.vec_id AS n_id, list(a.crank ORDER BY a.m) AS codes
+             |  FROM asgn a WHERE a.rn = 1 GROUP BY a.vec_id),
+             |idx AS (SELECT asg.n_id, asg.cell, codes.codes, n.v, n.n2
+             |  FROM asg JOIN codes ON codes.n_id = asg.n_id
+             |  JOIN n ON n.vec_id = asg.n_id),
+             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
+             |probes AS (
+             |  SELECT q_id, qv, qn, cid AS cell FROM (
+             |    SELECT q.q_id, q.qv, q.qn, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+             |        ORDER BY ${Similarity.duckL2("q.qv", "c.cv")}, c.cid) AS prn
+             |    FROM q CROSS JOIN c) WHERE prn <= ${Similarity.ivfNProbe}),
+             |adc AS (SELECT p.q_id, p.qv, p.qn, ct.n_id, ct.v, ct.n2,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
+             |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+             |        i -> (p.qv[CAST(8 * m + i AS INTEGER)]
+             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)])
+             |           * (p.qv[CAST(8 * m + i AS INTEGER)]
+             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)]))),
+             |        (s2, x) -> s2 + x))), (acc, x) -> acc + x) AS adist
+             |  FROM probes p CROSS JOIN cb JOIN idx ct
+             |    ON ct.cell = p.cell AND ct.n_id <> p.q_id),
+             |top AS (SELECT q_id, qv, qn, n_id, v, n2,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS ra
+             |  FROM adc),
+             |rr AS (SELECT q_id, n_id,
+             |    list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]),
+             |      (s, x) -> s + x) / (sqrt(qn) * sqrt(n2)) AS cos
+             |  FROM top WHERE ra <= 50),
+             |fin AS (SELECT q_id, n_id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+             |  FROM rr)
+             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin))
   )
 }

@@ -143,10 +143,11 @@ object TextOps2 {
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
              |  FROM documents),
-             |seg AS (SELECT doc_id, j AS pos,
-             |    array_to_string(list_slice(toks,
-             |      CAST(4 * j + 1 AS BIGINT), CAST(4 * j + 4 AS BIGINT)), ' ') AS seg
-             |  FROM t, range(0, 500) r(j) WHERE 4 * j < len(toks)),
+             |seg AS (SELECT doc_id,
+             |    unnest(range(0, (len(toks) + 3) // 4)) AS pos,
+             |    unnest(list_transform(range(0, (len(toks) + 3) // 4),
+             |      j -> array_to_string(list_slice(toks, 4 * j + 1, 4 * j + 4), ' '))) AS seg
+             |  FROM t),
              |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY seg)
              |SELECT doc_id,
              |  COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE nd < 3), ' '),
@@ -218,6 +219,14 @@ object TextOps2 {
     // n-grams but the filter stays 8 KB — and false positives are part of
     // the contract, not noise: the oracle recomputes the same positions,
     // so even FPR-induced flags hash-match exactly.
+    //
+    // The corpus side is a PURE MAP PASS: the native bloom_flag_count
+    // expression counts, per document, the spans whose 4 probe positions
+    // all hit the broadcast filter — no posexplode of 4× the span stream,
+    // no corpus-wide semi-join, no per-(doc, span) + per-doc groupBy pair
+    // (the previous shape shuffled the multiplied probe stream twice; at
+    // 100 TB those shuffles dominate the gate). Only the small eval-set
+    // side aggregates (its distinct probe positions ARE the filter).
     GraftQuery("dd_bloom_gate", (s, d) => {
       graft.functions.F.register(s)
       val all = Tables.widened(s, d, "documents")
@@ -225,24 +234,18 @@ object TextOps2 {
       // positions fold disjoint segments of that digest, no second hash
       def pos(off: Int) =
         expr(s"CAST(conv(substring(sg, $off, 8), 16, 10) AS BIGINT) % 65536")
-      val grams = all.withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), explode(expr(spanExpr)).as("sg"))
-      val bench = grams.filter(col("doc_id") % 10 === 3).select("sg").distinct()
-      val bloom = bench
+      val bloom = all.filter(col("doc_id") % 10 === 3)
+        .withColumn("toks", expr(toksExpr))
+        .select(explode(expr(spanExpr)).as("sg"))
         .select(explode(array(pos(1), pos(9), pos(17), pos(25))).as("pos"))
-        .distinct()
-      val probes = grams.filter(col("doc_id") % 10 =!= 3)
-        .select(col("doc_id"), col("sg"), posexplode(
-          array(pos(1), pos(9), pos(17), pos(25))).as(Seq("j", "pos")))
-      val flagged = probes.join(broadcast(bloom), Seq("pos"), "left_semi")
-        .groupBy("doc_id", "sg").agg(count(lit(1)).as("k_hits"))
-        .filter(col("k_hits") === 4)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
-      all.filter(col("doc_id") % 10 =!= 3).select("doc_id")
-        .join(flagged, Seq("doc_id"), "left")
+        .agg(expr("array_sort(collect_set(pos))").as("bits"))
+      all.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), expr(spanExpr).as("sgs"))
+        .crossJoin(broadcast(bloom))
         .select(col("doc_id"),
-          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
-          (coalesce(col("n_flagged"), lit(0L)) > 0).as("gated"))
+          expr("bloom_flag_count(sgs, bits)").as("n_flagged"))
+        .withColumn("gated", col("n_flagged") > 0)
     },
       Some(s"""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -111,6 +111,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf assignment is map-only argmin_l2 — no N×K window shuffle") {
+    val df = SparkEntry.queries("ann_ivf")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "cell assignment must not materialize an N×K window per vec_id:\n" + p)
+    val line = p.linesIterator.find(_.contains("argmin_l2")).getOrElse("")
+    assert(line.contains("*("), s"argmin_l2 must be codegen'd, got: $line")
+  }
+
+  test("ann_pq ADC search uses the native adc_dist inside codegen") {
+    val df = SparkEntry.queries("ann_pq")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("adc_dist")).getOrElse("")
+    assert(line.contains("*("), s"adc_dist must be codegen'd, got: $line")
+  }
+
+  test("dd_semantic assignment is map-only argmin_l2 — no N×K window shuffle") {
+    val df = SparkEntry.queries("dd_semantic")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "cluster assignment must not window per vec_id:\n" + p)
+  }
+
+  test("dd_bloom_gate probe side is one map pass over a broadcast filter") {
+    val df = SparkEntry.queries("dd_bloom_gate")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the only allowed shuffle is the tiny eval-set filter build (a
+    // single-partition collect_set); the corpus side must not repartition
+    assert(!p.contains("hashpartitioning"),
+      "probe stream must not shuffle (was: posexplode + semi-join + 2 groupBys):\n" + p)
+    val line = p.linesIterator.find(_.contains("bloom_flag_count")).getOrElse("")
+    assert(line.contains("*("), s"bloom_flag_count must be codegen'd, got: $line")
+  }
+
   test("top_bigram_stats stays inside whole-stage codegen; no explode in ta_repetition") {
     val df = SparkEntry.queries("ta_repetition")(spark, sf)
     df.queryExecution.toRdd.count()

@@ -27,4 +27,20 @@ class QueriesSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("q_approx_topk exact-oracle precondition: per-source vocab ≤ capacity") {
+    // the oracle hardcodes exact counts and err = 0, which only holds while
+    // no Space-Saving eviction fires — i.e. distinct tokens per source stay
+    // within the sketch capacity (256). Pin it so corpus growth can't
+    // silently break the hash contract.
+    import org.apache.spark.sql.functions._
+    val vocab = Tables.widened(spark, sf, "documents")
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+      .groupBy("source").agg(countDistinct("token").as("nd"))
+      .agg(max("nd")).head.getLong(0)
+    assert(vocab <= 256,
+      s"per-source vocab $vocab exceeds sketch capacity 256: q_approx_topk's " +
+        "err=0 oracle is no longer exact — raise capacity or weaken the oracle")
+  }
 }

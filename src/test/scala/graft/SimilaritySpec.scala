@@ -73,14 +73,14 @@ class SimilaritySpec extends SparkSpec {
     assert(union(0) == union(1), "union sketch must equal the sketch of the unioned set")
   }
 
-  test("IVF search recall: probing 3 cells finds most brute-force top-5") {
+  test("IVF search recall: probing 8 of 32 cells finds most brute-force top-5") {
     val ivf = SparkEntry.queries("ann_ivf")(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = SparkEntry.queries("ann_topk")(spark, sf)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
     // sf0.001 embeddings are near-random (little cluster structure), so the
-    // bar is: recall must clearly beat the probed cell fraction (3/10).
+    // bar is: recall must clearly beat the probed cell fraction (8/32).
     assert(recall >= 0.35, s"IVF recall vs brute force too low: $recall")
   }
 

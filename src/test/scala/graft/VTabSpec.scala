@@ -265,6 +265,55 @@ class VTabSpec extends SparkSpec {
     }
   }
 
+  test("IN probes intersect pushed LIKE-prefix ranges (IN × starts_with)") {
+    // regression pin for the exactlyHandled contract: both quals are
+    // claimed exact, so Spark drops its residual LIKE — if the IN branch
+    // of splits() ignored the prefix ranges, id=5 would leak back
+    noCache {
+      ScanLedger.reset()
+      val rows = numbers
+        .filter(col("id").isin(5L, 1230L) && col("s").startsWith("row_123"))
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1230L), s"got ${rows.mkString(",")}")
+      val quals = ScanLedger.lastQc.get.quals
+      assert(quals.exists(q => q.field == "id" && q.op == "in"),
+        s"IN qual must reach the plugin, got $quals")
+      assert(quals.exists(q => q.field == "s" && q.op == "starts_with"),
+        s"prefix qual must reach the plugin, got $quals")
+      assert(ScanLedger.lastSplitCount == 1,
+        s"only the prefix-surviving probe id=1230 may split, got ${ScanLedger.lastSplitCount}")
+    }
+  }
+
+  test("metrics series_id RANGE quals stay residual (only '=' is exact)") {
+    // SeriesTable.splits() ignores series_id ranges, so exactlyHandled must
+    // NOT claim them — claiming exact would make Spark drop its residual
+    // re-check and a range qual the plugin never enforces would leak the
+    // whole enumerated sid page. (A plan-level `= AND >` probe folds to
+    // false under ConstantPropagation before it reaches the scan, so the
+    // contract is pinned at the API layer.)
+    assert(SeriesTable.exactlyHandled(Qual("series_id", "=", 5L)),
+      "series_id '=' is enforced by splits() and must be claimed exact")
+    for (op <- Seq(">", ">=", "<", "<="))
+      assert(!SeriesTable.exactlyHandled(Qual("series_id", op, 5L)),
+        s"series_id '$op' is ignored by splits() and must stay residual")
+    // and t ranges ARE enforced: claimed exact, splits narrowed accordingly
+    noCache {
+      ScanLedger.reset()
+      val series = spark.read.format("graft")
+        .option("plugin", "metrics").option("table", "series").load()
+      val kept = series
+        .filter(col("series_id") === 5L && col("t") >= 10L && col("t") < 110L)
+        .collect()
+      assert(kept.length == 100, s"expected the narrowed t page, got ${kept.length}")
+      val qc = ScanLedger.lastQc.get
+      assert(qc.quals.exists(q => q.field == "series_id" && q.op == "="),
+        s"required key must reach the plugin, got ${qc.quals}")
+      assert(qc.quals.count(_.field == "t") == 2,
+        s"both t bounds must reach the plugin, got ${qc.quals}")
+    }
+  }
+
   test("transient failures retry per split and the scan still completes") {
     import graft.sources.api.ScanLedger
     ScanLedger.reset()
