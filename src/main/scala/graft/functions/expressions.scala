@@ -402,6 +402,78 @@ object CdcChunks {
   }
 }
 
+/** Recursive JSON tree walk (SQLite JSON1 `json_tree` parity — the
+  * reference ships JSON columns through mapping.go:66-84 precisely so
+  * JSON1 can walk them): one row per node, document order, as
+  * array<struct<path, key, type, value>> to explode. Path uses the
+  * standard `$.a[0].b` syntax; `key` is NULL at the root, the member name
+  * in objects, the index in arrays; `type` uses DuckDB's json_type names
+  * (OBJECT/ARRAY/UBIGINT/BIGINT/DOUBLE/VARCHAR/BOOLEAN) so the oracle's
+  * recursive-CTE walk matches verbatim; `value` is the node's compact
+  * JSON text for scalars, NULL for containers. */
+case class JsonTreeWalk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = JsonWalk.outType
+  override def prettyName: String = "json_tree_walk"
+
+  override def nullSafeEval(input: Any): Any =
+    JsonWalk.walk(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JsonWalk.walk($c);")
+
+  override protected def withNewChildInternal(c: Expression): JsonTreeWalk = copy(c)
+}
+
+object JsonWalk {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("type", StringType, nullable = false),
+    StructField("value", StringType, nullable = true))), containsNull = false)
+
+  private val mapper = new ThreadLocal[ObjectMapper] {
+    override def initialValue(): ObjectMapper = new ObjectMapper()
+  }
+
+  def walk(js: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    def rec(node: JsonNode, path: String, key: String): Unit = {
+      val tpe =
+        if (node.isObject) "OBJECT"
+        else if (node.isArray) "ARRAY"
+        else if (node.isTextual) "VARCHAR"
+        else if (node.isBoolean) "BOOLEAN"
+        else if (node.isIntegralNumber) { if (node.asLong() >= 0) "UBIGINT" else "BIGINT" }
+        else if (node.isNumber) "DOUBLE"
+        else "NULL"
+      val value =
+        if (node.isObject || node.isArray || node.isNull) null
+        else UTF8String.fromString(node.toString) // compact JSON text
+      out += InternalRow(UTF8String.fromString(path),
+        if (key == null) null else UTF8String.fromString(key),
+        UTF8String.fromString(tpe), value)
+      if (node.isObject) {
+        val it = node.fields() // Jackson preserves document key order
+        while (it.hasNext) {
+          val e = it.next()
+          rec(e.getValue, path + "." + e.getKey, e.getKey)
+        }
+      } else if (node.isArray) {
+        var i = 0
+        while (i < node.size()) {
+          rec(node.get(i), path + "[" + i + "]", i.toString)
+          i += 1
+        }
+      }
+    }
+    rec(mapper.get().readTree(js.toString), "$", null)
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
 /** Static helpers shared by interpreted eval and generated code. */
 object VectorMath {
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -663,6 +735,7 @@ object F {
     ("adc_dist", (es: Seq[Expression]) => AdcDist(es(0), es(1), es(2))),
     ("bloom_flag_count", (es: Seq[Expression]) => BloomFlagCount(es(0), es(1))),
     ("cdc_chunks", (es: Seq[Expression]) => CdcChunks(es.head)),
+    ("json_tree_walk", (es: Seq[Expression]) => JsonTreeWalk(es.head)),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),

@@ -305,6 +305,64 @@ object Relational3 {
              |SELECT z // 16777216 AS zbucket, COUNT(*) AS n,
              |  MIN(d1) AS min_d1, MAX(d1) AS max_d1,
              |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
-             |FROM z GROUP BY 1""".stripMargin))
+             |FROM z GROUP BY 1""".stripMargin)),
+
+    // recursive JSON tree walk (SQLite JSON1 `json_tree` parity — the
+    // reference ships JSON columns through mapping.go:66-84 precisely so
+    // JSON1 can walk them recursively; q_json_extract/q_json_struct cover
+    // fixed-path access, this covers ARBITRARY-depth (path, key, type,
+    // value) enumeration). The corpus carries no nested JSON, so each doc
+    // gets a deterministic planted document (objects, arrays,
+    // object-in-array, ints, strings, booleans — built from doc_id
+    // identically in both engines); the native json_tree_walk expression
+    // emits one row per node in document order as a pure per-row
+    // projection (no shuffle), and the oracle re-walks the same JSON with
+    // a recursive CTE over DuckDB's json_keys/json_extract — every path,
+    // key, type name and scalar value is hash-checked.
+    GraftQuery("q_json_tree", (s, d) => {
+      graft.functions.F.register(s)
+      Tables.t(s, d, "documents")
+        .withColumn("js", expr(
+          "concat('{\"id\":', doc_id, ',\"meta\":{\"lang\":\"en', doc_id % 3, " +
+            "'\",\"stars\":', doc_id % 5, '},\"tags\":[\"t', doc_id % 7, " +
+            "'\",\"t', (doc_id * 3) % 7, '\"],\"refs\":[{\"k\":', doc_id % 4, " +
+            "'}],\"ok\":', IF(doc_id % 2 = 0, 'true', 'false'), '}')"))
+        .select(col("doc_id"), explode(expr("json_tree_walk(js)")).as("n"))
+        .select(col("doc_id"), col("n.path").as("path"), col("n.key").as("key"),
+          col("n.type").as("type"), col("n.value").as("value"))
+    },
+      Some("""WITH RECURSIVE j AS (SELECT doc_id, CAST(
+             |    '{"id":' || doc_id || ',"meta":{"lang":"en' || (doc_id % 3)
+             |    || '","stars":' || (doc_id % 5) || '},"tags":["t' || (doc_id % 7)
+             |    || '","t' || ((doc_id * 3) % 7) || '"],"refs":[{"k":' || (doc_id % 4)
+             |    || '}],"ok":' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+             |    || '}' AS JSON) AS js
+             |  FROM documents),
+             |tree(doc_id, path, key, js) AS (
+             |  SELECT doc_id, '$', CAST(NULL AS VARCHAR), js FROM j
+             |  UNION ALL
+             |  SELECT doc_id,
+             |    path || unnest(CASE WHEN json_type(js) = 'OBJECT'
+             |        THEN list_transform(json_keys(js), k -> '.' || k)
+             |      WHEN json_type(js) = 'ARRAY'
+             |        THEN list_transform(range(CAST(json_array_length(js) AS BIGINT)),
+             |          i -> '[' || i || ']')
+             |      ELSE CAST([] AS VARCHAR[]) END),
+             |    unnest(CASE WHEN json_type(js) = 'OBJECT' THEN json_keys(js)
+             |      WHEN json_type(js) = 'ARRAY'
+             |        THEN list_transform(range(CAST(json_array_length(js) AS BIGINT)),
+             |          i -> CAST(i AS VARCHAR))
+             |      ELSE CAST([] AS VARCHAR[]) END),
+             |    unnest(CASE WHEN json_type(js) = 'OBJECT'
+             |        THEN list_transform(json_keys(js), k -> json_extract(js, '$."' || k || '"'))
+             |      WHEN json_type(js) = 'ARRAY'
+             |        THEN list_transform(range(CAST(json_array_length(js) AS BIGINT)),
+             |          i -> json_extract(js, '$[' || i || ']'))
+             |      ELSE CAST([] AS JSON[]) END)
+             |  FROM tree)
+             |SELECT doc_id, path, key, json_type(js) AS type,
+             |  CASE WHEN json_type(js) IN ('OBJECT', 'ARRAY') THEN NULL
+             |       ELSE CAST(js AS VARCHAR) END AS value
+             |FROM tree""".stripMargin))
   )
 }

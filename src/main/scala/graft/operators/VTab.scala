@@ -209,6 +209,40 @@ object VTab {
              |FROM range(0, 10000) t(i)
              |WHERE ('row_' || i) LIKE 'row_123%'""".stripMargin)),
 
+    // 89b. config-declared plugin (reference generator parity,
+    // generate/generator.go:23 + templates/main.go.tmpl): the `rest`
+    // plugin exists ONLY as src/main/resources/graft/plugins/rest_demo.json
+    // — schema, key column, page size and per-column generator terms as
+    // data, interpreted by the one generic DeclaredTable. The scan below
+    // flows through the identical pushdown path as the hand-written
+    // plugins: the id range narrows splits, `active` stays residual,
+    // columns prune.
+    GraftQuery("vt_declared",
+      (s, d) => s.read.format("graft")
+        .option("plugin", "rest").option("table", "users").load()
+        .filter(col("id") >= 100L && col("id") < 400L && col("active") === true)
+        .select("id", "org", "name", "score"),
+      Some("""SELECT i AS id, i % 7 AS org, 'user_' || i AS name,
+             |  i / 100.0 AS score
+             |FROM range(100, 400) t(i) WHERE i % 3 = 0""".stripMargin)),
+
+    // 93b. DATE qual pushdown end to end (reference constants.go:6
+    // DATEONLY + mapping.go:108-158 date-qual parsing): a DateType range
+    // reaches the declared `days` table as epoch-days Longs
+    // (GraftScanBuilder.norm), inverts through the `date:` key term to an
+    // exact row-key range, and splits() plans exactly the February page —
+    // spec-asserted via ScanLedger.
+    GraftQuery("vt_date_pushdown",
+      (s, d) => s.read.format("graft")
+        .option("plugin", "rest").option("table", "days").load()
+        .filter(expr("day >= DATE'2024-02-01' AND day < DATE'2024-03-01'"))
+        .select("day", "qty"),
+      Some("""SELECT DATE '2024-01-01' + CAST(i AS INTEGER) AS day,
+             |  (i * 13) % 101 AS qty
+             |FROM range(0, 400) t(i)
+             |WHERE DATE '2024-01-01' + CAST(i AS INTEGER) >= DATE '2024-02-01'
+             |  AND DATE '2024-01-01' + CAST(i AS INTEGER) < DATE '2024-03-01'""".stripMargin)),
+
     // 33h. transient-failure retry: every split of the `flaky` table fails
     // its first scan attempt with a simulated rate limit; the scan layer's
     // split-granularity retry (GraftReaderFactory, reference SDK

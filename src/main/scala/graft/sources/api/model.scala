@@ -145,6 +145,8 @@ object PluginRegistry {
   register(SeqPlugin) // built-in demo plugins
   register(MetricsPlugin)
   register(DynPlugin)
+  // declared from config only — no table code (reference generator parity)
+  register(DeclaredPlugin.fromResource("/graft/plugins/rest_demo.json"))
 
   def register(p: Plugin): Unit = plugins.put(p.name, p)
   def plugin(name: String): Plugin = Option(plugins.get(name))

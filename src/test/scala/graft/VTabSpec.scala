@@ -314,6 +314,46 @@ class VTabSpec extends SparkSpec {
     }
   }
 
+  test("declared-from-config plugin serves through the same pushdown path") {
+    noCache {
+      ScanLedger.reset()
+      val users = spark.read.format("graft")
+        .option("plugin", "rest").option("table", "users").load()
+      val n = users.filter(col("id") >= 100L && col("id") < 350L).collect().length
+      assert(n == 250)
+      assert(ScanLedger.lastSplitCount == 1,
+        s"id range must narrow to one 250-row page, got ${ScanLedger.lastSplitCount}")
+      val quals = ScanLedger.lastQc.get.quals
+      assert(quals.exists(q => q.field == "id" && q.op == ">="), s"got $quals")
+      // IN probes through the generic interpreter too
+      ScanLedger.reset()
+      val probed = users.filter(col("id").isin(5L, 17L, 400L)).collect()
+      assert(probed.length == 3)
+      assert(ScanLedger.lastSplitCount == 3, "one probe split per IN value")
+    }
+  }
+
+  test("DATE quals reach the declared table as epoch-days key ranges") {
+    noCache {
+      ScanLedger.reset()
+      val days = spark.read.format("graft")
+        .option("plugin", "rest").option("table", "days").load()
+      val rows = days
+        .filter(expr("day >= DATE'2024-02-01' AND day < DATE'2024-03-01'"))
+        .collect()
+      assert(rows.length == 29, s"Feb 2024 has 29 days, got ${rows.length}")
+      val quals = ScanLedger.lastQc.get.quals
+      val ge = quals.collectFirst { case Qual("day", ">=", v: Long) => v }
+      val lt = quals.collectFirst { case Qual("day", "<", v: Long) => v }
+      assert(ge.contains(java.time.LocalDate.parse("2024-02-01").toEpochDay),
+        s"'>=' date qual must arrive as epoch days, got $quals")
+      assert(lt.contains(java.time.LocalDate.parse("2024-03-01").toEpochDay),
+        s"'<' date qual must arrive as epoch days, got $quals")
+      assert(ScanLedger.lastSplitCount == 1,
+        s"date range must narrow to one page split, got ${ScanLedger.lastSplitCount}")
+    }
+  }
+
   test("transient failures retry per split and the scan still completes") {
     import graft.sources.api.ScanLedger
     ScanLedger.reset()
