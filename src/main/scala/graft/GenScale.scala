@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: tiles the driver's testdata `replicas`× into a new
+  * sf directory, preserving each table's schema, key relationships and
+  * per-replica statistics so bench timings measure SCALING, not a new
+  * workload. Key columns shift by replica × domain-size (joins stay
+  * consistent); dedup-sensitive payloads are made replica-distinct —
+  * document tokens get a replica suffix and embeddings a replica rotation
+  * — so near-dup/ANN structure grows linearly with the corpus instead of
+  * quadratically (tiling identical text would hand every doc 9 exact
+  * twins and blow candidate generation up 100×, which is a different
+  * workload, not a bigger one). Labels/blocking keys get replica-distinct
+  * ids for the same reason: a 10× corpus has more categories, not 10×
+  * hotter blocks.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [replicas=10] */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.t(spark, src, name)
+      write(name, (0 until reps).map(r => f(base, r)).reduce(_ unionAll _))
+    }
+
+    // dimension tables shared by every replica
+    write("region", Tables.t(spark, src, "region"))
+    write("nation", Tables.t(spark, src, "nation"))
+
+    tiled("customer")((df, r) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(r * 15000L)))
+    tiled("supplier")((df, r) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(r * 1000L)))
+    tiled("part")((df, r) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(r * 20000L)))
+    tiled("orders")((df, r) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(r * 150000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(r * 15000L)))
+    tiled("lineitem")((df, r) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(r * 150000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(r * 20000L))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(r * 1000L)))
+    // events: new ids/users per replica, sessions time-shifted apart
+    tiled("events")((df, r) => df
+      .withColumn("event_id", col("event_id") + lit(r * 100000L))
+      .withColumn("user_id", col("user_id") + lit(r * 1500L))
+      .withColumn("ts", col("ts") + expr(s"INTERVAL '${r * 30}' DAY")))
+    // documents: per-replica Caesar rotation of the letter/digit alphabets.
+    // A bijective char map preserves EVERYTHING within a replica — token
+    // counts and lengths, per-source vocab sizes, exact/near-dup structure,
+    // shingle-set Jaccard — while making cross-replica char-n-gram sets
+    // disjoint, so dedup candidate generation grows linearly with the
+    // corpus. (A token SUFFIX does not achieve this: 3-gram shingles of
+    // 'word~3' vs 'word~7' still overlap heavily, and the banding
+    // cross-collides every replica sibling — measured 34× at 10× data.)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
+    tiled("documents")((df, r) =>
+      (if (r == 0) df else df.withColumn("text", expr(
+        s"translate(text, '$lower$digits', '${rot(lower, r)}${rot(digits, r)}')")))
+        .withColumn("doc_id", col("doc_id") + lit(r * 5000L))
+        .withColumn("n_chars", length(col("text"))))
+    // embeddings: replica rotation decorrelates vectors across replicas
+    // (cosine between a random vector and its rotation ≈ 0), fresh labels
+    tiled("embeddings")((df, r) =>
+      (if (r == 0) df else df.withColumn("embedding", expr(
+        s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
+        .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
+        .withColumn("label", col("label") + lit(r * 10)))
+
+    spark.stop()
+  }
+}

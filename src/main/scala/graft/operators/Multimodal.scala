@@ -333,47 +333,10 @@ object Multimodal {
     // cluster diameter, shallow for near-dup graphs); recursive-CTE
     // oracle.
     GraftQuery("mm_phash_cluster", (s, d) => {
-      // AQE off for the label-propagation loop, as in dd_cluster: per-round
-      // stats never change on this tiny graph, and adaptive stage-by-stage
-      // materialization multiplies each round's latency (measured 20 s →
-      // ~3 s at sf0.1). Restored after the loop.
-      // pair-graph build keeps AQE (it has real joins to re-plan); only the
-      // fixed-shape propagation loop runs with it off
-      val pairs = phashPairs(s, d).select("ia", "ib")
-      val edges = pairs.union(pairs.select(col("ib"), col("ia")))
-        .toDF("src", "dst").persist()
-      edges.count() // materialize once; the loop reads the cached graph
-      // the propagation loop also narrows the shuffle: a few-thousand-edge
-      // graph in 32 shuffle partitions is pure per-stage overhead
-      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val labels = try {
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")).persist()
-        def checksum(df: org.apache.spark.sql.DataFrame): Long = df
-          .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
-        var prev = checksum(labels)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val prop = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-            .select(col("src").as("id"), col("label"))
-          val next = labels.select("id", "label").union(prop)
-            .groupBy("id").agg(min("label").as("label")).persist()
-          val cs = checksum(next)
-          converged = cs == prev
-          prev = cs
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        labels
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        s.conf.set("spark.sql.shuffle.partitions", shufWas)
-      }
+      // shared min-label propagation with path-halving (Components, as in
+      // dd_cluster): pair-graph build keeps AQE (real joins to re-plan);
+      // only the fixed-shape propagation loop runs with it off
+      val labels = Components.minLabel(s, phashPairs(s, d).select("ia", "ib"))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("media_id"), col("label").as("cluster_id"),

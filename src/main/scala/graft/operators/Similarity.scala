@@ -318,45 +318,10 @@ object Similarity {
     // this converges in a handful of passes at any corpus size. The oracle
     // recomputes components with a recursive CTE over the same pairs.
     GraftQuery("dd_cluster", (s, d) => {
-      val pairs = minhashPairs(s, d).select("ia", "ib")
-      // AQE off for the label-propagation loop: per-round stats never
-      // change (same tiny graph), so adaptive re-planning buys nothing and
-      // its stage-by-stage materialization doubles each round's latency
-      // (measured 2.1s → 0.7s/round at sf0.1). Restored after the loop —
-      // the big LSH plan above and everything else keeps AQE.
-      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "4") // few-thousand-edge graph
-      val labels = try {
-        val edges = pairs.union(pairs.select(col("ib"), col("ia")))
-          .toDF("src", "dst").persist()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")).persist()
-        // convergence via a per-round checksum (one aggregate on the
-        // persisted labels — no extra join+count round-trip per iteration)
-        def checksum(df: org.apache.spark.sql.DataFrame): Long = df
-          .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
-        var prev = checksum(labels)
-        var iter = 0
-        var converged = false
-        while (!converged && iter < 20) {
-          val prop = edges.join(labels.select(col("id").as("dst"), col("label")), "dst")
-            .select(col("src").as("id"), col("label"))
-          val next = labels.select("id", "label").union(prop)
-            .groupBy("id").agg(min("label").as("label")).persist()
-          val cs = checksum(next)
-          converged = cs == prev
-          prev = cs
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        labels
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-        s.conf.set("spark.sql.shuffle.partitions", shufWas)
-      }
+      // shared min-label propagation with path-halving (Components) —
+      // rounds grow with log(diameter), each round two bounded
+      // (id, label) shuffles, AQE toggled off only inside the loop
+      val labels = Components.minLabel(s, minhashPairs(s, d).select("ia", "ib"))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
