@@ -61,6 +61,15 @@ object Exact {
     lit(1).cast(DecimalType(4, 2)) - c.cast(DecimalType(4, 2))
   def onePlus(c: Column): Column =
     lit(1).cast(DecimalType(4, 2)) + c.cast(DecimalType(4, 2))
-  /** Exact decimal sum surfaced as a stable double. */
-  def sumd(c: Column): Column = sum(c).cast("double")
+  /** Exact decimal sum surfaced as a stable double. The sum is rounded to
+    * scale 2 (cents) BEFORE the double cast: product terms carry scale 4-6,
+    * and once a scale-6 sum's unscaled value passes 2^53 (≈ a 9e9 total —
+    * reached at sf1) DuckDB's decimal→double (double(unscaled)/10^s,
+    * double-rounded) and Spark's correctly-rounded BigDecimal cast diverge
+    * by an ulp. At scale 2 the unscaled value stays exactly representable
+    * until ~9e13, so the single division is correctly rounded — and
+    * identical — in both engines. Oracles mirror with
+    * CAST(CAST(SUM(...) AS DECIMAL(38,2)) AS DOUBLE). */
+  def sumd(c: Column): Column =
+    sum(c).cast(DecimalType(38, 2)).cast("double")
 }

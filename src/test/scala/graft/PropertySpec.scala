@@ -199,4 +199,61 @@ class PropertySpec extends SparkSpec {
       assert(cnt - err <= truth, s"$tok: lower bound ${cnt - err} > true $truth")
     }
   }
+
+  test("Components.minLabel equals union-find on random graphs") {
+    // pointer jumping + per-round checkpointing must converge to the exact
+    // min-member label of every component, for ANY graph shape — chains,
+    // stars, cliques, isolated pairs — not just shallow near-dup clusters
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield edges.filter { case (a, b) => a != b }
+    forAll(edgeGen, 10) { edges =>
+      if (edges.nonEmpty) {
+        // reference: driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        val got = operators.Components
+          .minLabel(spark, edges.toDF("ia", "ib"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"components differ for edges $edges:\n got $got\n expected $expected")
+      }
+    }
+  }
+
+  test("adc_dist equals the explicit subspace fold on random vectors") {
+    assert(registered)
+    val vecGen = Gen.listOfN(64, Gen.choose(-4.0, 4.0))
+    // flat subspace-major codebook with K=4 codewords per subspace (8·4
+    // subvectors of 8 dims); codes index within each subspace
+    val gen = Gen.zip(vecGen, Gen.listOfN(32, vecGen.map(_.take(8))),
+      Gen.listOfN(8, Gen.choose(0, 3)))
+    forAll(gen, 10) { case (qv, cb, codes) =>
+      val native = Seq((qv, cb, codes)).toDF("qv", "cb", "codes")
+        .select(expr("adc_dist(qv, cb, codes)")).head.getDouble(0)
+      val k = cb.length / 8
+      var acc = 0.0
+      for (m <- 0 until 8) {
+        val cw = cb(m * k + codes(m))
+        var s = 0.0
+        for (i <- 0 until 8) {
+          val diff = qv(m * 8 + i) - cw(i)
+          s += diff * diff
+        }
+        acc += s
+      }
+      assert(native == acc, s"adc_dist $native != reference $acc")
+    }
+  }
 }
