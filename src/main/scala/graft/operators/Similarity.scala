@@ -145,7 +145,7 @@ object Similarity {
     })
 
   /** DuckDB CTE chain mirroring minhashPairs; ends with `p(ia, ib, jacc)`. */
-  private def minhashPairsSql: String =
+  private[operators] def minhashPairsSql: String =
     s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
        |${DuckSql.sigCtes("doc_id")},
        |${DuckSql.bandCtes("doc_id", nBands = 16, nRows = 4)},

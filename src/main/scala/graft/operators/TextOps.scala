@@ -25,7 +25,7 @@ object TextOps {
 
   private val gram3Cache =
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
-  private def gram3(s: SparkSession, d: String) =
+  private[operators] def gram3(s: SparkSession, d: String) =
     gram3Cache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
       graft.functions.F.register(s)
       // sh is NOT persisted: columnar-caching a ~3 KB array<string> column
@@ -320,6 +320,59 @@ object TextOps {
              |  WHERE ${DuckSql.jacc("da.sh", "db.sh")} >= 0.8),
              |deduped AS (
              |  SELECT k.* FROM kept k ANTI JOIN dup USING (doc_id)),
+             |t AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM deduped),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS BIGINT)
+             |      / CAST(len(toks) AS BIGINT) AS stop_ratio,
+             |    0.4 * (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT))
+             |      + 0.3 * least(CAST(len(toks) AS BIGINT) / 200.0, 1.0)
+             |      + 0.3 * least(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+             |                    / CAST(len(toks) AS BIGINT) / 10.0, 1.0) AS quality
+             |  FROM t)
+             |SELECT doc_id, n_toks, quality FROM m
+             |WHERE stop_ratio >= 0.05 AND quality >= 0.5""".stripMargin)),
+
+    // the PRODUCTION composition of the same pipeline: near-dup removal
+    // consumes the shared materialized 5-gram MinHash pair INDEX
+    // (Similarity.minhashPairs — built once, read by every consumer)
+    // instead of re-running banding inline. This is how the stages compose
+    // at 100 TB: index construction amortizes across runs, the daily
+    // pipeline is exact-dedup + one anti-join against the index + map-only
+    // gates — and, unlike the 3-gram capstone above, the 5-gram banding
+    // threshold sits far above corpus background similarity, so candidate
+    // volume has no heavy hash-draw tail (see BENCH_sf1.json findings).
+    GraftQuery("dd_pipeline_indexed", (s, d) => {
+      graft.functions.F.register(s)
+      val base = docs(s, d)
+      val keepIds = base.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val dupIb = Similarity.minhashPairs(s, d)
+        .select(col("ib").as("doc_id")).distinct()
+      base.join(keepIds, "doc_id")
+        .join(dupIb, Seq("doc_id"), "left_anti")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> t IN ('the','a','of','and','to')))").cast("long")
+            / col("n_toks"))
+        .withColumn("quality",
+          lit(0.4) * (expr("size(array_distinct(toks))").cast("long") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(
+              expr("aggregate(transform(toks, t -> length(t)), 0L, (s, x) -> s + x)")
+                / col("n_toks") / lit(10.0), lit(1.0)))
+        .filter(col("stop_ratio") >= 0.05 && col("quality") >= 0.5)
+        .select("doc_id", "n_toks", "quality")
+    },
+      Some(s"""${Similarity.minhashPairsSql},
+             |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |dup AS (SELECT DISTINCT ib AS doc_id FROM p),
+             |deduped AS (SELECT dd.* FROM documents dd
+             |  JOIN keep USING (doc_id) ANTI JOIN dup USING (doc_id)),
              |t AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
              |  FROM deduped),
