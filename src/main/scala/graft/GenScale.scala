@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> [replicas=10] */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val out = args(1)
-    val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -33,7 +30,11 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
@@ -87,7 +88,5 @@ object GenScale {
         s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
         .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
         .withColumn("label", col("label") + lit(r * 10)))
-
-    spark.stop()
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The sf1 scaling claims in BENCH_sf1.json rest on GenScale's replica
+  * construction; pin its invariants at tiny scale (2 replicas of
+  * sf0.001). */
+class GenScaleSpec extends SparkSpec {
+
+  private lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("genscale").toString
+    GenScale.run(spark, sf, dir, 2)
+    dir
+  }
+
+  test("tiled tables double row counts and keep join keys consistent") {
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val li0 = Tables.t(spark, sf, "lineitem")
+    val o0 = Tables.t(spark, sf, "orders")
+    assert(li.count() == 2 * li0.count())
+    assert(o.count() == 2 * o0.count())
+    // every lineitem still joins its order — key shifting kept FK integrity
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val joined0 = li0.join(o0, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined == 2 * joined0, s"FK integrity broken: $joined vs 2×$joined0")
+  }
+
+  test("document replicas: bijective rotation, ids disjoint, stats preserved") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val base = Tables.t(spark, sf, "documents")
+    val n0 = base.count()
+    assert(docs.count() == 2 * n0)
+    // replica ids occupy a disjoint range
+    assert(docs.filter(col("doc_id") >= 5000L).count() == n0)
+    // rotating replica 1 BACK yields replica 0's text exactly (bijection),
+    // so within-replica token/shingle/dup structure is preserved verbatim
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    val back = docs.filter(col("doc_id") >= 5000L)
+      .withColumn("doc_id", col("doc_id") - 5000L)
+      .withColumn("text", expr(
+        s"translate(text, '${lower.drop(1) + lower.take(1)}${digits.drop(1) + digits.take(1)}', '$lower$digits')"))
+      .select("doc_id", "text")
+    val mismatch = back.join(base.select(col("doc_id"), col("text").as("t0")), "doc_id")
+      .filter(col("text") =!= col("t0")).count()
+    assert(mismatch == 0, s"$mismatch docs fail to rotate back")
+    // cross-replica texts differ (dedup structure stays linear)
+    val overlap = docs.filter(col("doc_id") < 5000L).select("text")
+      .intersect(docs.filter(col("doc_id") >= 5000L).select("text")).count()
+    assert(overlap == 0, s"$overlap identical texts across replicas")
+  }
+
+  test("embedding replicas are rotations with disjoint ids and fresh labels") {
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val base = Tables.t(spark, sf, "embeddings")
+    val n0 = base.count()
+    assert(emb.count() == 2 * n0)
+    val bad = emb.filter(col("vec_id") >= 2000L)
+      .withColumn("vec_id", col("vec_id") - 2000L)
+      .join(base.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
+      .filter(expr(
+        "exists(sequence(0, 63), j -> element_at(embedding, j + 1) <> element_at(e0, ((j + 1) % 64) + 1))"))
+      .count()
+    assert(bad == 0, s"$bad replica vectors are not clean rotations")
+    assert(emb.filter(col("vec_id") >= 2000L).filter(col("label") < 10).count() == 0,
+      "replica labels must not collide with base labels")
+  }
+}
