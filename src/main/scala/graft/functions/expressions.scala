@@ -402,6 +402,30 @@ object CdcChunks {
   }
 }
 
+/** Count of agreeing positions between two MinHash signatures
+  * (array<long>(64)) — the LSH prefilter's hot inner loop. Replaces the
+  * interpreted `aggregate(zip_with(...))` HOF pair evaluated once per
+  * CANDIDATE PAIR (millions of pairs at scale; the HOF interpreter was
+  * the prefilter stage's dominant cost). Integer arithmetic, so the
+  * est = sig_agree/64.0 threshold is bit-identical to the oracles'
+  * list-fold formulation. */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(VectorMath.sigAgree(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.sigAgree($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+}
+
 /** Recursive JSON tree walk (SQLite JSON1 `json_tree` parity — the
   * reference ships JSON columns through mapping.go:66-84 precisely so
   * JSON1 can walk them): one row per node, document order, as
@@ -485,6 +509,18 @@ object VectorMath {
     while (i < n) { acc += x(i) * y(i); i += 1 }
     acc
   }
+  /** Equal-position count of two long arrays (zip semantics: min length). */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
   /** Index of the min-Σ(x−y)² candidate; strict `<` keeps the earliest on
     * ties, matching the oracles' ORDER BY dist, rank. */
   def argminL2(v: ArrayData, cands: ArrayData): Int = {
@@ -730,6 +766,7 @@ object F {
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+    ("sig_agree", (es: Seq[Expression]) => SigAgree(es(0), es(1))),
     ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),
     ("argmin_l2", (es: Seq[Expression]) => ArgMinL2(es(0), es(1))),
     ("adc_dist", (es: Seq[Expression]) => AdcDist(es(0), es(1), es(2))),

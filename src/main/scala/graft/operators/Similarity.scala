@@ -129,7 +129,7 @@ object Similarity {
         .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
         .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
         .withColumn("est", expr(
-          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
         .filter(col("est") >= 0.55)
         .select("ia", "ib")
       val verified = prefiltered
@@ -426,7 +426,7 @@ object Similarity {
         col("n_docs").as("nb"))
       a.join(b, col("sa") < col("sb"))
         .withColumn("est_jaccard", expr(
-          "aggregate(zip_with(ua, ub, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+          "sig_agree(ua, ub) / CAST(64 AS DOUBLE)"))
         .select("sa", "sb", "na", "nb", "est_jaccard")
     },
       Some(s"""WITH d AS (${DuckSql.shingles("documents", "source AS src", 5)}),

@@ -92,7 +92,7 @@ object Similarity2 {
         .join(sigs.select(col("doc_id").as("nid"), col("sig").as("sa")), "nid")
         .join(sigs.select(col("doc_id").as("oid"), col("sig").as("sb")), "oid")
         .withColumn("est", expr(
-          "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+          "sig_agree(sa, sb) / CAST(64 AS DOUBLE)"))
         .filter(col("est") >= 0.55)
         .select("nid", "oid")
       pre

@@ -153,7 +153,7 @@ object TextOps {
         .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
         .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
         .withColumn("est", expr(
-          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
         .filter(col("est") >= 0.65)
         .select("ia", "ib")
       pre
@@ -278,7 +278,7 @@ object TextOps {
         .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
         .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
         .withColumn("est", expr(
-          "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (s, x) -> s + x) / CAST(64 AS DOUBLE)"))
+          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
         .filter(col("est") >= 0.65)
         .select("ia", "ib")
       val dupIb = preP
