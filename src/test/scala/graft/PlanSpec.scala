@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpec {
     assert(line.contains("*("), s"adc_dist must be codegen'd, got: $line")
   }
 
+  test("sig_agree prefilter stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("dd_source_overlap")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("sig_agree")).getOrElse("")
+    assert(line.contains("*("), s"sig_agree must be codegen'd, got: $line")
+  }
+
   test("dd_semantic assignment is map-only argmin_l2 — no N×K window shuffle") {
     val df = SparkEntry.queries("dd_semantic")(spark, sf)
     df.queryExecution.toRdd.count()

@@ -232,6 +232,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sig_agree equals the interpreted zip_with fold it replaced") {
+    assert(registered)
+    val sigGen = Gen.listOfN(64, Gen.choose(Long.MinValue, Long.MaxValue))
+    forAll(Gen.zip(sigGen, sigGen), 10) { case (a0, b) =>
+      // plant positional agreements so the count is exercised, not just 0
+      val a = a0.zipWithIndex.map { case (v, i) => if (i % 3 == 0) b(i) else v }
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(expr("sig_agree(a, b)")).head.getInt(0)
+      val hof = df.select(expr(
+        """aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+          |0, (acc, v) -> acc + v)""".stripMargin)).head.getInt(0)
+      assert(native == hof, s"sig_agree $native != HOF $hof")
+      assert(native == a.zip(b).count { case (x, y) => x == y })
+    }
+  }
+
   test("adc_dist equals the explicit subspace fold on random vectors") {
     assert(registered)
     val vecGen = Gen.listOfN(64, Gen.choose(-4.0, 4.0))
