@@ -426,6 +426,27 @@ case class SigAgree(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance between two double arrays — the coarse-probe
+  * query→centroid distance (bounded Q×K rows). Same strict dim-major
+  * fold as the interpreted HOF formulation, so it is bit-identical to
+  * the oracles' list-fold SQL. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorMath.l2Sq(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.l2Sq($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 /** Recursive JSON tree walk (SQLite JSON1 `json_tree` parity — the
   * reference ships JSON columns through mapping.go:66-84 precisely so
   * JSON1 can walk them): one row per node, document order, as
@@ -519,6 +540,23 @@ object VectorMath {
       i += 1
     }
     agree
+  }
+
+  /** Σ(x−y)² over min-length zip, strict dim-major left fold — the same
+    * addition order as the aggregate(zip_with(...)) HOF it replaces, so
+    * results are bit-identical and the oracles are untouched. */
+  def l2Sq(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val diff = x(i) - y(i)
+      s += diff * diff
+      i += 1
+    }
+    s
   }
 
   /** Index of the min-Σ(x−y)² candidate; strict `<` keeps the earliest on
@@ -767,6 +805,7 @@ object F {
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
     ("sig_agree", (es: Seq[Expression]) => SigAgree(es(0), es(1))),
+    ("l2_sq", (es: Seq[Expression]) => L2Sq(es(0), es(1))),
     ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),
     ("argmin_l2", (es: Seq[Expression]) => ArgMinL2(es(0), es(1))),
     ("adc_dist", (es: Seq[Expression]) => AdcDist(es(0), es(1), es(2))),

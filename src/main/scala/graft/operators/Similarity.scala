@@ -368,8 +368,7 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
       val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
       val probes = broadcast(q).crossJoin(broadcast(cents))
-        .withColumn("qdist2", expr(
-          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (s, x) -> s + x)"))
+        .withColumn("qdist2", expr("l2_sq(qv, cv)"))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= ivfNProbe)
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))

@@ -248,6 +248,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("l2_sq equals the interpreted zip_with fold it replaced") {
+    assert(registered)
+    val vecGen = Gen.listOfN(64, Gen.choose(-4.0, 4.0))
+    forAll(Gen.zip(vecGen, vecGen), 10) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(expr("l2_sq(a, b)")).head.getDouble(0)
+      val hof = df.select(expr(
+        """aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+          |CAST(0 AS DOUBLE), (s, x) -> s + x)""".stripMargin)).head.getDouble(0)
+      assert(native == hof, s"l2_sq $native != HOF $hof")
+    }
+  }
+
   test("adc_dist equals the explicit subspace fold on random vectors") {
     assert(registered)
     val vecGen = Gen.listOfN(64, Gen.choose(-4.0, 4.0))
