@@ -373,7 +373,11 @@ object Similarity {
         .filter(col("prn") <= ivfNProbe)
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-      probes.join(assign, "cell")
+      // probes is semantically bounded (queries × nprobe rows) but its
+      // static size estimate is inflated by the upstream crossJoins: at
+      // sf1 stats the planner flips this join to SortMergeJoin and
+      // shuffles the corpus-sized assignment by cell. Declare the bound.
+      broadcast(probes).join(assign, "cell")
         .filter(col("n_id") =!= col("q_id"))
         .withColumn("cos", expr("dot_product(qv, nv)") / (sqrt(col("qn")) * sqrt(col("nn2"))))
         .withColumn("rk", row_number().over(wTop).cast("long"))

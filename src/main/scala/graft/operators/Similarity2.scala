@@ -344,7 +344,11 @@ object Similarity2 {
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-      probes.crossJoin(broadcast(pqCb))
+      // probes × pqCb is bounded (queries × nprobe rows, one codebook
+      // struct) but its static size estimate is crossJoin-inflated: at
+      // sf1 stats the planner flips this join to SortMergeJoin and
+      // shuffles the corpus-sized code index by cell. Declare the bound.
+      broadcast(probes.crossJoin(broadcast(pqCb)))
         .join(index, Seq("cell"))
         .filter(col("n_id") =!= col("q_id"))
         .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
