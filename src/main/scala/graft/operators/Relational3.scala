@@ -319,6 +319,42 @@ object Relational3 {
     // projection (no shuffle), and the oracle re-walks the same JSON with
     // a recursive CTE over DuckDB's json_keys/json_extract — every path,
     // key, type name and scalar value is hash-checked.
+    // JSON1's other table function (`json_each` — reference ships JSON
+    // columns for exactly this: mapping.go:66-84): TOP-LEVEL member
+    // enumeration where `value` is the member's compact JSON text for
+    // containers too (json_tree emits NULL there). Planted doc covers all
+    // five member types (number, string, object, array, boolean); key and
+    // type ride on json_tree_walk's depth-1 rows, value re-extracted with
+    // get_json_object whose minified re-serialization matches DuckDB's
+    // json_extract text on the already-minified planted JSON.
+    GraftQuery("q_json_each", (s, d) => {
+      graft.functions.F.register(s)
+      Tables.t(s, d, "documents")
+        .withColumn("js", expr(
+          "concat('{\"id\":', doc_id, ',\"name\":\"d', doc_id % 10, " +
+            "'\",\"meta\":{\"x\":', doc_id % 3, '},\"tags\":[', doc_id % 2, " +
+            "',', doc_id % 5, '],\"on\":', IF(doc_id % 2 = 0, 'true', 'false'), '}')"))
+        .select(col("doc_id"), col("js"), explode(expr("json_tree_walk(js)")).as("n"))
+        .filter(col("n.path").rlike("^\\$\\.[^.\\[]+$"))
+        .select(col("doc_id"), col("n.key").as("key"), col("n.type").as("type"),
+          expr("get_json_object(js, concat('$.', n.key))").as("value"))
+    },
+      Some("""WITH j AS (SELECT doc_id, CAST(
+             |    '{"id":' || doc_id || ',"name":"d' || (doc_id % 10)
+             |    || '","meta":{"x":' || (doc_id % 3) || '},"tags":[' || (doc_id % 2)
+             |    || ',' || (doc_id % 5) || '],"on":'
+             |    || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+             |    || '}' AS JSON) AS js
+             |  FROM documents),
+             |m AS (SELECT doc_id, unnest(json_keys(js)) AS key, js FROM j),
+             |v AS (SELECT doc_id, key, js,
+             |    json_extract(js, '$."' || key || '"') AS jv FROM m)
+             |SELECT doc_id, key, json_type(jv) AS type,
+             |  CASE WHEN json_type(jv) = 'VARCHAR'
+             |       THEN json_extract_string(js, '$."' || key || '"')
+             |       ELSE CAST(jv AS VARCHAR) END AS value
+             |FROM v""".stripMargin)),
+
     GraftQuery("q_json_tree", (s, d) => {
       graft.functions.F.register(s)
       Tables.t(s, d, "documents")
