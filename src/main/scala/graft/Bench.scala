@@ -78,6 +78,7 @@ object Bench {
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table
     spark.stop()
   }
 }

@@ -46,6 +46,7 @@ object Verify {
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table
     spark.stop()
   }
 }

@@ -276,8 +276,8 @@ object PqEncode {
   * `v` (ties → lowest index). Candidates arrive as one broadcast
   * array<array<double>>(K), so quantizer assignment (IVF cells, SemDeDup
   * clusters) is a pure map-side projection — no N×K crossJoin, no window
-  * shuffle, and the cost is K·dims flops per row with K FIXED (the
-  * codebook is a hash-sample, never corpus-sized). Arithmetic is the
+  * shuffle, and the cost is K·dims flops per row with K clamped (the
+  * codebook is a bounded hash-sample, never corpus-sized). Arithmetic is the
   * strict left fold Σ(x−y)² the DuckDB oracles use, so assignment is
   * bit-exact across engines. */
 case class ArgMinL2(left: Expression, right: Expression)

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components by iterative min-label propagation with
   * path-halving — shared by dd_cluster and mm_phash_cluster (the doc and
@@ -19,12 +21,22 @@ import org.apache.spark.sql.functions._
   * bare (id, label) pairs — no vector/text payload ever enters the loop.
   *
   * AQE is disabled inside the loop: per-round stats never change (same
-  * tiny graph), so adaptive re-planning buys nothing and its
-  * stage-by-stage materialization multiplies each round's latency
-  * (measured 2.1 s → 0.7 s/round at sf0.1). Shuffle partitions are
-  * narrowed for the same reason; both are restored after the loop, so
-  * the heavyweight pair-graph build keeps its adaptive plan. */
+  * graph), so adaptive re-planning buys nothing and its stage-by-stage
+  * materialization multiplies each round's latency (measured
+  * 2.1 s → 0.7 s/round at sf0.1). Loop shuffle parallelism is derived
+  * from the MATERIALIZED edge count (a fixed narrow setting was measured
+  * right at sf0.1 but is corpus-independent — at 100 TB a billion-edge
+  * label table must not funnel through 4 tasks); both settings are
+  * restored after the loop, so the heavyweight pair-graph build keeps its
+  * adaptive plan. */
 object Components {
+
+  /** Loop shuffle parallelism from the edge count: ~250k (id, label) rows
+    * per task, floor 4 (the measured sf0.1 sweet spot — tiny graphs want
+    * minimal per-task overhead, not width). Grows linearly with the graph:
+    * 1B edges → 4000 tasks. */
+  private[graft] def loopPartitions(nEdges: Long): Int =
+    math.max(4L, nEdges / 250000L).toInt
 
   /** `pairs`: undirected edges as two id columns. Returns (id, label)
     * with label = the component's minimum member id — the convergence
@@ -33,22 +45,36 @@ object Components {
     val p2 = pairs.toDF("ia", "ib")
     val edges = p2.union(p2.select(col("ib"), col("ia")))
       .toDF("src", "dst").persist()
-    edges.count() // materialize once; the loop reads the cached graph
+    val nEdges = edges.count() // materialize once; the loop reads the cached graph
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", loopPartitions(nEdges).toString)
     try {
-      // localCheckpoint (eager) instead of persist: the loop body
-      // references `labels` three times (identity ∪ neighbor-propagate ∪
-      // pointer-jump), so WITHOUT lineage truncation the logical plan
-      // quadruples every round and plan-tree walks (SparkPlanInfo, AQE
-      // re-planning) go exponential — persist() caches DATA but keeps the
-      // nested plan. Checkpointing flattens each round to a leaf.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
+      // Per-round snapshot: persist the round's RDD and rebuild a leaf
+      // DataFrame over it (lineage truncation — the loop body references
+      // `labels` three times per round: identity ∪ neighbor-propagate ∪
+      // pointer-jump, so WITHOUT truncation the logical plan quadruples
+      // every round and plan-tree walks go exponential). Unlike the
+      // previous localCheckpoint, the superseded round's blocks are
+      // explicitly unpersisted once the new round is materialized —
+      // otherwise up to 20 rounds of (id, label) blocks accumulate in
+      // executor storage for the life of the session.
+      var liveRdd: RDD[Row] = null
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", pairs.schema.fields(0).dataType),
+        org.apache.spark.sql.types.StructField("label", pairs.schema.fields(0).dataType)))
+      def snap(df: DataFrame): DataFrame = {
+        val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.count() // materialize BEFORE releasing the predecessor it reads
+        if (liveRdd != null) liveRdd.unpersist(false)
+        liveRdd = rdd
+        s.createDataFrame(rdd, schema)
+      }
+      var labels = snap(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
       // convergence via a per-round checksum (one aggregate on the
-      // checkpointed labels — no extra join+count round-trip per iteration)
+      // snapshot — no extra join+count round-trip per iteration)
       def checksum(df: DataFrame): Long = df
         .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
       var prev = checksum(labels)
@@ -60,14 +86,18 @@ object Components {
         val jump = labels.select(col("id"), col("label").as("via"))
           .join(labels.select(col("id").as("via"), col("label")), "via")
           .select("id", "label")
-        val next = labels.select("id", "label").union(prop).union(jump)
-          .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+        val next = snap(labels.select("id", "label").union(prop).union(jump)
+          .groupBy("id").agg(min("label").as("label")))
         val cs = checksum(next)
         converged = cs == prev
         prev = cs
         labels = next
         iter += 1
       }
+      // the final snapshot stays pinned for the caller's downstream plan;
+      // OpCache.release(session) frees it at end of the query-set lifecycle
+      val finalRdd = liveRdd
+      OpCache.trackHook(s, () => finalRdd.unpersist(false))
       labels
     } finally {
       edges.unpersist()

@@ -103,13 +103,12 @@ object Multimodal {
     * warmPhashIndex for the same reason it pre-builds bucketed tables. */
   def warmPhashIndex(s: SparkSession, d: String): Unit = { phashPairs(s, d); () }
 
-  private val phashCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
   private def phashPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    phashCache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+    OpCache.memo(s, "phpairs|" + d) {
       val p = phashPairsBuild(s, d).persist()
       p.count()
       p
-    })
+    }
 
   private def phashPairsBuild(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._

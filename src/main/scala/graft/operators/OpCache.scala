@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry for the persisted feature tables the dedup /
+  * similarity operators share (vector features, verified-pair index,
+  * signature tables). Two jobs:
+  *
+  *   1. Memoize the shared "materialized feature store" per (session, dir)
+  *      so every consumer reads one persisted copy instead of rebuilding.
+  *   2. Give those persists an explicit LIFECYCLE: every DataFrame this
+  *      package pins is tracked here, and `release(session)` unpersists
+  *      them all — nothing stays pinned for the life of the JVM (the old
+  *      per-object ConcurrentHashMap held its persists forever and keyed
+  *      them by identityHashCode, which can collide after GC).
+  *
+  * Keys are the SparkSession OBJECT in a weak identity map: no hash
+  * collisions by construction, and a dropped session's entries become
+  * unreachable with it. */
+object OpCache {
+  private val memos =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  private val longs =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, java.lang.Long]]()
+  private val pinned =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  /** Record a DataFrame this package persisted so release() can free it.
+    * Returns the argument for inline use. */
+  def track(s: SparkSession, df: DataFrame): DataFrame = synchronized {
+    var l = pinned.get(s)
+    if (l == null) { l = new java.util.ArrayList[DataFrame](); pinned.put(s, l) }
+    l.add(df)
+    df
+  }
+
+  /** Memoized persisted DataFrame per (session, key): built + tracked once,
+    * then shared by every consumer until release(). */
+  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = synchronized {
+    var m = memos.get(s)
+    if (m == null) { m = new java.util.HashMap[String, DataFrame](); memos.put(s, m) }
+    var df = m.get(key)
+    if (df == null) { df = track(s, build); m.put(key, df) }
+    df
+  }
+
+  /** Memoized scalar per (session, key) — corpus statistics (row counts)
+    * that parameterize quantizer sizes. */
+  def memoLong(s: SparkSession, key: String)(build: => Long): Long = synchronized {
+    var m = longs.get(s)
+    if (m == null) { m = new java.util.HashMap[String, java.lang.Long](); longs.put(s, m) }
+    var v = m.get(key)
+    if (v == null) { v = java.lang.Long.valueOf(build); m.put(key, v) }
+    v.longValue()
+  }
+
+  private val hooks =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[() => Unit]]()
+
+  /** Register a custom release action (e.g. unpersisting an RDD-backed
+    * snapshot a DataFrame.unpersist can't reach). */
+  def trackHook(s: SparkSession, hook: () => Unit): Unit = synchronized {
+    var l = hooks.get(s)
+    if (l == null) { l = new java.util.ArrayList[() => Unit](); hooks.put(s, l) }
+    l.add(hook)
+  }
+
+  /** Unpersist every DataFrame this package pinned for `s` and drop its
+    * memo tables — the explicit end of the feature-store lifecycle
+    * (Verify/Bench call this when a session's query set is done). */
+  def release(s: SparkSession): Unit = synchronized {
+    val l = pinned.remove(s)
+    if (l != null) l.forEach { df => df.unpersist(); () }
+    val h = hooks.remove(s)
+    if (h != null) h.forEach { f => f() }
+    memos.remove(s)
+    longs.remove(s)
+    ()
+  }
+
+  /** Test hook: the DataFrames currently pinned for `s`. */
+  private[graft] def trackedFor(s: SparkSession): Seq[DataFrame] = synchronized {
+    val l = pinned.get(s)
+    if (l == null) Seq.empty
+    else { val b = Seq.newBuilder[DataFrame]; l.forEach(b += _); b.result() }
+  }
+}

@@ -257,7 +257,7 @@ object Relational3 {
       def part(f: org.apache.spark.sql.Column) = ev.filter(f)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("dec_total"))
-      val base = part(col("event_id") % 10 < 8).persist()
+      val base = OpCache.track(s, part(col("event_id") % 10 < 8).persist())
       base.count() // materialize: this is the stored snapshot artifact
       val delta = part(col("event_id") % 10 >= 8)
       base.unionByName(delta)

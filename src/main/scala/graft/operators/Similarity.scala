@@ -29,19 +29,19 @@ object Similarity {
 
   /** Embeddings with double vector and squared norm — the feature table
     * every similarity/ANN entry reads. Memoized + persisted per (session,
-    * dir): in production this is the shared materialized feature store,
-    * computed once, not per consumer (and the per-call persist ann_lsh
-    * used to do leaked a copy per invocation). */
-  private val vecsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * dir) in OpCache: in production this is the shared materialized
+    * feature store, computed once, not per consumer, and released
+    * explicitly via OpCache.release when the session's query set is done
+    * (no immortal persist). */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    vecsCache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+    OpCache.memo(s, "vecs|" + d) {
       F.register(s)
       emb(s, d).select(
         col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
         .persist()
-    })
+    }
 
   /** DuckDB-side dot with identical left-fold accumulation order. */
   private def duckDot(a: String, b: String): String =
@@ -53,25 +53,53 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
-  /** Fixed quantizer sizes shared by the ANN/SemDeDup stack. K and nprobe
-    * are CONSTANTS, independent of corpus size: the codebook stays
-    * broadcast-able and assignment stays O(N·K) flops at any scale (the
-    * previous every-50th-vector rule made K = N/50 → O(N²/50)). */
-  private[operators] val ivfK = 32
+  /** Quantizer sizing shared by the ANN/SemDeDup stack. K scales with the
+    * CORPUS, not a constant: K = clamp(32, 65536, N/256), so the expected
+    * cluster/cell population stays ≤ ~256 vectors at any scale — pairwise
+    * work inside SemDeDup clusters and per-probe candidate counts in IVF
+    * both grow LINEARLY with the corpus (a constant K makes cluster
+    * population N/K unbounded → O(N²/K) pairs; the old every-50th-vector
+    * rule made K = N/50 → an unbroadcastable codebook). At the 65536 cap a
+    * 64-dim double codebook is ~32 MB — still broadcastable; past that
+    * (N > 16M vectors per quantizer, well into multi-PB territory) the
+    * cluster bound degrades gracefully instead of the broadcast failing.
+    * The oracle computes the SAME K from COUNT(*) in SQL (centroidsSql),
+    * so both engines agree at every sf. */
+  private[graft] val kMin = 32
+  private[graft] val kMax = 65536
+  private[graft] val clusterTarget = 256
+  private[graft] def scaledK(n: Long): Int =
+    math.max(kMin.toLong, math.min(kMax.toLong, n / clusterTarget)).toInt
+
+  /** Corpus row count, memoized per (session, dir) — one metadata-scale
+    * count job parameterizes every quantizer in the family. */
+  private[operators] def embCount(s: SparkSession, d: String): Long =
+    OpCache.memoLong(s, "embN|" + d)(emb(s, d).count())
+
+  private[operators] def ivfK(s: SparkSession, d: String): Int =
+    scaledK(embCount(s, d))
   private[operators] val ivfNProbe = 8
 
   /** Deterministic fixed-size hash-sample: the K vec_ids with the smallest
     * (md5(vec_id), vec_id) — an order both engines reproduce exactly, and
     * one Spark answers with a TakeOrderedAndProject (per-partition top-K,
     * no global sort shuffle). */
-  private[operators] def centroids(base: DataFrame, k: Int): DataFrame =
+  private[graft] def centroids(base: DataFrame, k: Int): DataFrame =
     base.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
 
-  /** Oracle mirror of `centroids` (expects a CTE `n(vec_id, v, n2)`). */
-  private[operators] def centroidsSql(k: Int): String =
-    s"SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n " +
-      s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k"
+  /** Oracle mirror of `centroids(base, ivfK(s, d))` (expects a CTE
+    * `n(vec_id, v, n2)`): K is derived from the corpus count inside the
+    * SQL — GREATEST(32, LEAST(65536, COUNT(*) // 256)) — the exact clamp
+    * `scaledK` applies, so the oracle picks the identical centroid set at
+    * any sf without a baked-in literal. */
+  private[operators] def centroidsSql: String =
+    s"""SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS krn,
+       |      COUNT(*) OVER () AS kn
+       |    FROM n)
+       |  WHERE krn <= GREATEST($kMin, LEAST($kMax, kn // $clusterTarget))""".stripMargin
 
   /** Shared LSH banding candidate generator over a (id, sig:
     * array<long>(64)) signature table: `bands` bands of `rows` consecutive
@@ -113,9 +141,8 @@ object Similarity {
     * (dd_ngram_jaccard still times its full un-shared LSH pipeline.) */
   def warmSharedIndex(s: SparkSession, d: String): Unit = { minhashPairs(s, d); () }
 
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+    OpCache.memo(s, "mhpairs|" + d) {
       F.register(s)
       // sh not persisted: nested array<string> columnar cache scans slower
       // than recomputing codegen'd char_shingles from parquet (same finding
@@ -142,7 +169,7 @@ object Similarity {
       verified.count() // materialize now so the signature cache can go
       sigs.unpersist()
       verified
-    })
+    }
 
   /** DuckDB CTE chain mirroring minhashPairs; ends with `p(ia, ib, jacc)`. */
   private[operators] def minhashPairsSql: String =
@@ -339,11 +366,12 @@ object Similarity {
              |  cc.doc_id = cc.cluster_id AS keep
              |FROM cc JOIN cs USING (cluster_id)""".stripMargin)),
 
-    // 46b. IVF ANN with a FIXED-size coarse quantizer: K=32 centroids
-    // chosen by a deterministic md5 hash-sample of vec_ids (K is
-    // independent of corpus size — at 100 TB the codebook is still 32
-    // vectors, broadcast-able by construction, and assignment stays
-    // O(N·K) with constant K instead of O(N²/50)). Cell assignment is a
+    // 46b. IVF ANN with a corpus-SCALED coarse quantizer: K = clamp(32,
+    // 65536, N/256) centroids chosen by a deterministic md5 hash-sample
+    // of vec_ids — expected cell population stays ≤ ~256 at any corpus
+    // size (per-probe candidate work grows linearly, never N/constant),
+    // while the codebook stays broadcast-able (~32 MB at the cap). The
+    // oracle recomputes the same K from COUNT(*). Cell assignment is a
     // map-only native argmin_l2 over the broadcast centroid array — no
     // N×K crossJoin materialization, no per-vector window shuffle. The
     // probe side (queries × centroids) keeps the window: it is 8×K rows.
@@ -353,7 +381,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       F.register(s)
       val base = vecs(s, d)
-      val cents = centroids(base, ivfK)
+      val cents = centroids(base, ivfK(s, d))
       val cbRow = cents.agg(
         expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
         expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
@@ -387,7 +415,7 @@ object Similarity {
       Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
              |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
-             |c AS (${centroidsSql(ivfK)}),
+             |c AS ($centroidsSql),
              |asg AS (
              |  SELECT vec_id AS n_id, cid AS cell, v AS nv, n2 AS nn2 FROM (
              |    SELECT n.vec_id, c.cid, n.v, n.n2,
@@ -418,11 +446,11 @@ object Similarity {
     // sets, so DuckDB recomputes it as a per-source MIN over shingles.
     GraftQuery("dd_source_overlap", (s, d) => {
       F.register(s)
-      val sigs = docs(s, d)
+      val sigs = OpCache.track(s, docs(s, d)
         .withColumn("sig", expr("minhash_sig(char_shingles(text, 5))"))
         .groupBy("source")
         .agg(expr("minhash_union(sig)").as("usig"), count(lit(1)).as("n_docs"))
-        .persist()
+        .persist())
       val a = sigs.select(col("source").as("sa"), col("usig").as("ua"),
         col("n_docs").as("na"))
       val b = sigs.select(col("source").as("sb"), col("usig").as("ub"),

@@ -26,16 +26,22 @@ object Similarity2 {
       s"transform(sequence(0, ${bands - 1}), b -> slice(sig, $rows * b + 1, $rows))"))
       .as(Seq("band", "bk")))
 
-  /** Codewords per subspace — FIXED, like Similarity.ivfK: the codebook is
-    * a hash-sample, never corpus-sized. */
-  private val pqK = 64
+  /** Codewords per subspace: corpus-scaled like Similarity.ivfK but capped
+    * at 256 so codes stay byte-sized — K = clamp(64, 256, N/256). The
+    * codebook is a hash-sample, never corpus-sized, and the oracle derives
+    * the identical K from COUNT(*) (pqCodebookSql). */
+  private val pqMin = 64
+  private val pqMax = 256
+  private def pqK(s: SparkSession, d: String): Int =
+    math.max(pqMin.toLong, math.min(pqMax.toLong,
+      Similarity.embCount(s, d) / Similarity.clusterTarget)).toInt
 
   /** Flat subspace-major PQ codebook (one row, array<array<double>>(8·K))
-    * from a deterministic md5 hash-sample of `pqK` vectors; codewords
+    * from a deterministic md5 hash-sample of `k` vectors; codewords
     * ordered by (subspace, sample rank) in both engines. */
-  private def pqCodebook(base: DataFrame): DataFrame =
+  private def pqCodebook(base: DataFrame, k: Int): DataFrame =
     base.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(pqK)
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("h"), col("vec_id"), explode(expr(
         "transform(sequence(0, 7), m -> struct(m AS m, slice(v, 8 * m + 1, 8) AS sub))"))
         .as("ms"))
@@ -49,10 +55,13 @@ object Similarity2 {
     * exactly the codeword's index in the flat Spark-side codebook, so the
     * oracle's codes are positionally identical to pq_encode's. */
   private def pqCodebookSql: String =
-    s"""sq AS (SELECT vec_id, v,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-       |      AS INTEGER) AS crank
-       |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+    s"""sq AS (SELECT vec_id, v, crank FROM (
+       |    SELECT vec_id, v,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |        AS INTEGER) AS crank,
+       |      COUNT(*) OVER () AS kn
+       |    FROM n)
+       |  WHERE crank < GREATEST($pqMin, LEAST($pqMax, kn // ${Similarity.clusterTarget}))),
        |sub AS (SELECT m, crank, list_slice(v, 8 * m + 1, 8 * m + 8) AS sub
        |  FROM sq, range(0, 8) r(m)),
        |cb AS (SELECT list(sub ORDER BY m, crank) AS cb,
@@ -62,7 +71,7 @@ object Similarity2 {
     * sorted by cid — index r in `cvs` is the centroid whose id is
     * `cids[r]`, and ties in argmin_l2 (earliest index) therefore match the
     * oracles' ORDER BY dist, cid. */
-  private[operators] def centroidArrays(cents: DataFrame): DataFrame =
+  private[graft] def centroidArrays(cents: DataFrame): DataFrame =
     cents.agg(
       expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
       expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
@@ -80,8 +89,8 @@ object Similarity2 {
       F.register(s)
       val sh = docs(s, d).select(col("doc_id"),
         expr("char_shingles(text, 5)").as("sh"))
-      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
-        .select("doc_id", "sig").persist()
+      val sigs = OpCache.track(s, sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist())
       val newB = banded(sigs.filter(col("doc_id") % 10 === 0), 16, 4)
         .toDF("nid", "band", "bk")
       val idxB = banded(sigs.filter(col("doc_id") % 10 =!= 0), 16, 4)
@@ -118,10 +127,10 @@ object Similarity2 {
              |  JOIN d db ON db.doc_id = pre.oid)
              |SELECT nid, oid, jacc FROM v WHERE jacc >= 0.7""".stripMargin)),
 
-    // 46c. product-quantization ANN: 8 subspaces × 8 dims, FIXED-size
-    // deterministic codebook (K=64 codewords per subspace from an md5
-    // hash-sample of vec_ids — independent of corpus size, so the
-    // broadcast codebook stays ~4 KB and encode stays O(N·K) at 100 TB),
+    // 46c. product-quantization ANN: 8 subspaces × 8 dims, deterministic
+    // codebook of K = clamp(64, 256, N/256) codewords per subspace from
+    // an md5 hash-sample of vec_ids (capped at 256 so codes stay
+    // byte-sized; the broadcast codebook tops out at ~130 KB),
     // 8-bit codes per vector, asymmetric-distance search (query ×
     // codebook table, codes looked up, never full vectors), exact cosine
     // re-rank of the approximate top-50 (10×k — the usual production
@@ -139,7 +148,7 @@ object Similarity2 {
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
-      val cbDF = pqCodebook(base)
+      val cbDF = pqCodebook(base, pqK(s, d))
       // encode: nearest codeword per (vector, subspace) via the native
       // pq_encode expression (functions.PqEncode) over the broadcast
       // codebook — a pure map-only projection in one codegen'd tight loop
@@ -253,23 +262,25 @@ object Similarity2 {
       })),
 
     // 45c. semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
-    // embedding space with a deterministic FIXED-size coarse quantizer
-    // (K=32 hash-sampled centroids, like ann_ivf — the centroid array is
-    // size-independent of the corpus, so the broadcast never grows and
-    // assignment stays O(N·K) with constant K), then dedup ONLY within
-    // clusters — pairwise work is bounded by cluster size, and pairs
-    // straddling cluster boundaries are out of contract by design (that is
-    // the SemDeDup trade: candidate generation from semantic clusters
-    // instead of labels/LSH). Assignment is a map-only native argmin_l2
-    // (centroids broadcast, no shuffle, codegen'd tight loop); the
-    // pairwise stage shuffles once on cluster_id.
+    // embedding space with a deterministic corpus-SCALED coarse quantizer
+    // (K = clamp(32, 65536, N/256) hash-sampled centroids, like ann_ivf —
+    // real SemDeDup runs K ∝ corpus for exactly this reason), then dedup
+    // ONLY within clusters. Expected cluster population is ≤ ~256 at any
+    // corpus size, so the within-cluster all-pairs stage does O(N · 256)
+    // work TOTAL — linear in the corpus, not O(N²/const) — while the
+    // codebook broadcast stays ≤ ~32 MB. Pairs straddling cluster
+    // boundaries are out of contract by design (that is the SemDeDup
+    // trade: candidate generation from semantic clusters instead of
+    // labels/LSH). Assignment is a map-only native argmin_l2 (centroids
+    // broadcast, no shuffle, codegen'd tight loop); the pairwise stage
+    // shuffles once on cluster_id.
     GraftQuery("dd_semantic", (s, d) => {
       F.register(s)
       val base = Tables.widened(s, d, "embeddings").select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
-      val cbRow = centroidArrays(Similarity.centroids(base, Similarity.ivfK))
+      val cbRow = centroidArrays(Similarity.centroids(base, Similarity.ivfK(s, d)))
       val assigned = base.crossJoin(broadcast(cbRow))
         .withColumn("cluster_id", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
         .select(col("vec_id"), col("cluster_id"), col("v"), col("n2"))
@@ -289,7 +300,7 @@ object Similarity2 {
              |n AS (SELECT vec_id, v,
              |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
              |      (s, x) -> s + x) AS n2 FROM e),
-             |c AS (${Similarity.centroidsSql(Similarity.ivfK)}),
+             |c AS (${Similarity.centroidsSql}),
              |asgn AS (SELECT vec_id, cid AS cluster_id FROM (
              |    SELECT n.vec_id, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
@@ -323,9 +334,9 @@ object Similarity2 {
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", expr("dot_product(v, v)"))
-      val cents = Similarity.centroids(base, Similarity.ivfK)
+      val cents = Similarity.centroids(base, Similarity.ivfK(s, d))
       val cbRow = centroidArrays(cents)
-      val pqCb = pqCodebook(base)
+      val pqCb = pqCodebook(base, pqK(s, d))
       // index: (cell, codes) per vector in ONE map pass — at scale this is
       // the persisted artifact; the full-vector columns ride along here
       // only because the re-rank needs them and the test corpus is small
@@ -364,7 +375,7 @@ object Similarity2 {
              |n AS (SELECT vec_id, v,
              |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
              |      (s, x) -> s + x) AS n2 FROM e),
-             |c AS (${Similarity.centroidsSql(Similarity.ivfK)}),
+             |c AS (${Similarity.centroidsSql}),
              |asg AS (SELECT vec_id AS n_id, cid AS cell FROM (
              |    SELECT n.vec_id, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY n.vec_id

@@ -23,22 +23,21 @@ object TextOps {
     * Similarity.warmSharedIndex). */
   def warmGram3(s: SparkSession, d: String): Unit = { gram3(s, d)._2.count(); () }
 
-  private val gram3Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
-  private[operators] def gram3(s: SparkSession, d: String) =
-    gram3Cache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
-      graft.functions.F.register(s)
-      // sh is NOT persisted: columnar-caching a ~3 KB array<string> column
-      // scans slower than recomputing the codegen'd char_shingles from the
-      // parquet text (measured; nested-type cache scans also fall out of
-      // whole-stage codegen). The fixed-width 64-long signature table IS
-      // worth pinning.
-      val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
-        expr("char_shingles(text, 3)").as("sh"))
-      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
-        .select("doc_id", "sig").persist()
-      (sh, sigs)
-    })
+  private[operators] def gram3(s: SparkSession, d: String) = {
+    graft.functions.F.register(s)
+    // sh is NOT persisted: columnar-caching a ~3 KB array<string> column
+    // scans slower than recomputing the codegen'd char_shingles from the
+    // parquet text (measured; nested-type cache scans also fall out of
+    // whole-stage codegen). The fixed-width 64-long signature table IS
+    // worth pinning — memoized + tracked in OpCache (sh is a pure lazy
+    // plan, so rebuilding it per call costs nothing).
+    val sh = Tables.widened(s, d, "documents").select(col("doc_id"),
+      expr("char_shingles(text, 3)").as("sh"))
+    val sigs = OpCache.memo(s, "gram3sigs|" + d)(
+      sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist())
+    (sh, sigs)
+  }
 
   /** Non-empty whitespace tokens. */
   private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
@@ -265,8 +264,8 @@ object TextOps {
       // set feeds four branches (kept docs, shingle restrict, signature
       // restrict, final gates) — persist the bare ids so the md5 groupBy
       // runs once (a flat long column caches well, unlike shingle arrays).
-      val keepIds = base.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id").persist()
+      val keepIds = OpCache.track(s, base.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id").persist())
       val kept = base.join(keepIds, "doc_id")
       // 2. near-dup removal: drop the later doc of each verified pair.
       // Shingles/signatures are doc-local → restrict the SHARED 3-gram

@@ -37,10 +37,10 @@ object TextOps2 {
     // doc-level near-dup misses them.
     GraftQuery("dd_span", (s, d) => {
       val base = Tables.widened(s, d, "documents")
-      val spans = base
+      val spans = OpCache.track(s, base
         .withColumn("toks", expr(toksExpr))
         .select(col("doc_id"), explode(expr(spanExpr)).as("sp"))
-        .persist() // feeds the span-frequency agg AND the per-doc re-join
+        .persist()) // feeds the span-frequency agg AND the per-doc re-join
       val dupSpans = spans.groupBy("sp")
         .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("sp")
       val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
@@ -169,7 +169,8 @@ object TextOps2 {
       graft.functions.F.register(s)
       val base = Tables.widened(s, d, "documents")
         .withColumn("chunks", expr("cdc_chunks(text)"))
-      val ch = base.select(col("doc_id"), explode(col("chunks")).as("ch")).persist()
+      val ch = OpCache.track(s,
+        base.select(col("doc_id"), explode(col("chunks")).as("ch")).persist())
       val dup = ch.groupBy("ch").agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2).select("ch")
       val perDoc = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))

@@ -95,6 +95,25 @@ object VTab {
     },
       Some("SELECT i AS id, 'row_' || i AS s FROM range(0, 600) t(i)")),
 
+    // 41d. HCL connection-config parity: the reference's configure accepts
+    // JSON or HCL (configure_fn.go:57-75; test.sql:6-8 inserts
+    // `profile = "silverwater"`). Same writable config table, config text
+    // in HCL attribute form — comments, string/array extras, and the n
+    // override all apply through the same path as JSON.
+    GraftQuery("vt_config_hcl", (s, d) => {
+      GraftConfigure.ensureCatalog(s)
+      s.sql("""INSERT INTO graft.seq.config VALUES ('
+              |  # connection options (HCL attribute form, reference test.sql:6-8)
+              |  profile = "silverwater"
+              |  regions = ["us-east-1", "us-west-2"]
+              |  n       = 700  // row-domain override
+              |')""".stripMargin)
+      val df = numbers(s).select("id", "s") // snapshots n=700 at load
+      s.sql("""INSERT INTO graft.seq.config VALUES ('{"n": 10000}')""")
+      df
+    },
+      Some("SELECT i AS id, 'row_' || i AS s FROM range(0, 700) t(i)")),
+
     // 41b. multi-plugin registry: a second plugin (metrics) with a required
     // series key + t-range pushdown, queried through the same catalog.
     GraftQuery("vt_multi_plugin", (s, d) => {

@@ -1,6 +1,6 @@
 package graft.sources.api
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 
 /** The reference's `steampipe_configure_<plugin>(config)` scalar function
@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSession
   * new reads see the new schema/data. Spark-first shape: a programmatic
   * API plus catalog registration, instead of a SQLite scalar UDF.
   *
-  * Accepts the JSON config form the reference accepts
-  * (test.sql: '{"profile":"...", "regions":["*"]}'); unknown keys land in
+  * Accepts BOTH config forms the reference accepts (configure_fn.go:57-75
+  * branches on the leading '{'): JSON ('{"profile": "...", "regions":
+  * ["*"]}') and the HCL attribute form steampipe connection blocks use
+  * (test.sql:6-8 inserts `profile = "silverwater"`). Unknown keys land in
   * `extra` exactly like plugin-specific connection options. */
 object GraftConfigure {
   private val mapper = new ObjectMapper()
@@ -23,24 +25,74 @@ object GraftConfigure {
   }
 
   /** Session-free config application (used by the writable config table's
-    * driver-side commit, ConfigTable.scala). */
-  def applyConfig(pluginAlias: String, configJson: String): PluginConfig = {
-    val node = mapper.readTree(configJson)
+    * driver-side commit, ConfigTable.scala). JSON when the text leads with
+    * '{' (the reference's own dispatch rule), HCL attributes otherwise. */
+  def applyConfig(pluginAlias: String, config: String): PluginConfig = {
+    val fields: Seq[(String, JsonNode)] =
+      if (config.trim.startsWith("{")) {
+        val node = mapper.readTree(config)
+        val b = Seq.newBuilder[(String, JsonNode)]
+        val it = node.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      } else parseHclAttributes(config)
     val prev = PluginRegistry.config(pluginAlias)
     var next = prev
-    val it = node.fields()
     val extra = scala.collection.mutable.Map[String, String](prev.extra.toSeq: _*)
-    while (it.hasNext) {
-      val e = it.next()
-      e.getKey match {
-        case "n" => next = next.copy(n = e.getValue.asLong())
-        case "page_size" | "pageSize" => next = next.copy(pageSize = e.getValue.asLong())
-        case k => extra(k) = e.getValue.asText()
+    fields.foreach { case (key, value) =>
+      key match {
+        case "n" => next = next.copy(n = value.asLong())
+        case "page_size" | "pageSize" => next = next.copy(pageSize = value.asLong())
+        // scalars keep their text form; arrays/objects keep compact JSON
+        // (asText() on a container is "", which would drop the value)
+        case k => extra(k) = if (value.isValueNode) value.asText() else value.toString
       }
     }
     next = next.copy(extra = extra.toMap)
     PluginRegistry.setConfig(pluginAlias, next)
     next
+  }
+
+  /** Minimal HCL attribute parser for connection configs: `key = value`
+    * lines where value is a quoted string, number, bool, or a flat array
+    * of those — the subset steampipe connection blocks actually use
+    * (reference test.sql:6-8; configure_fn.go:57-75 hands non-JSON to the
+    * HCL decoder). `#` / `//` comments and blank lines are skipped;
+    * comment markers inside quoted strings are preserved. HCL scalar and
+    * array literals in this subset are valid JSON, so each value parses
+    * through the same Jackson path as JSON configs — one downstream
+    * application semantics for both forms. */
+  private[api] def parseHclAttributes(text: String): Seq[(String, JsonNode)] = {
+    def stripComment(line: String): String = {
+      val sb = new StringBuilder
+      var inStr = false
+      var esc = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (esc) { sb.append(c); esc = false }
+        else if (inStr && c == '\\') { sb.append(c); esc = true }
+        else if (c == '"') { sb.append(c); inStr = !inStr }
+        else if (!inStr && (c == '#' || (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+          return sb.toString
+        else sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    val attr = """^\s*([A-Za-z_][A-Za-z0-9_-]*)\s*=\s*(.+?)\s*$""".r
+    text.linesIterator.map(stripComment).filter(_.trim.nonEmpty).map {
+      case attr(key, value) =>
+        val node =
+          try mapper.readTree(value)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"HCL config: unparseable value for '$key': $value", e)
+          }
+        key -> node
+      case line => throw new IllegalArgumentException(
+        s"HCL config: expected 'key = value', got: ${line.trim}")
+    }.toSeq
   }
 
   /** Idempotent session wiring for `SELECT ... FROM graft.plugin.table`. */

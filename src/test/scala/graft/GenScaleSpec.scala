@@ -51,6 +51,58 @@ class GenScaleSpec extends SparkSpec {
     assert(overlap == 0, s"$overlap identical texts across replicas")
   }
 
+  test("quantizer K scales with the corpus; SemDeDup pairwise work stays linear") {
+    import graft.operators.{Similarity, Similarity2}
+    // the clamp itself
+    assert(Similarity.scaledK(500) == 32, "min clamp at test scale")
+    assert(Similarity.scaledK(8192) == 32, "knee of the clamp")
+    assert(Similarity.scaledK(20000) == 78, "sf1 corpus unclamps")
+    assert(Similarity.scaledK(100000000000L) == 65536, "broadcast cap")
+
+    // Tile sf0.001 embeddings in memory exactly like GenScale (rotation +
+    // disjoint ids) to two corpus sizes ABOVE the clamp knee, run the real
+    // centroid + argmin_l2 assignment, and count within-cluster candidate
+    // pairs Σ n·(n−1)/2. With K ∝ N the expected cluster population is
+    // constant (~clusterTarget), so doubling the corpus must ~double the
+    // pairwise work — the fixed-K design this replaces would quadruple it.
+    graft.functions.F.register(spark)
+    val base0 = Tables.t(spark, sf, "embeddings")
+    def pairWork(reps: Int): (Long, Long) = {
+      val tiled = (0 until reps).map { r =>
+        (if (r == 0) base0 else base0.withColumn("embedding", expr(
+          s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
+          .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
+      }.reduce(_ unionAll _)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+        .persist()
+      val n = tiled.count()
+      val cb = Similarity2.centroidArrays(
+        Similarity.centroids(tiled, Similarity.scaledK(n)))
+      val pairs = tiled.crossJoin(broadcast(cb))
+        .select(expr("argmin_l2(v, cvs)").as("cl"))
+        .groupBy("cl").agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) / 2")).cast("long")).head.getLong(0)
+      tiled.unpersist()
+      (n, pairs)
+    }
+    val (n1, p1) = pairWork(20) // N=10k → K=39
+    val (n2, p2) = pairWork(40) // N=20k → K=78
+    assert(n2 == 2 * n1)
+    val growth = p2.toDouble / p1
+    assert(growth < 3.0,
+      s"pairwise work grew ${growth}× at 2× data ($p1 → $p2) — not linear")
+  }
+
+  test("Components loop parallelism scales with the edge count") {
+    import graft.operators.Components
+    assert(Components.loopPartitions(1000) == 4, "tiny graphs keep the narrow floor")
+    assert(Components.loopPartitions(1000000) == 4)
+    assert(Components.loopPartitions(250000000L) == 1000)
+    assert(Components.loopPartitions(2500000000L) == 10000, "1B+ edges fan out")
+  }
+
   test("embedding replicas are rotations with disjoint ids and fresh labels") {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     val base = Tables.t(spark, sf, "embeddings")

@@ -18,6 +18,15 @@ class InventorySpec extends SparkSpec {
     assert(rows.size >= 80, s"only parsed ${rows.size} inventory rows")
   }
 
+  test("SURVEY §2 row ids are unique (the checklist is the contract)") {
+    val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try src.getLines().toSeq finally src.close()
+    val Id = """\|\s*(\d+)\s*(?:✅|🔶)\s*\|.*""".r
+    val ids = lines.collect { case Id(id) => id.toInt }
+    val dup = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dup.isEmpty, s"duplicate SURVEY §2 row ids: $dup")
+  }
+
   test("every ✅ SQL row has a query AND an oracle") {
     val bad = rows.filter(r => r.status == "✅" && r.oracle == "SQL")
       .filterNot(r => SparkEntry.queries.contains(r.name) &&

@@ -157,6 +157,27 @@ class PlanSpec extends SparkSpec {
     assert(line.contains("*("), s"bloom_flag_count must be codegen'd, got: $line")
   }
 
+  test("ann probe→index joins keep the declared broadcast when stats say no") {
+    // The `broadcast(probes)` bounds in ann_ivf / ann_ivf_pq encode
+    // semantic knowledge the planner lacks: probes is queries × nprobe
+    // rows, but its STATIC estimate is crossJoin-inflated, and at
+    // sf1-scale stats the planner flips the join to SortMergeJoin and
+    // shuffles the corpus-sized index by cell (the round-5 regression).
+    // autoBroadcastJoinThreshold=-1 simulates "estimates too big to
+    // auto-broadcast" — only the declared hint can keep the broadcast —
+    // so this pins the hint against refactors at any stats.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- Seq("ann_ivf", "ann_ivf_pq")) {
+        val p = plan(name)
+        val pat = """BroadcastHashJoin \[cell#[^\]]*\], \[cell#[^\]]*\], Inner, BuildLeft""".r
+        assert(pat.findFirstIn(p).isDefined,
+          s"$name: probe→index cell join must stay BroadcastHashJoin/BuildLeft " +
+            s"with auto-broadcast off:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("top_bigram_stats stays inside whole-stage codegen; no explode in ta_repetition") {
     val df = SparkEntry.queries("ta_repetition")(spark, sf)
     df.queryExecution.toRdd.count()

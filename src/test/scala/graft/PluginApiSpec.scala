@@ -61,4 +61,23 @@ class PluginApiSpec extends SparkSpec {
     val tables = spark.sql("SHOW TABLES IN graft.slow").collect().map(_.getString(1))
     assert(tables.contains("rows"))
   }
+
+  test("HCL attribute configs parse and apply like JSON (configure_fn.go:57-75)") {
+    import graft.sources.api.GraftConfigure
+    val next = GraftConfigure.applyConfig("seq",
+      "\n# leading comment\n" +
+        "profile = \"silver#water\" // '#' inside quotes survives\n" +
+        "regions = [\"us-east-1\", \"us-west-2\"]\n" +
+        "n       = 4321  # numeric override\n")
+    try {
+      assert(next.n == 4321, "HCL n must override like the JSON form")
+      assert(next.extra("profile") == "silver#water",
+        "comment stripping must not eat '#' inside quoted strings")
+      assert(next.extra("regions") == """["us-east-1","us-west-2"]""",
+        "array extras keep compact JSON form")
+      intercept[IllegalArgumentException] {
+        GraftConfigure.applyConfig("seq", "not an assignment")
+      }
+    } finally GraftConfigure.applyConfig("seq", """{"n": 10000}""")
+  }
 }

@@ -84,6 +84,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, s"IVF recall vs brute force too low: $recall")
   }
 
+  test("OpCache gives the persisted feature store an explicit lifecycle") {
+    import org.apache.spark.storage.StorageLevel
+    // an entry run pins the shared feature table(s)...
+    SparkEntry.queries("dd_embed_cosine")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val tracked = graft.operators.OpCache.trackedFor(spark)
+    assert(tracked.nonEmpty, "entry run should pin the shared feature table")
+    assert(tracked.exists(_.storageLevel != StorageLevel.NONE),
+      "at least one pinned table should be persisted")
+    // ...and release() frees every one of them (no immortal persist)
+    graft.operators.OpCache.release(spark)
+    assert(tracked.forall(_.storageLevel == StorageLevel.NONE),
+      "release must unpersist every pinned table")
+    assert(graft.operators.OpCache.trackedFor(spark).isEmpty)
+  }
+
   test("KMV sketch estimate within 3 standard errors of exact distinct") {
     // q_approx_distinct's estimator: k=256 → relative stderr ≈ 1/√(k-1) ≈ 6.3%
     val res = SparkEntry.queries("q_approx_distinct")(spark, sf)
