@@ -43,6 +43,31 @@ object GenScale {
       write(name, (0 until reps).map(r => f(base, r)).reduce(_ unionAll _))
     }
 
+    // Replica-offset guards: each key column's replica shift assumes the
+    // source domain fits under the offset. A larger source corpus would
+    // silently produce colliding ids across replicas — corrupting join and
+    // dedup structure and invalidating every scaling conclusion — so fail
+    // loudly instead (one cheap max() agg per key column).
+    def guard(table: String, keysToOffsets: (String, Long)*): Unit = {
+      val df = Tables.t(spark, src, table)
+      keysToOffsets.foreach { case (key, off) =>
+        val mx = df.agg(max(col(key))).head().get(0) match {
+          case null => 0L
+          case n: Number => n.longValue()
+        }
+        require(mx < off,
+          s"GenScale: $table.$key max $mx >= replica offset $off — replicas would collide")
+      }
+    }
+    guard("customer", "c_custkey" -> 15000L)
+    guard("supplier", "s_suppkey" -> 1000L)
+    guard("part", "p_partkey" -> 20000L)
+    guard("orders", "o_orderkey" -> 150000L, "o_custkey" -> 15000L)
+    guard("lineitem", "l_orderkey" -> 150000L, "l_partkey" -> 20000L, "l_suppkey" -> 1000L)
+    guard("events", "event_id" -> 100000L, "user_id" -> 1500L)
+    guard("documents", "doc_id" -> 5000L)
+    guard("embeddings", "vec_id" -> 2000L, "label" -> 10L)
+
     // dimension tables shared by every replica
     write("region", Tables.t(spark, src, "region"))
     write("nation", Tables.t(spark, src, "nation"))

@@ -491,7 +491,9 @@ object JsonWalk {
         else if (node.isArray) "ARRAY"
         else if (node.isTextual) "VARCHAR"
         else if (node.isBoolean) "BOOLEAN"
-        else if (node.isIntegralNumber) { if (node.asLong() >= 0) "UBIGINT" else "BIGINT" }
+        // signum via BigInteger: integral values beyond Long range would
+        // misclassify through asLong()'s overflow clamp
+        else if (node.isIntegralNumber) { if (node.bigIntegerValue().signum() >= 0) "UBIGINT" else "BIGINT" }
         else if (node.isNumber) "DOUBLE"
         else "NULL"
       val value =
@@ -504,7 +506,7 @@ object JsonWalk {
         val it = node.fields() // Jackson preserves document key order
         while (it.hasNext) {
           val e = it.next()
-          rec(e.getValue, path + "." + e.getKey, e.getKey)
+          rec(e.getValue, path + pathStep(e.getKey), e.getKey)
         }
       } else if (node.isArray) {
         var i = 0
@@ -517,6 +519,14 @@ object JsonWalk {
     rec(mapper.get().readTree(js.toString), "$", null)
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Object-member path step, quoted like SQLite json_tree's fullkey when
+    * the key isn't a plain identifier ($."a.b" instead of the ambiguous
+    * $.a.b). */
+  private def pathStep(key: String): String =
+    if (key.nonEmpty && key.forall(c => (c.isLetterOrDigit && c < 128) || c == '_'))
+      "." + key
+    else ".\"" + key.replace("\"", "\\\"") + "\""
 }
 
 /** Static helpers shared by interpreted eval and generated code. */

@@ -76,7 +76,7 @@ object Components {
       // convergence via a per-round checksum (one aggregate on the
       // snapshot — no extra join+count round-trip per iteration)
       def checksum(df: DataFrame): Long = df
-        .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head.getLong(0)
+        .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head().getLong(0)
       var prev = checksum(labels)
       var converged = false
       var iter = 0

@@ -125,8 +125,12 @@ object TextOps2 {
     // on the exploded segment key, never all-pairs, and reassembly sorts
     // WITHIN each doc's collected list, not globally.
     GraftQuery("ta_line_dedup", (s, d) => {
+      // zero-token guard on BOTH engines: without it the Spark side's
+      // sequence(0, CAST((size-1)/4 AS INT)) emits one empty segment for
+      // an empty doc while the oracle's range(0, (len+3)//4) emits none
       val segs = Tables.widened(s, d, "documents")
         .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, CAST((size(toks) - 1) / 4 AS INT)), " +
             "j -> array_join(slice(toks, 4 * j + 1, 4), ' '))"))
@@ -142,7 +146,8 @@ object TextOps2 {
     },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |  FROM documents),
+             |  FROM documents
+             |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
              |seg AS (SELECT doc_id,
              |    unnest(range(0, (len(toks) + 3) // 4)) AS pos,
              |    unnest(list_transform(range(0, (len(toks) + 3) // 4),

@@ -145,8 +145,14 @@ object PluginRegistry {
   register(SeqPlugin) // built-in demo plugins
   register(MetricsPlugin)
   register(DynPlugin)
-  // declared from config only — no table code (reference generator parity)
-  register(DeclaredPlugin.fromResource("/graft/plugins/rest_demo.json"))
+  // declared from config only — no table code (reference generator parity).
+  // A broken bundled descriptor must degrade to "no 'rest' plugin", not
+  // poison every registry lookup with ExceptionInInitializerError.
+  try register(DeclaredPlugin.fromResource("/graft/plugins/rest_demo.json"))
+  catch {
+    case e: Exception =>
+      System.err.println(s"[graft] skipping declared plugin rest_demo.json: ${e.getMessage}")
+  }
 
   def register(p: Plugin): Unit = plugins.put(p.name, p)
   def plugin(name: String): Plugin = Option(plugins.get(name))
