@@ -23,7 +23,8 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+  private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
+      noDataBatches: Boolean = true): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // Streaming state partitioning is its own deployment knob: it locks
     // into the checkpoint at first start and should be sized to the STREAM
@@ -32,12 +33,27 @@ object Streams {
     // hundreds of near-empty state-store files whose per-batch commit I/O
     // dominates (measured: 32 → 8 partitions halves stream entries at
     // sf0.1). Scoped to the query start; batch plans are untouched.
+    //
+    // noDataBatches=false skips the zero-input micro-batch Spark schedules
+    // after a watermark advance. That batch exists to EMIT results a
+    // watermark unlocks (append-mode aggregations) and to evict state —
+    // for an operator whose results emit eagerly in the data batch (inner
+    // stream-stream interval join), it re-runs the whole stateful plan for
+    // nothing (measured: 0.9 s of the old 2.3 s at sf0.1). Entries whose
+    // final windows flush on watermark advance must keep it true.
     val was = s.conf.get("spark.sql.shuffle.partitions")
+    val noDataWas = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.statePartitions", "8"))
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     val q = try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    finally s.conf.set("spark.sql.shuffle.partitions", was)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", was)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataWas)
+    }
     q.processAllAvailable()
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(p.json))
     // expose the final state-store size for the boundedness spec
     lastStateRows = q.recentProgress.toSeq
       .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
@@ -522,7 +538,10 @@ object Streams {
           col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
           col("vts") <= col("pts"))
         .select(col("purchase_id"), col("view_id"), col("pu").as("user_id"))
-      runToTable(s, joined, OutputMode.Append())
+      // inner interval join emits every match in its data batch; the only
+      // thing the post-watermark no-data batch would do is evict state the
+      // replay is about to drop anyway
+      runToTable(s, joined, OutputMode.Append(), noDataBatches = false)
     },
       Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
              |FROM events p JOIN events v
