@@ -35,8 +35,21 @@ object GenScale {
   }
 
   def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
-    def write(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // Single-FILE outputs (like the driver's testdata layout): the
+    // streaming entries stage `events.parquet` with a raw file copy, and
+    // DuckDB oracles glob plain paths — a directory-of-parts layout breaks
+    // both. repartition(1), not coalesce(1): coalesce would collapse the
+    // whole tiling computation to one task.
+    def write(name: String, df: DataFrame): Unit = {
+      import java.nio.file._
+      val tmp = Files.createTempDirectory(s"genscale_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(Paths.get(out))
+      Files.move(part, Paths.get(s"$out/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 
     def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables.t(spark, src, name)
@@ -85,11 +98,17 @@ object GenScale {
       .withColumn("l_orderkey", col("l_orderkey") + lit(r * 150000L))
       .withColumn("l_partkey", col("l_partkey") + lit(r * 20000L))
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * 1000L)))
-    // events: new ids/users per replica, sessions time-shifted apart
-    tiled("events")((df, r) => df
+    // events: new ids/users per replica, sessions time-shifted apart.
+    // Tiled from the RAW parquet (ts = nanos bigint), not Tables.t's
+    // converted view: the driver testdata stores nanos, and the streaming
+    // entries' source schema check depends on the layouts matching — a
+    // TIMESTAMP ts in a generated sf dir broke every st_* entry there.
+    val rawEvents = spark.read.parquet(s"$src/events.parquet")
+    write("events", (0 until reps).map(r => rawEvents
       .withColumn("event_id", col("event_id") + lit(r * 100000L))
       .withColumn("user_id", col("user_id") + lit(r * 1500L))
-      .withColumn("ts", col("ts") + expr(s"INTERVAL '${r * 30}' DAY")))
+      .withColumn("ts", col("ts") + lit(r * 30L * 86400L * 1000000000L)))
+      .reduce(_ unionAll _))
     // documents: per-replica Caesar rotation of the letter/digit alphabets.
     // A bijective char map preserves EVERYTHING within a replica — token
     // counts and lengths, per-source vocab sizes, exact/near-dup structure,
