@@ -81,43 +81,53 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Sign-LSH signatures: one small-int signature per hash table, from
   * seeded deterministic Gaussian hyperplanes (data-independent, identical
-  * on every executor). Input array<double>(64) → array<int>(numTables).
-  * The same seeded planes are embedded as literals into the DuckDB oracle
-  * (Similarity.lshOracle), so bucket assignment is cross-engine exact. */
-case class LshSigs(child: Expression) extends UnaryExpression {
+  * on every executor). Input (array<double>(64), q) → array<int>
+  * (numTables), where q is the number of hyperplanes (= signature bits)
+  * used per table. q SCALES WITH THE CORPUS (Similarity.lshQ: smallest q
+  * in [8, 16] with 2^q · 8 ≥ N): a fixed q makes expected bucket
+  * population N/2^q grow linearly and the bucket self-join quadratically
+  * — the same flaw class as a fixed quantizer K. The same seeded planes
+  * are embedded as literals into the DuckDB oracle, which derives the
+  * identical q from COUNT(*), so bucket assignment is cross-engine exact
+  * at every scale. */
+case class LshSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_sigs"
 
-  override def nullSafeEval(input: Any): Any =
-    LshSigs.compute(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any, q: Any): Any =
+    LshSigs.compute(input.asInstanceOf[ArrayData], q.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.LshSigs.compute($c);")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.LshSigs.compute($c, $q);")
 
-  override protected def withNewChildInternal(c: Expression): LshSigs = copy(c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LshSigs =
+    copy(left = l, right = r)
 }
 
 object LshSigs {
   val numTables = 3
-  val planesPerTable = 8
+  val maxPlanesPerTable = 16
   val dims = 64
-  /** Seeded once; identical on driver and executors. */
+  /** Seeded once; identical on driver and executors. The first 24 stream
+    * positions are unchanged from the pre-scaling 3×8 layout, so
+    * emb_dim_reduce's JL matrix (positions 0-15) is untouched. */
   lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(numTables * planesPerTable)(Array.fill(dims)(rnd.nextGaussian()))
+    Array.fill(numTables * maxPlanesPerTable)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
   /** Shared by interpreted eval and generated code. */
-  def compute(input: ArrayData): ArrayData = {
+  def compute(input: ArrayData, q: Int): ArrayData = {
     val v = input.toDoubleArray()
     val sigs = new Array[Int](numTables)
     var t = 0
     while (t < numTables) {
       var sig = 0
       var p = 0
-      while (p < planesPerTable) {
-        val plane = planes(t * planesPerTable + p)
+      while (p < q) {
+        val plane = planes(t * maxPlanesPerTable + p)
         var dot = 0.0
         var i = 0
         val n = math.min(v.length, plane.length)
@@ -810,7 +820,7 @@ object F {
     ("minhash_sig", (es: Seq[Expression]) => MinHashSig(es.head)),
     ("simhash64", (es: Seq[Expression]) => SimHash64(es.head)),
     ("dot_product", (es: Seq[Expression]) => DotProduct(es(0), es(1))),
-    ("lsh_sigs", (es: Seq[Expression]) => LshSigs(es.head)),
+    ("lsh_sigs", (es: Seq[Expression]) => LshSigs(es.head, es(1))),
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),

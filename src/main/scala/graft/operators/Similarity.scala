@@ -184,12 +184,29 @@ object Similarity {
        |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib),
        |p AS (SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7)""".stripMargin
 
+  /** Sign-LSH signature width (bits/planes per table): the smallest q in
+    * [8, 16] with 2^q · 8 ≥ N, i.e. expected bucket population ≤ ~8 at
+    * any corpus size — candidate pairs per bucket stay O(1)·bucket and
+    * total candidates grow linearly (a fixed q left population N/2^q
+    * unbounded: measured 6.7× time at 10× data from the quadratic bucket
+    * self-join). Integer formulation (no float log2) so the oracle's SQL
+    * derivation is bit-identical. */
+  private[graft] def lshQ(n: Long): Int =
+    (8 to 16).find(q => (1L << q) * 8 >= n).getOrElse(16)
+
+  /** Oracle mirror of lshQ (expects the feature CTE `n`). */
+  private def lshQSql: String =
+    s"""qq AS (SELECT MIN(q) AS q FROM range(8, 17) r(q)
+       |  WHERE (1 << q) * 8 >= (SELECT COUNT(*) FROM n) OR q = 16)""".stripMargin
+
   /** DuckDB literal for one hyperplane (exact shortest-round-trip doubles:
-    * both engines parse back the identical IEEE value). */
+    * both engines parse back the identical IEEE value). All 16 planes per
+    * table are emitted; the sigbits CTE uses only p < qq.q, mirroring the
+    * native expression. */
   private def planeRows: String =
     (for (t <- 0 until graft.functions.LshSigs.numTables;
-          p <- 0 until graft.functions.LshSigs.planesPerTable) yield {
-      val plane = graft.functions.LshSigs.planes(t * graft.functions.LshSigs.planesPerTable + p)
+          p <- 0 until graft.functions.LshSigs.maxPlanesPerTable) yield {
+      val plane = graft.functions.LshSigs.planes(t * graft.functions.LshSigs.maxPlanesPerTable + p)
       // E-notation → DuckDB's DOUBLE parse path (a plain decimal literal
       // goes through DECIMAL, whose cast double-rounds 17-digit values)
       def dlit(x: Double): String = {
@@ -287,16 +304,19 @@ object Similarity {
              |  FROM p)
              |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5""".stripMargin)),
 
-    // 47. sign-LSH bucketed ANN (the scale path): 3 tables × 8 hyperplanes
-    // (native lsh_sigs expression, seeded planes), bucket equijoin for
-    // candidates, exact-cosine verify. Oracle: the SAME seeded planes are
-    // embedded as SQL literals, so DuckDB recomputes bucket assignment,
+    // 47. sign-LSH bucketed ANN (the scale path): 3 tables × q hyperplanes
+    // with q corpus-scaled (lshQ: 2^q buckets ≈ N/8, so bucket population
+    // — and with it the candidate self-join — stays bounded at any corpus
+    // size; a fixed q was the same quadratic flaw class as a fixed
+    // quantizer K). Bucket equijoin for candidates, exact-cosine verify.
+    // Oracle: the SAME seeded planes are embedded as SQL literals and q is
+    // derived from COUNT(*), so DuckDB recomputes bucket assignment,
     // candidate join and cosine verify bit-exactly end to end.
     GraftQuery("ann_lsh", (s, d) => {
       val base = vecs(s, d) // memoized feature table: buckets + both verify sides
       val e = base
         .select(col("vec_id"), col("v"), col("n2"),
-          posexplode(expr("lsh_sigs(v)")).as(Seq("t", "sig")))
+          posexplode(expr(s"lsh_sigs(v, ${lshQ(embCount(s, d))})")).as(Seq("t", "sig")))
       val cand = e.select(col("t"), col("sig"), col("vec_id").as("ia"))
         .join(e.select(col("t"), col("sig"), col("vec_id").as("ib")), Seq("t", "sig"))
         .filter(col("ia") < col("ib"))
@@ -311,13 +331,14 @@ object Similarity {
       Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              |  FROM embeddings),
              |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
+             |$lshQSql,
              |pl AS (SELECT * FROM (VALUES
              |$planeRows) t(tbl, p, plane)),
              |sigbits AS (SELECT n.vec_id, pl.tbl,
              |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
              |        list_transform(range(1, 65), i -> n.v[i] * pl.plane[i])),
              |        (s, x) -> s + x) >= 0 THEN (1 << pl.p) ELSE 0 END AS bit
-             |  FROM n CROSS JOIN pl),
+             |  FROM n CROSS JOIN pl CROSS JOIN qq WHERE pl.p < qq.q),
              |sigt AS (SELECT vec_id, tbl AS t, SUM(bit) AS sig FROM sigbits GROUP BY vec_id, tbl),
              |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
              |  FROM sigt a JOIN sigt b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),

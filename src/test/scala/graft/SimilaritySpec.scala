@@ -45,7 +45,7 @@ class SimilaritySpec extends SparkSpec {
     val v1 = v0.map(_ * 1.001 + 1e-6)
     val others = (2 to 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq))
     val df = (Seq((0L, v0.toSeq), (1L, v1.toSeq)) ++ others).toDF("vec_id", "v")
-      .withColumn("sigs", expr("lsh_sigs(v)"))
+      .withColumn("sigs", expr("lsh_sigs(v, 8)"))
     val s0 = df.filter($"vec_id" === 0L).select("sigs").head.getAs[scala.collection.Seq[Int]](0)
     val s1 = df.filter($"vec_id" === 1L).select("sigs").head.getAs[scala.collection.Seq[Int]](0)
     assert(s0.zip(s1).exists { case (a, b) => a == b },
