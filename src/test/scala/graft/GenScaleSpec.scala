@@ -58,6 +58,12 @@ class GenScaleSpec extends SparkSpec {
     assert(Similarity.scaledK(8192) == 32, "knee of the clamp")
     assert(Similarity.scaledK(20000) == 78, "sf1 corpus unclamps")
     assert(Similarity.scaledK(100000000000L) == 65536, "broadcast cap")
+    // sign-LSH width: same clamp discipline (2^q buckets ≈ N/8)
+    assert(Similarity.lshQ(500) == 8, "min width at test scale")
+    assert(Similarity.lshQ(2048) == 8, "exact power boundary stays 8")
+    assert(Similarity.lshQ(2049) == 9, "first unclamped step")
+    assert(Similarity.lshQ(20000) == 12, "sf1 corpus")
+    assert(Similarity.lshQ(100000000L) == 16, "width cap")
 
     // Tile sf0.001 embeddings in memory exactly like GenScale (rotation +
     // disjoint ids) to two corpus sizes ABOVE the clamp knee, run the real
