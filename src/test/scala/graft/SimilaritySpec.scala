@@ -100,6 +100,33 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.OpCache.trackedFor(spark).isEmpty)
   }
 
+  test("phash collapse: identical components, linear edges on a hot fingerprint") {
+    import graft.operators.{Components, Multimodal}
+    // 40 docs share ONE exact fingerprint (the "blank image stored 10M
+    // times" shape), 3 near fingerprints within hamming<=8 of it, 1 far
+    // fingerprint that band-collides (b2/b3 intact) but fails the verify.
+    val hot = 0x5A5A5A5A5A5A5A5AL
+    val fps = (0L until 40L).map(_ -> hot) ++ Seq(
+      100L -> (hot ^ 0x1L), 101L -> (hot ^ 0x6L), 102L -> (hot ^ 0x30L),
+      200L -> (hot ^ 0xFFFFFFFFL))
+    val ph = fps.map { case (id, f) =>
+      (id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
+        (f >>> 16) & 0xffff, f & 0xffff)
+    }.toDF("doc_id", "phash", "b3", "b2", "b1", "b0")
+    val full = Multimodal.bandVerify(ph).select("ia", "ib")
+    val coll = Multimodal.collapsedEdges(ph)
+    // full banding is quadratic in the hot group; the collapse is linear
+    assert(full.count() >= 40L * 39 / 2, "full banding should be all-pairs on the hot group")
+    assert(coll.count() <= 39 + 6, s"collapsed edges must be linear, got ${coll.count()}")
+    // and the component structure is bit-identical
+    def lab(e: org.apache.spark.sql.DataFrame) =
+      Components.minLabel(spark, e).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lab(full) == lab(coll), "collapse changed the components")
+    // the far fingerprint never survives the verify in either edge set
+    assert(!lab(coll).exists(_._1 == 200L))
+  }
+
   test("KMV sketch estimate within 3 standard errors of exact distinct") {
     // q_approx_distinct's estimator: k=256 → relative stderr ≈ 1/√(k-1) ≈ 6.3%
     val res = SparkEntry.queries("q_approx_distinct")(spark, sf)
