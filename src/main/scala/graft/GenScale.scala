@@ -139,16 +139,29 @@ object GenScale {
     // generation grows linearly with the corpus. (A token SUFFIX does not
     // achieve this: 3-gram shingles of 'word~3' vs 'word~7' still overlap
     // heavily, and the banding cross-collides every replica sibling —
-    // measured 34× at 10× data. A Caesar ROTATION is not enough either:
-    // it shifts most byte values by the same delta, so per-block byte
-    // means and the global mean move together and the block-mean phash
-    // survives almost unchanged — measured hamming ≤ 8 between replica
-    // siblings, which cross-collided every replica in the phash banding
-    // and made mm_phash_cluster quadratic at 100×. A seeded shuffle gives
-    // each char an independent delta, so block-mean bits decorrelate.)
+    // measured 34× at 10× data. A Caesar alphabet ROTATION is not enough
+    // either: it shifts most byte values by the same delta, so the
+    // block-mean phash survived almost unchanged and mm_phash_cluster
+    // went quadratic at 100×. A seeded shuffle gives each char an
+    // independent value.)
+    //
+    // The char map is composed with a per-replica CYCLIC TEXT ROTATION by
+    // r % length chars: space and digit positions survive any letter
+    // permutation with identical (position, nibble) phash votes, which at
+    // 100 replicas left 2.4% of sibling pairs within the verify threshold
+    // and percolated a 117k-member giant component (measured at sf10); a
+    // 1+-char shift rehashes EVERY position-salted vote, pushing siblings
+    // to background hamming (3.3k of 24.7M sibling pairs). Rotation
+    // preserves length, char histogram and token multiset (one token pair
+    // splits at the seam), and exact-dup groups rotate identically, so
+    // within-replica structure still scales linearly.
     tiled("documents")((df, r) =>
-      (if (r == 0) df else df.withColumn("text", expr(
-        s"translate(text, '$lower$digits', '${permuted(lower, r)}${permuted(digits, r)}')")))
+      (if (r == 0) df
+       else df
+         .withColumn("text", expr(
+           s"translate(text, '$lower$digits', '${permuted(lower, r)}${permuted(digits, r)}')"))
+         .withColumn("text", expr(
+           s"concat(substring(text, $r % length(text) + 1), substring(text, 1, $r % length(text)))")))
         .withColumn("doc_id", col("doc_id") + lit(r * 5000L))
         .withColumn("n_chars", length(col("text"))))
     // embeddings: replica rotation decorrelates vectors across replicas

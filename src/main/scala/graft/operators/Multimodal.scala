@@ -51,9 +51,11 @@ object Multimodal {
   }
 
   /** STUB perceptual hash (the DCT-pHash analog over an opaque payload):
-    * 64 equal byte blocks, bit j = strict majority of per-position votes in
-    * block j, where position k votes with one bit of a murmur-style 32-bit
-    * mix of (k, payload(k)'s HIGH nibble). Quantizing to the high nibble
+    * 64 equal byte blocks, bit j = majority of per-position votes in
+    * block j (ties broken by the block's first vote, keeping P(bit=1) at
+    * exactly 1/2 so band keys stay uniform), where position k votes with
+    * one bit of a murmur-style 32-bit mix of (k, payload(k)'s HIGH
+    * nibble). Quantizing to the high nibble
     * makes small value perturbations (a lossy re-encode's ±1) flip almost
     * no votes — planted variants land at hamming ≤ 4 — while any byte-value
     * remap rehashes ~half the positions and decorrelates the fingerprint
@@ -72,6 +74,7 @@ object Multimodal {
       val lo = j * n / 64
       val hi = (j + 1) * n / 64
       var ones = 0L
+      var first = 0L
       var k = lo
       while (k < hi) {
         val nib = (payload(k) & 0xff) >>> 4
@@ -79,10 +82,19 @@ object Multimodal {
         a ^= a >>> 16
         a = (a * 1540483477L) & 0xFFFFFFFFL
         a ^= a >>> 16
+        if (k == lo) first = a & 1L
         ones += (a & 1L)
         k += 1
       }
-      val bit = if (hi > lo && ones * 2L > (hi - lo)) 1L else 0L
+      // strict majority, ties broken by the block's first vote: an
+      // always-0 tie rule biases P(bit=1) to ~0.40 (ties are common at
+      // block length ~16), which skews the 16-bit band-key distribution
+      // and inflated band-bucket collisions ~4x at 571k fingerprints
+      val bit =
+        if (hi == lo) 0L
+        else if (ones * 2L > (hi - lo)) 1L
+        else if (ones * 2L == (hi - lo)) first
+        else 0L
       fp = (fp << 1) | bit
       j += 1
     }
@@ -158,19 +170,27 @@ object Multimodal {
     }
 
   /** 4×16-bit hamming-band candidate generation + exact popcount verify
-    * over a fingerprint table (doc_id, phash, b0..b3). */
+    * over a fingerprint table (doc_id, phash, b0..b3).
+    *
+    * The fingerprint rides along through the band self-join so the
+    * popcount verify is evaluated inline on the collided stream, and the
+    * pair-dedup DISTINCT runs AFTER the hamming filter. Random band
+    * collisions grow as N²/2^16 (at 571k fingerprints that is ~10M
+    * candidates, none of which survive the verify), so deduping first
+    * would shuffle the whole candidate stream to discard 97% of it;
+    * deduping survivors shuffles only the true near-dup set. Identical
+    * results: hamming is a function of the pair, so DISTINCT before or
+    * after the filter selects the same (ia, ib) set. */
   private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val banded = ph.select(col("doc_id"), posexplode(
+    val banded = ph.select(col("doc_id"), col("phash"), posexplode(
       array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
-    val cand = banded.toDF("ia", "band", "bk")
-      .join(banded.toDF("ib", "band", "bk"), Seq("band", "bk"))
+    banded.select(col("doc_id").as("ia"), col("phash").as("pa"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("ib"), col("phash").as("pb"),
+        col("band"), col("bk")), Seq("band", "bk"))
       .filter(col("ia") < col("ib"))
-      .select("ia", "ib").distinct()
-    cand.join(ph.select(col("doc_id").as("ia"), col("phash").as("pa")), "ia")
-      .join(ph.select(col("doc_id").as("ib"), col("phash").as("pb")), "ib")
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
       .filter(col("hamming") <= 8)
-      .select("ia", "ib", "hamming")
+      .select("ia", "ib", "hamming").distinct()
   }
 
   /** Collapsed edge set for connected components: exact-fingerprint groups
@@ -232,12 +252,17 @@ object Multimodal {
       |      a -> xor(a, a // 65536) % 2) AS votes
       |  FROM m),
       |bitv AS (SELECT doc_id, j,
-      |    CASE WHEN ((j + 1) * n) // 64 > (j * n) // 64 AND
-      |      COALESCE(list_sum(list_slice(votes,
+      |    CASE WHEN ((j + 1) * n) // 64 <= (j * n) // 64 THEN 0
+      |      WHEN COALESCE(list_sum(list_slice(votes,
       |        CAST((j * n) // 64 + 1 AS BIGINT),
       |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * 2
-      |      > ((j + 1) * n) // 64 - (j * n) // 64
-      |    THEN 1 ELSE 0 END AS bit
+      |        > ((j + 1) * n) // 64 - (j * n) // 64 THEN 1
+      |      WHEN COALESCE(list_sum(list_slice(votes,
+      |        CAST((j * n) // 64 + 1 AS BIGINT),
+      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * 2
+      |        = ((j + 1) * n) // 64 - (j * n) // 64
+      |        THEN votes[CAST((j * n) // 64 + 1 AS BIGINT)]
+      |      ELSE 0 END AS bit
       |  FROM v, range(0, 64) r(j)),
       |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
       |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),

@@ -33,12 +33,16 @@ class GenScaleSpec extends SparkSpec {
     assert(docs.count() == 2 * n0)
     // replica ids occupy a disjoint range
     assert(docs.filter(col("doc_id") >= 5000L).count() == n0)
-    // mapping replica 1 BACK yields replica 0's text exactly (bijection),
-    // so within-replica token/shingle/dup structure is preserved verbatim
+    // mapping replica 1 BACK yields replica 0's text exactly (the char
+    // map is a bijection and the cyclic rotation is invertible), so
+    // within-replica token/shingle/dup structure is preserved verbatim
     val lower = GenScale.lower
     val digits = GenScale.digits
     val back = docs.filter(col("doc_id") >= 5000L)
       .withColumn("doc_id", col("doc_id") - 5000L)
+      .withColumn("text", expr(
+        "concat(substring(text, length(text) - 1 % length(text) + 1), " +
+          "substring(text, 1, length(text) - 1 % length(text)))"))
       .withColumn("text", expr(
         s"translate(text, '${GenScale.permuted(lower, 1)}${GenScale.permuted(digits, 1)}', '$lower$digits')"))
       .select("doc_id", "text")
@@ -49,11 +53,14 @@ class GenScaleSpec extends SparkSpec {
     val overlap = docs.filter(col("doc_id") < 5000L).select("text")
       .intersect(docs.filter(col("doc_id") >= 5000L).select("text")).count()
     assert(overlap == 0, s"$overlap identical texts across replicas")
-    // block-mean phash decorrelates across replicas: a Caesar rotation
-    // kept replica siblings at hamming ≤ 8 (every sibling band-collided
-    // and mm_phash_cluster went quadratic at 100×); the seeded
-    // permutation must push (almost) all siblings past the verify
-    // threshold
+    // phash decorrelates across replicas: the old block-mean stub kept
+    // Caesar-rotated siblings at hamming ≤ 8 (every sibling band-collided
+    // and mm_phash_cluster went quadratic at 100×); the nibble-vote stub
+    // plus the seeded permutation plus the per-replica cyclic text
+    // rotation must push (almost) all siblings past the verify threshold
+    // (the rotation exists because space/digit positions survive a letter
+    // permutation with identical position-salted votes — measured 2.4%
+    // sibling collisions and a 117k giant component at sf10 without it)
     val sib = docs.filter(col("doc_id") < 5000L)
       .select(col("doc_id"), col("text").as("ta"))
       .join(docs.filter(col("doc_id") >= 5000L)
