@@ -180,7 +180,24 @@ object Multimodal {
     * would shuffle the whole candidate stream to discard 97% of it;
     * deduping survivors shuffles only the true near-dup set. Identical
     * results: hamming is a function of the pair, so DISTINCT before or
-    * after the filter selects the same (ia, ib) set. */
+    * after the filter selects the same (ia, ib) set.
+    *
+    * SCALE LIMIT — the 16-bit band keyspace is the next member of the
+    * fixed-capacity quadratic class (after quantizer K and sign-LSH
+    * width, both corpus-scaled this round): the inline-verified random
+    * collision term 4·N²/2^16 is negligible at 571k fingerprints (~20M
+    * cheap popcount rows) and still fine at ~5M, but at ~1e9 media docs
+    * it is ~6e13 joined rows — the band join, not the verify, falls
+    * over. Exact-match banding fundamentally needs key width ~2·log2(N)
+    * to keep collisions linear, which a 64-bit fingerprint cannot fund
+    * past 4 bands: the 100 TB path is widening the fingerprint with the
+    * corpus (bits = 4·w, w = max(16, log2(N)+8), the same
+    * integer-clamped COUNT(*)-derived pattern as lshQ/ivfK, oracle in
+    * lockstep via HUGEINT) and accepting the measured recall trade on
+    * band-clean probability — NOT deferred for difficulty but because
+    * re-encode flip CLUSTERING (flips concentrate in perturbed blocks)
+    * must be re-measured at the wider block size before choosing w's
+    * clamp; do it against sf10's planted variants. */
   private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val banded = ph.select(col("doc_id"), col("phash"), posexplode(
       array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
