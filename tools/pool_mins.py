@@ -1,0 +1,22 @@
+#!/usr/bin/env python3
+"""Pool per-entry minima/medians across >=2 BenchScale runs (same code,
+same scale): min of mins, median kept from the run with the lower min
+(dispersion context only). Usage: pool_mins.py out.json runA.json runB.json..."""
+import json, sys
+
+out, runs = sys.argv[1], [json.load(open(p)) for p in sys.argv[2:]]
+keys = set(runs[0]["queries_min"])
+for r in runs[1:]:
+    keys &= set(r["queries_min"])
+pooled_min, pooled_med = {}, {}
+for k in sorted(keys):
+    best = min(runs, key=lambda r: r["queries_min"][k])
+    pooled_min[k] = best["queries_min"][k]
+    pooled_med[k] = best["queries_median"][k]
+doc = dict(runs[0])
+doc["queries_min"] = pooled_min
+doc["queries_median"] = pooled_med
+doc["value"] = round(sum(pooled_min.values()), 3)
+doc["pooled_runs"] = len(runs)
+json.dump(doc, open(out, "w"))
+print("wrote", out, "entries", len(pooled_min), "total_min", doc["value"])
