@@ -31,8 +31,7 @@ object Multimodal {
       f4: Double, f5: Double, f6: Double, f7: Double)
   final case class FrameRow(doc_id: Long, frame_idx: Long, frame_bytes: Long,
       frame_sum: Long)
-  final case class PhashRow(doc_id: Long, phash: Long,
-      b3: Long, b2: Long, b1: Long, b0: Long)
+  final case class PhashRow(doc_id: Long, b3: Long, b2: Long, b1: Long, b0: Long)
 
   /** STUB decoder: 8-dim "embedding" from exact byte-bucket sums —
     * f_k = (Σ bytes at positions ≡ k mod 8) / (255 · n), one double
@@ -50,8 +49,42 @@ object Multimodal {
     f
   }
 
+  /** CORPUS-SCALED band width w (bits per band; fingerprint = 4·w bits,
+    * one byte block per bit): the smallest w in [16, 32] with
+    * 2^w ≥ 256 · N_docs — the integer form of w = log2(N) + 8, the same
+    * COUNT(*)-derived clamp discipline as Similarity.lshQ / scaledK, so
+    * the DuckDB oracle rederives the identical w in SQL at every sf.
+    * Exact-match banding needs key width ~log2(N) + margin to keep random
+    * band collisions (≈ 4·N²/2^w joined rows) LINEAR in N: a fixed 16-bit
+    * band left them growing quadratically past ~5M media docs (sf10
+    * measured 22× at 100× data — the band join, not the verify, was the
+    * growth). With w = log2(N)+8 the expected collisions stay ≈ 4·N/256;
+    * at the w=32 cap the quadratic knee sits at ~1e9 docs (multi-PB media
+    * territory), 200× the old ceiling. Width choice is measured, not
+    * guessed (tools/phash_width_study.py over sf10's 3000 planted pairs):
+    * perturbed bytes flip votes in FIXED positions, so planted hamming
+    * stays p99 ≤ 3 at 64, 128 and 256 blocks alike — widening costs
+    * almost no variant recall (4×32 band recall 0.9993, per-bit bias
+    * 0.109, same as 64-bit) — while 256-bit+ is ruled out: ≈8-byte blocks
+    * leave position-dominated bits (bias 0.317 → per-band match
+    * 0.70^32 ≈ 1e-5, collision-heavy). Hence the [16, 32] clamp. */
+  private[graft] def phashW(n: Long): Int =
+    (16 to 32).find(w => (1L << w) >= 256L * n).getOrElse(32)
+
+  /** Exact-verify threshold: hamming ≤ bits/8 (8 at 64-bit, 16 at
+    * 128-bit). Planted re-encode variants sit at p99 ≤ 3 regardless of
+    * width (flips cluster — see phashW); unrelated near-background text
+    * sits at ≥ bits/3 (p01 = 20 measured at 64 bits, scaling with bits),
+    * so the threshold splits them with margin on both sides at every w. */
+  private[graft] def phashThr(w: Int): Int = (4 * w) / 8
+
+  /** Document count, memoized per (session, dir) — one metadata-scale
+    * count job sizes the fingerprint for every phash consumer. */
+  private[operators] def docCount(s: SparkSession, d: String): Long =
+    OpCache.memoLong(s, "docN|" + d)(Tables.t(s, d, "documents").count())
+
   /** STUB perceptual hash (the DCT-pHash analog over an opaque payload):
-    * 64 equal byte blocks, bit j = majority of per-position votes in
+    * 4·w equal byte blocks, bit j = majority of per-position votes in
     * block j (ties broken by the block's first vote, keeping P(bit=1) at
     * exactly 1/2 so band keys stay uniform), where position k votes with
     * one bit of a murmur-style 32-bit mix of (k, payload(k)'s HIGH
@@ -61,21 +94,25 @@ object Multimodal {
     * remap rehashes ~half the positions and decorrelates the fingerprint
     * (an earlier block-MEAN stub survived alphabet bijections nearly
     * unchanged, so GenScale replica siblings all band-collided and
-    * mm_phash_cluster went quadratic at 100×; measured here: siblings
+    * mm_phash_cluster went quadratic at 100×; measured: siblings
     * ≥ 9 hamming for 99%+, background non-pairs p01 = 20). Every step is
     * exact 32-bit integer arithmetic (adds, one multiply < 2^63, xor,
     * shifts) so the DuckDB oracle recomputes every bit with BIGINT `%`,
-    * `//` and xor(); MSB-first assembly matches the SimHash convention. */
-  private[graft] def phashStub(payload: Array[Byte]): PhashRow0 = {
+    * `//` and xor(); MSB-first assembly matches the SimHash convention.
+    * Returns the 4 bands MSB-first — bands(0)=b3 holds bits 0..w-1 —
+    * each a w-bit long, so no 128-bit integer type is ever needed on
+    * either engine (hamming = Σ per-band popcounts). */
+  private[graft] def phashStub(payload: Array[Byte], w: Int): Array[Long] = {
     val n = payload.length
-    var fp = 0L
+    val nb = 4 * w
+    val bands = new Array[Long](4)
     var j = 0
-    while (j < 64) {
-      val lo = j * n / 64
-      val hi = (j + 1) * n / 64
+    while (j < nb) {
+      val lo = j.toLong * n / nb
+      val hi = (j + 1).toLong * n / nb
       var ones = 0L
       var first = 0L
-      var k = lo
+      var k = lo.toInt
       while (k < hi) {
         val nib = (payload(k) & 0xff) >>> 4
         var a = ((k + 1).toLong * 2654435761L + (nib + 1).toLong * 2246822519L) & 0xFFFFFFFFL
@@ -88,19 +125,19 @@ object Multimodal {
       }
       // strict majority, ties broken by the block's first vote: an
       // always-0 tie rule biases P(bit=1) to ~0.40 (ties are common at
-      // block length ~16), which skews the 16-bit band-key distribution
+      // block length ~16), which skews the band-key distribution
       // and inflated band-bucket collisions ~4x at 571k fingerprints
       val bit =
         if (hi == lo) 0L
         else if (ones * 2L > (hi - lo)) 1L
         else if (ones * 2L == (hi - lo)) first
         else 0L
-      fp = (fp << 1) | bit
+      val t = j / w // band index from MSB: 0→b3 … 3→b0
+      bands(t) = (bands(t) << 1) | bit
       j += 1
     }
-    PhashRow0(fp)
+    bands
   }
-  private[graft] final case class PhashRow0(fp: Long)
 
   private def media(s: SparkSession, d: String) = {
     import s.implicits._
@@ -118,8 +155,9 @@ object Multimodal {
 
   /** Shared phash near-dup pair pipeline (feeds mm_phash and
     * mm_phash_cluster): fingerprints (originals + planted re-encode
-    * variants), 4×16-bit hamming bands for candidates, popcount verify
-    * ≤ 8. See the mm_phash entry for the full design rationale.
+    * variants), 4 corpus-scaled w-bit hamming bands for candidates,
+    * popcount verify ≤ 4w/8. See phashW and the mm_phash entry for the
+    * full design rationale.
     *
     * Memoized + persisted per (session, dir) like Similarity.minhashPairs:
     * in production the verified pair table IS the materialized media-dedup
@@ -131,24 +169,25 @@ object Multimodal {
 
   private def phashPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     OpCache.memo(s, "phpairs|" + d) {
-      val p = bandVerify(phashFps(s, d)).persist()
+      val p = bandVerify(phashFps(s, d), phashThr(phashW(docCount(s, d)))).persist()
       p.count()
       p
     }
 
-  /** Memoized fingerprint table (doc_id, phash, b0..b3): originals plus
-    * planted re-encode variants. Shared by the pair listing and the
-    * collapsed cluster edge set; persisted because the banding self-join
-    * and both verify joins re-read it. */
+  /** Memoized fingerprint table (doc_id, b3..b0 — 4 w-bit bands, w sized
+    * from the corpus count): originals plus planted re-encode variants.
+    * Shared by the pair listing and the collapsed cluster edge set;
+    * persisted because the banding self-join and both verify joins
+    * re-read it. */
   private def phashFps(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     OpCache.memo(s, "phfp|" + d) {
       import s.implicits._
+      val w = phashW(docCount(s, d))
       val ph = media(s, d).mapPartitions { batch =>
         batch.flatMap { m =>
           def row(id: Long, payload: Array[Byte]): PhashRow = {
-            val f = phashStub(payload).fp
-            PhashRow(id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
-              (f >>> 16) & 0xffff, f & 0xffff)
+            val b = phashStub(payload, w)
+            PhashRow(id, b(0), b(1), b(2), b(3))
           }
           if (m.doc_id % 7 == 0) {
             val variant = new Array[Byte](m.payload.length)
@@ -169,50 +208,34 @@ object Multimodal {
       ph
     }
 
-  /** 4×16-bit hamming-band candidate generation + exact popcount verify
-    * over a fingerprint table (doc_id, phash, b0..b3).
+  /** 4×w-bit hamming-band candidate generation + exact popcount verify
+    * over a fingerprint table (doc_id, b3..b0); w corpus-scaled (phashW),
+    * `thr` = phashThr(w).
     *
-    * The fingerprint rides along through the band self-join so the
-    * popcount verify is evaluated inline on the collided stream, and the
-    * pair-dedup DISTINCT runs AFTER the hamming filter. Random band
-    * collisions grow as N²/2^16 (at 571k fingerprints that is ~10M
-    * candidates, none of which survive the verify), so deduping first
-    * would shuffle the whole candidate stream to discard 97% of it;
-    * deduping survivors shuffles only the true near-dup set. Identical
-    * results: hamming is a function of the pair, so DISTINCT before or
-    * after the filter selects the same (ia, ib) set.
-    *
-    * SCALE LIMIT — the 16-bit band keyspace is the next member of the
-    * fixed-capacity quadratic class (after quantizer K and sign-LSH
-    * width, both corpus-scaled this round): the inline-verified random
-    * collision term 4·N²/2^16 is negligible at 571k fingerprints (~20M
-    * cheap popcount rows) and still fine at ~5M, but at ~1e9 media docs
-    * it is ~6e13 joined rows — the band join, not the verify, falls
-    * over. Exact-match banding fundamentally needs key width ~2·log2(N)
-    * to keep collisions linear, which a 64-bit fingerprint cannot fund
-    * past 4 bands: the 100 TB path is widening the fingerprint with the
-    * corpus (bits = 4·w, w = max(16, log2(N)+8), the same
-    * integer-clamped COUNT(*)-derived pattern as lshQ/ivfK, oracle in
-    * lockstep via HUGEINT) and accepting the measured recall trade on
-    * band-clean probability. Measured against sf10's planted variants
-    * (3000 pairs, offline study): flips CLUSTER — planted hamming stays
-    * p99 ≤ 3 at 64, 128 AND 256 blocks (perturbed bytes flip nibble
-    * boundaries in fixed positions; block count doesn't scale flips) —
-    * so widening costs almost no variant hamming. Design point is
-    * 128-bit / 4×32-bit bands: planted band recall 0.9993, per-bit bias
-    * 0.109 (same as 64-bit), random collisions ~4·N²/2^32 (~5× bias
-    * inflation) — the quadratic knee moves from ~5M to ~1e9 docs.
-    * 256-bit is ruled out: ~8-byte blocks leave position-dominated bits
-    * (bias 0.317 → per-band match 0.70^32 ≈ 1e-5, collision-heavy). */
-  private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val banded = ph.select(col("doc_id"), col("phash"), posexplode(
-      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
-    banded.select(col("doc_id").as("ia"), col("phash").as("pa"), col("band"), col("bk"))
-      .join(banded.select(col("doc_id").as("ib"), col("phash").as("pb"),
-        col("band"), col("bk")), Seq("band", "bk"))
+    * The fingerprint (as its 4 bands) rides along through the band
+    * self-join so the popcount verify is evaluated inline on the collided
+    * stream, and the pair-dedup DISTINCT runs AFTER the hamming filter.
+    * Random band collisions are ≈ 4·N²/2^w — kept LINEAR in N by the
+    * corpus-scaled w (see phashW; the fixed 16-bit band this replaces
+    * went quadratic past ~5M docs) — and none survive the verify, so
+    * deduping first would shuffle the whole candidate stream to discard
+    * it; deduping survivors shuffles only the true near-dup set.
+    * Identical results: hamming is a function of the pair, so DISTINCT
+    * before or after the filter selects the same (ia, ib) set. */
+  private[graft] def bandVerify(ph: org.apache.spark.sql.DataFrame,
+      thr: Int): org.apache.spark.sql.DataFrame = {
+    val banded = ph.select(col("doc_id"),
+      col("b3"), col("b2"), col("b1"), col("b0"), posexplode(
+        array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "bk")))
+    banded.select(col("doc_id").as("ia"), col("b3").as("pa3"), col("b2").as("pa2"),
+      col("b1").as("pa1"), col("b0").as("pa0"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("ib"), col("b3").as("pb3"), col("b2").as("pb2"),
+        col("b1").as("pb1"), col("b0").as("pb0"), col("band"), col("bk")), Seq("band", "bk"))
       .filter(col("ia") < col("ib"))
-      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-      .filter(col("hamming") <= 8)
+      .withColumn("hamming", expr(
+        "CAST(bit_count(pa3 ^ pb3) + bit_count(pa2 ^ pb2) + " +
+          "bit_count(pa1 ^ pb1) + bit_count(pa0 ^ pb0) AS BIGINT)"))
+      .filter(col("hamming") <= thr)
       .select("ia", "ib", "hamming").distinct()
   }
 
@@ -229,30 +252,37 @@ object Multimodal {
     * pairs; same reason dd_pipeline runs exact dedup before MinHash. */
   private[graft] def phashEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     OpCache.memo(s, "phedges|" + d) {
-      val e = collapsedEdges(phashFps(s, d)).persist()
+      val e = collapsedEdges(phashFps(s, d), phashThr(phashW(docCount(s, d)))).persist()
       e.count()
       e
     }
 
   /** The collapse itself (see phashEdges): star edges within exact-fp
     * groups + banded/verified pairs among distinct fingerprints. */
-  private[graft] def collapsedEdges(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val reps = ph.groupBy("phash", "b3", "b2", "b1", "b0")
+  private[graft] def collapsedEdges(ph: org.apache.spark.sql.DataFrame,
+      thr: Int): org.apache.spark.sql.DataFrame = {
+    val reps = ph.groupBy("b3", "b2", "b1", "b0")
       .agg(min(col("doc_id")).as("rep"))
-    val star = ph.select(col("doc_id"), col("phash"))
-      .join(reps.select(col("phash"), col("rep")), "phash")
+    val star = ph.select(col("doc_id"), col("b3"), col("b2"), col("b1"), col("b0"))
+      .join(reps, Seq("b3", "b2", "b1", "b0"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("ia"), col("rep").as("ib"))
     val repPairs = bandVerify(reps.select(col("rep").as("doc_id"),
-      col("phash"), col("b3"), col("b2"), col("b1"), col("b0")))
+      col("b3"), col("b2"), col("b1"), col("b0")), thr)
       .select("ia", "ib")
     star.unionAll(repPairs)
   }
 
   /** DuckDB CTE chain mirroring phashPairs; ends with `pairs(ia, ib,
-    * hamming)`. */
+    * hamming)`. The band width w is rederived in SQL from COUNT(*) with
+    * the identical integer clamp phashW applies (no baked-in literal), so
+    * both engines agree at every sf; bands are built from the bit list
+    * directly (4 w-bit BIGINTs, no 128-bit integer needed). */
   private def phashPairsSql: String =
-    """WITH raw AS (SELECT doc_id, strlen(text) AS n,
+    """WITH wc AS (SELECT MIN(w) AS w, 4 * MIN(w) AS nb FROM range(16, 33) r(w)
+      |  WHERE (CAST(1 AS BIGINT) << CAST(w AS INTEGER)) >= 256 * (SELECT COUNT(*) FROM documents)
+      |    OR w = 32),
+      |raw AS (SELECT doc_id, strlen(text) AS n,
       |    list_transform(range(1, strlen(text) + 1),
       |      i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS bytes
       |  FROM documents),
@@ -275,30 +305,29 @@ object Multimodal {
       |      a -> xor(a, a // 65536) % 2) AS votes
       |  FROM m),
       |bitv AS (SELECT doc_id, j,
-      |    CASE WHEN ((j + 1) * n) // 64 <= (j * n) // 64 THEN 0
+      |    CASE WHEN ((j + 1) * n) // wc.nb <= (j * n) // wc.nb THEN 0
       |      WHEN COALESCE(list_sum(list_slice(votes,
-      |        CAST((j * n) // 64 + 1 AS BIGINT),
-      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * 2
-      |        > ((j + 1) * n) // 64 - (j * n) // 64 THEN 1
+      |        CAST((j * n) // wc.nb + 1 AS BIGINT),
+      |        CAST(((j + 1) * n) // wc.nb AS BIGINT))), 0) * 2
+      |        > ((j + 1) * n) // wc.nb - (j * n) // wc.nb THEN 1
       |      WHEN COALESCE(list_sum(list_slice(votes,
-      |        CAST((j * n) // 64 + 1 AS BIGINT),
-      |        CAST(((j + 1) * n) // 64 AS BIGINT))), 0) * 2
-      |        = ((j + 1) * n) // 64 - (j * n) // 64
-      |        THEN votes[CAST((j * n) // 64 + 1 AS BIGINT)]
+      |        CAST((j * n) // wc.nb + 1 AS BIGINT),
+      |        CAST(((j + 1) * n) // wc.nb AS BIGINT))), 0) * 2
+      |        = ((j + 1) * n) // wc.nb - (j * n) // wc.nb
+      |        THEN votes[CAST((j * n) // wc.nb + 1 AS BIGINT)]
       |      ELSE 0 END AS bit
-      |  FROM v, range(0, 64) r(j)),
+      |  FROM v, wc, range(0, 128) r(j) WHERE j < wc.nb),
       |bl AS (SELECT doc_id, list(bit ORDER BY j) AS bits FROM bitv GROUP BY doc_id),
-      |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
-      |    list_transform(bits, x -> CAST(x AS HUGEINT))), (a, x) -> a * 2 + x) AS ufp
-      |  FROM bl),
       |ph AS (SELECT doc_id,
-      |    CAST(CASE WHEN ufp >= 9223372036854775808
-      |      THEN ufp - 18446744073709551616 ELSE ufp END AS BIGINT) AS phash,
-      |    CAST((ufp // 281474976710656) % 65536 AS BIGINT) AS b3,
-      |    CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
-      |    CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
-      |    CAST(ufp % 65536 AS BIGINT) AS b0
-      |  FROM fp),
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_slice(bits, 1, wc.w), x -> CAST(x AS BIGINT))), (a, x) -> a * 2 + x) AS b3,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_slice(bits, wc.w + 1, 2 * wc.w), x -> CAST(x AS BIGINT))), (a, x) -> a * 2 + x) AS b2,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_slice(bits, 2 * wc.w + 1, 3 * wc.w), x -> CAST(x AS BIGINT))), (a, x) -> a * 2 + x) AS b1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_slice(bits, 3 * wc.w + 1, 4 * wc.w), x -> CAST(x AS BIGINT))), (a, x) -> a * 2 + x) AS b0
+      |  FROM bl, wc),
       |bands AS (
       |  SELECT doc_id, 0 AS band, b0 AS bk FROM ph UNION ALL
       |  SELECT doc_id, 1, b1 FROM ph UNION ALL
@@ -308,11 +337,15 @@ object Multimodal {
       |  FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT ia, ib, CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+      |  SELECT ia, ib,
+      |    CAST(bit_count(xor(pa.b3, pb.b3)) + bit_count(xor(pa.b2, pb.b2))
+      |       + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b0, pb.b0)) AS BIGINT) AS hamming
       |  FROM cand
       |  JOIN ph pa ON pa.doc_id = cand.ia
       |  JOIN ph pb ON pb.doc_id = cand.ib
-      |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 8)""".stripMargin
+      |  WHERE bit_count(xor(pa.b3, pb.b3)) + bit_count(xor(pa.b2, pb.b2))
+      |      + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b0, pb.b0))
+      |      <= (SELECT nb // 8 FROM wc))""".stripMargin
 
   val defs: Seq[GraftQuery] = Seq(
     // 52. binary column + metadata in, fixed-shape features out, batched
@@ -422,23 +455,25 @@ object Multimodal {
              |  COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
              |FROM c GROUP BY 1, 2""".stripMargin)),
 
-    // 52f. media near-dup: perceptual-hash fingerprints (64-bit
-    // position-salted nibble-vote stub, exact integer compares) + 4×16-bit
-    // hamming bands — the image
+    // 52f. media near-dup: perceptual-hash fingerprints (4·w-bit
+    // position-salted nibble-vote stub, w corpus-scaled in [16,32] — see
+    // phashW — exact integer compares) + 4×w-bit hamming bands — the image
     // dedup shape: fingerprint per payload, band equijoin for candidates
     // (pigeonhole: any pair within hamming 3 shares an intact band; the
     // oracle mirrors the banding so recall is part of the contract), exact
-    // popcount(xor) verify ≤ 8. Never all-pairs: candidates are
-    // bucket-bounded exactly like SimHash/MinHash text dedup.
+    // popcount(xor) verify ≤ 4w/8. Never all-pairs: candidates are
+    // bucket-bounded exactly like SimHash/MinHash text dedup, and the
+    // band keyspace grows with the corpus so collisions stay linear.
     //
     // Ground truth: every 7th payload also appears as a deterministic
     // "re-encode" variant (+1 on every 11th byte, length-preserving — the
-    // aligned value-perturbation a lossy re-compress produces; id offset
-    // 1e6). pHash is an ALIGNED-media matcher — byte-stream text with
+    // aligned value-perturbation a lossy re-compress produces; negative id
+    // namespace). pHash is an ALIGNED-media matcher — byte-stream text with
     // insertions is exactly what it must NOT match (that's MinHash's job) —
     // so the planted pairs land at hamming ≤ 4 while the text near-dup
-    // background sits at ≥ 9 (measured p01 = 20), and the verify
-    // threshold 8 splits them with margin on both sides.
+    // background sits at ≥ 9 (measured p01 = 20 over 64 bits, scaling with
+    // width), and the verify threshold 4w/8 splits them with margin on
+    // both sides at every w.
     GraftQuery("mm_phash",
       (s, d) => phashPairs(s, d),
       Some(s"""$phashPairsSql

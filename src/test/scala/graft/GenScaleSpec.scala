@@ -67,15 +67,64 @@ class GenScaleSpec extends SparkSpec {
         .withColumn("doc_id", col("doc_id") - 5000L)
         .select(col("doc_id"), col("text").as("tb")), "doc_id")
       .collect()
-    val near = sib.count { r =>
-      val fa = graft.operators.Multimodal.phashStub(
-        r.getAs[String]("ta").getBytes("UTF-8")).fp
-      val fb = graft.operators.Multimodal.phashStub(
-        r.getAs[String]("tb").getBytes("UTF-8")).fp
-      java.lang.Long.bitCount(fa ^ fb) <= 8
+    // checked at BOTH ends of the width clamp: w=16 (the original 64-bit
+    // calibration, thr 8) and w=32 (the 100 TB design point, thr 16)
+    for (w <- Seq(16, 32)) {
+      val thr = graft.operators.Multimodal.phashThr(w)
+      val near = sib.count { r =>
+        val fa = graft.operators.Multimodal.phashStub(
+          r.getAs[String]("ta").getBytes("UTF-8"), w)
+        val fb = graft.operators.Multimodal.phashStub(
+          r.getAs[String]("tb").getBytes("UTF-8"), w)
+        (0 until 4).map(i => java.lang.Long.bitCount(fa(i) ^ fb(i))).sum <= thr
+      }
+      assert(near <= sib.length / 50,
+        s"$near/${sib.length} replica siblings still within phash hamming $thr at w=$w")
     }
-    assert(near <= sib.length / 50,
-      s"$near/${sib.length} replica siblings still within phash hamming 8")
+  }
+
+  test("phash width scales with the corpus; planted re-encode recall holds at w=32") {
+    import graft.operators.Multimodal
+    // the clamp: smallest w in [16,32] with 2^w >= 256·N (w = log2 N + 8)
+    assert(Multimodal.phashW(256) == 16, "min clamp")
+    assert(Multimodal.phashW(500) == 17, "sf0.01 corpus sits just past the knee")
+    assert(Multimodal.phashW(50000) == 24, "sf1 corpus")
+    assert(Multimodal.phashW(500000) == 27, "sf10 corpus")
+    assert(Multimodal.phashW(100000000000L) == 32, "width cap")
+    assert(Multimodal.phashThr(16) == 8)
+    assert(Multimodal.phashThr(32) == 16)
+    // planted-recall at the 100 TB design point (w=32, 128-bit): every
+    // re-encode variant (+1 on every 11th byte — the mm_phash ground
+    // truth) must band-collide AND pass the verify. The sf10 study
+    // (tools/phash_width_study.py) measured band recall 0.9993; tolerate
+    // the ~0.07% miss rate, scaled to this corpus with headroom.
+    val texts = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 7 === 0).select("text")
+      .collect().map(_.getString(0))
+    assert(texts.length >= 50, "need a meaningful planted sample")
+    val w = 32
+    val thr = Multimodal.phashThr(w)
+    var missBand = 0
+    var missVerify = 0
+    texts.foreach { t =>
+      val p = t.getBytes("UTF-8")
+      val variant = p.clone()
+      var i = 0
+      while (i < variant.length) {
+        if (i % 11 == 0) variant(i) = ((variant(i) & 0xff) + 1).toByte
+        i += 1
+      }
+      val fa = Multimodal.phashStub(p, w)
+      val fb = Multimodal.phashStub(variant, w)
+      val ham = (0 until 4).map(i => java.lang.Long.bitCount(fa(i) ^ fb(i))).sum
+      if (!(0 until 4).exists(i => fa(i) == fb(i))) missBand += 1
+      else if (ham > thr) missVerify += 1
+    }
+    assert(missVerify == 0,
+      s"$missVerify planted variants band-collided but failed the hamming verify")
+    assert(missBand <= math.max(1, texts.length / 100),
+      s"$missBand/${texts.length} planted variants share no band at w=32 " +
+        "(study bound: 0.07% miss)")
   }
 
   test("quantizer K scales with the corpus; SemDeDup pairwise work stays linear") {

@@ -110,11 +110,11 @@ class SimilaritySpec extends SparkSpec {
       100L -> (hot ^ 0x1L), 101L -> (hot ^ 0x6L), 102L -> (hot ^ 0x30L),
       200L -> (hot ^ 0xFFFFFFFFL))
     val ph = fps.map { case (id, f) =>
-      (id, f, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
+      (id, (f >>> 48) & 0xffff, (f >>> 32) & 0xffff,
         (f >>> 16) & 0xffff, f & 0xffff)
-    }.toDF("doc_id", "phash", "b3", "b2", "b1", "b0")
-    val full = Multimodal.bandVerify(ph).select("ia", "ib")
-    val coll = Multimodal.collapsedEdges(ph)
+    }.toDF("doc_id", "b3", "b2", "b1", "b0")
+    val full = Multimodal.bandVerify(ph, Multimodal.phashThr(16)).select("ia", "ib")
+    val coll = Multimodal.collapsedEdges(ph, Multimodal.phashThr(16))
     // full banding is quadratic in the hot group; the collapse is linear
     assert(full.count() >= 40L * 39 / 2, "full banding should be all-pairs on the hot group")
     assert(coll.count() <= 39 + 6, s"collapsed edges must be linear, got ${coll.count()}")
