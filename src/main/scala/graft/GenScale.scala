@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * ids for the same reason: a 10× corpus has more categories, not 10×
   * hotter blocks.
   *
-  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [replicas=10] */
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [replicas=10] [tables]
+  * `tables` = comma-separated subset (e.g. "embeddings") for
+  * vector-heavy corpora: the fixed-capacity ceilings of the ANN stack
+  * (lshQ > 16 needs > 524k vectors) are crossed by tiling ONLY the
+  * embeddings table to hundreds of replicas without paying for 100×
+  * documents/lineitem regeneration. */
 object GenScale {
 
   private[graft] val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -52,28 +57,60 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10))
+    run(spark, args(0), args(1), args.lift(2).map(_.toInt).getOrElse(10),
+      args.lift(3).map(_.split(',').toSet).getOrElse(Set.empty))
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  /** Per-replica elementwise sign pattern for embeddings: identity while
+    * the 64-rotation family lasts (r < 64 — keeps sf1/sf10-era corpora
+    * byte-identical), seeded ±1 per dimension beyond it. Rotation alone
+    * is EXHAUSTED at 64 replicas (replica 64 reproduced replica 0's
+    * vectors exactly — identical-vector twins across replicas turn the
+    * ANN/near-dup structure quadratic, the very artifact GenScale
+    * exists to avoid); rotation ∘ sign-flip is norm-preserving, keeps
+    * within-replica cosines exact, and decorrelates any two replicas
+    * (E[cos] = 0 between different sign draws). */
+  private[graft] def signs(r: Int): Array[Int] =
+    if (r < 64) Array.fill(64)(1)
+    else {
+      val rnd = new java.util.Random(0xC2B2AE3D27D4EB4FL * (r + 1))
+      Array.fill(64)(if (rnd.nextBoolean()) 1 else -1)
+    }
+
+  def run(spark: SparkSession, src: String, out: String, reps: Int,
+      only: Set[String] = Set.empty): Unit = {
+    def sel(name: String): Boolean = only.isEmpty || only.contains(name)
     // Single-FILE outputs (like the driver's testdata layout): the
     // streaming entries stage `events.parquet` with a raw file copy, and
     // DuckDB oracles glob plain paths — a directory-of-parts layout breaks
     // both. repartition(1), not coalesce(1): coalesce would collapse the
     // whole tiling computation to one task.
-    def write(name: String, df: DataFrame): Unit = {
+    // df is by-name: deselected tables (subset mode) must not even
+    // resolve their source parquet — a partial src dir lacks them
+    def write(name: String, df: => DataFrame): Unit = if (sel(name)) {
       import java.nio.file._
       val tmp = Files.createTempDirectory(s"genscale_$name")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      // Files.list streams hold a directory fd until closed
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst()
+        finally listing.close()
+      require(part.isPresent,
+        s"GenScale: Spark wrote no part file for $name under $tmp")
       Files.createDirectories(Paths.get(out))
-      Files.move(part, Paths.get(s"$out/$name.parquet"),
+      Files.move(part.get(), Paths.get(s"$out/$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
+      // drop the staging leftovers (_SUCCESS, .crc) and the dir itself
+      val leftovers = Files.list(tmp)
+      try leftovers.forEach { p => Files.deleteIfExists(p); () }
+      finally leftovers.close()
+      Files.deleteIfExists(tmp)
+      ()
     }
 
-    def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+    def tiled(name: String)(f: (DataFrame, Int) => DataFrame): Unit = if (sel(name)) {
       val base = Tables.t(spark, src, name)
       write(name, (0 until reps).map(r => f(base, r)).reduce(_ unionAll _))
     }
@@ -83,7 +120,7 @@ object GenScale {
     // silently produce colliding ids across replicas — corrupting join and
     // dedup structure and invalidating every scaling conclusion — so fail
     // loudly instead (one cheap max() agg per key column).
-    def guard(table: String, keysToOffsets: (String, Long)*): Unit = {
+    def guard(table: String, keysToOffsets: (String, Long)*): Unit = if (sel(table)) {
       val df = Tables.t(spark, src, table)
       keysToOffsets.foreach { case (key, off) =>
         val mx = df.agg(max(col(key))).head().get(0) match {
@@ -125,12 +162,14 @@ object GenScale {
     // converted view: the driver testdata stores nanos, and the streaming
     // entries' source schema check depends on the layouts matching — a
     // TIMESTAMP ts in a generated sf dir broke every st_* entry there.
-    val rawEvents = spark.read.parquet(s"$src/events.parquet")
-    write("events", (0 until reps).map(r => rawEvents
-      .withColumn("event_id", col("event_id") + lit(r * 100000L))
-      .withColumn("user_id", col("user_id") + lit(r * 1500L))
-      .withColumn("ts", col("ts") + lit(r * 30L * 86400L * 1000000000L)))
-      .reduce(_ unionAll _))
+    if (sel("events")) {
+      val rawEvents = spark.read.parquet(s"$src/events.parquet")
+      write("events", (0 until reps).map(r => rawEvents
+        .withColumn("event_id", col("event_id") + lit(r * 100000L))
+        .withColumn("user_id", col("user_id") + lit(r * 1500L))
+        .withColumn("ts", col("ts") + lit(r * 30L * 86400L * 1000000000L)))
+        .reduce(_ unionAll _))
+    }
     // documents: per-replica seeded PERMUTATION of the letter/digit
     // alphabets. A bijective char map preserves EVERYTHING within a
     // replica — token counts and lengths, per-source vocab sizes,
@@ -160,15 +199,31 @@ object GenScale {
        else df
          .withColumn("text", expr(
            s"translate(text, '$lower$digits', '${permuted(lower, r)}${permuted(digits, r)}')"))
+         // empty docs pass through unchanged: r % length('') is NULL
+         // (modulo-by-zero, ANSI off), which would null the text and
+         // n_chars for every replica ≥ 1 and break shingle/phash ops
          .withColumn("text", expr(
-           s"concat(substring(text, $r % length(text) + 1), substring(text, 1, $r % length(text)))")))
+           s"CASE WHEN length(text) > 0 THEN " +
+             s"concat(substring(text, $r % length(text) + 1), " +
+             s"substring(text, 1, $r % length(text))) ELSE text END")))
         .withColumn("doc_id", col("doc_id") + lit(r * 5000L))
         .withColumn("n_chars", length(col("text"))))
     // embeddings: replica rotation decorrelates vectors across replicas
-    // (cosine between a random vector and its rotation ≈ 0), fresh labels
+    // (cosine between a random vector and its rotation ≈ 0), fresh
+    // labels. Past 64 replicas the rotation family is exhausted, so a
+    // seeded per-replica ±1 sign pattern is composed on top (see signs):
+    // exact on floats (sign flip never rounds), norm- and
+    // within-replica-cosine-preserving, cross-replica decorrelating.
     tiled("embeddings")((df, r) =>
-      (if (r == 0) df else df.withColumn("embedding", expr(
-        s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
+      (if (r == 0) df
+       else {
+         val sg = signs(r)
+         val rot = s"element_at(embedding, ((j + $r) % 64) + 1)"
+         val body =
+           if (sg.forall(_ == 1)) rot
+           else s"CAST($rot * element_at(array(${sg.mkString(",")}), j + 1) AS FLOAT)"
+         df.withColumn("embedding", expr(s"transform(sequence(0, 63), j -> $body)"))
+       })
         .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
         .withColumn("label", col("label") + lit(r * 10)))
   }

@@ -108,15 +108,38 @@ case class LshSigs(left: Expression, right: Expression)
 
 object LshSigs {
   val numTables = 3
-  val maxPlanesPerTable = 16
+  /** Legacy per-table width: the first numTables·16 = 48 stream positions
+    * keep their original (t·16 + p) layout FOREVER — emb_dim_reduce's JL
+    * matrix is stream positions 0..15 and every existing oracle embeds
+    * those literals, so extending capacity must never re-index them
+    * (regression-pinned in GenScaleSpec). */
+  val legacyPlanesPerTable = 16
+  /** Corpus-scaled ceiling: q in [8, 31]. 31, not 32, because the
+    * signature is a 32-bit int on both engines (bit p set via 1 << p;
+    * p = 31 would hit the sign bit, where Spark and SQL engines disagree
+    * on overflow). Capacity 2^31 · 8 ≈ 1.7e10 vectors — past the
+    * quantizer family's own 16.7M ceiling by 10³. */
+  val maxPlanesPerTable = 31
   val dims = 64
-  /** Seeded once; identical on driver and executors. The first 24 stream
-    * positions are unchanged from the pre-scaling 3×8 layout, so
-    * emb_dim_reduce's JL matrix (positions 0-15) is untouched. */
+  /** Seeded once; identical on driver and executors. Seed-SEQUENTIAL:
+    * positions 0..47 are the legacy block (bit-identical to the
+    * pre-extension array — same Random(42) draw order); positions 48+
+    * are the extension block appended after it. */
   lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(numTables * maxPlanesPerTable)(Array.fill(dims)(rnd.nextGaussian()))
+    Array.fill(numTables * legacyPlanesPerTable +
+      numTables * (maxPlanesPerTable - legacyPlanesPerTable))(
+      Array.fill(dims)(rnd.nextGaussian()))
   }
+
+  /** Stream position of the plane for (table t, bit p): legacy block
+    * for p < 16 (frozen layout), extension block for p ≥ 16 — so raising
+    * maxPlanesPerTable appends stream positions without re-indexing any
+    * existing (t, p) assignment. */
+  def planeIndex(t: Int, p: Int): Int =
+    if (p < legacyPlanesPerTable) t * legacyPlanesPerTable + p
+    else numTables * legacyPlanesPerTable +
+      t * (maxPlanesPerTable - legacyPlanesPerTable) + (p - legacyPlanesPerTable)
 
   /** Shared by interpreted eval and generated code. */
   def compute(input: ArrayData, q: Int): ArrayData = {
@@ -127,7 +150,7 @@ object LshSigs {
       var sig = 0
       var p = 0
       while (p < q) {
-        val plane = planes(t * maxPlanesPerTable + p)
+        val plane = planes(planeIndex(t, p))
         var dot = 0.0
         var i = 0
         val n = math.min(v.length, plane.length)

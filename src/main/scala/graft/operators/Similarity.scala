@@ -185,28 +185,37 @@ object Similarity {
        |p AS (SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7)""".stripMargin
 
   /** Sign-LSH signature width (bits/planes per table): the smallest q in
-    * [8, 16] with 2^q · 8 ≥ N, i.e. expected bucket population ≤ ~8 at
+    * [8, 31] with 2^q · 8 ≥ N, i.e. expected bucket population ≤ ~8 at
     * any corpus size — candidate pairs per bucket stay O(1)·bucket and
     * total candidates grow linearly (a fixed q left population N/2^q
     * unbounded: measured 6.7× time at 10× data from the quadratic bucket
-    * self-join). Integer formulation (no float log2) so the oracle's SQL
-    * derivation is bit-identical. */
+    * self-join; the earlier q ≤ 16 cap re-capped capacity at 524k
+    * vectors — the same fixed-keyspace class — so the ceiling now sits
+    * at LshSigs.maxPlanesPerTable = 31, capacity ~1.7e10 vectors).
+    * Integer formulation (no float log2) so the oracle's SQL derivation
+    * is bit-identical. */
   private[graft] def lshQ(n: Long): Int =
-    (8 to 16).find(q => (1L << q) * 8 >= n).getOrElse(16)
+    (8 to graft.functions.LshSigs.maxPlanesPerTable)
+      .find(q => (1L << q) * 8 >= n)
+      .getOrElse(graft.functions.LshSigs.maxPlanesPerTable)
 
   /** Oracle mirror of lshQ (expects the feature CTE `n`). */
-  private def lshQSql: String =
-    s"""qq AS (SELECT MIN(q) AS q FROM range(8, 17) r(q)
-       |  WHERE (1 << q) * 8 >= (SELECT COUNT(*) FROM n) OR q = 16)""".stripMargin
+  private def lshQSql: String = {
+    val qMax = graft.functions.LshSigs.maxPlanesPerTable
+    s"""qq AS (SELECT MIN(q) AS q FROM range(8, ${qMax + 1}) r(q)
+       |  WHERE (CAST(1 AS BIGINT) << CAST(q AS INTEGER)) * 8 >= (SELECT COUNT(*) FROM n)
+       |    OR q = $qMax)""".stripMargin
+  }
 
   /** DuckDB literal for one hyperplane (exact shortest-round-trip doubles:
-    * both engines parse back the identical IEEE value). All 16 planes per
-    * table are emitted; the sigbits CTE uses only p < qq.q, mirroring the
-    * native expression. */
+    * both engines parse back the identical IEEE value). All 31 planes per
+    * table are emitted (via planeIndex, so the legacy/extension stream
+    * split is invisible here); the sigbits CTE uses only p < qq.q,
+    * mirroring the native expression. */
   private def planeRows: String =
     (for (t <- 0 until graft.functions.LshSigs.numTables;
           p <- 0 until graft.functions.LshSigs.maxPlanesPerTable) yield {
-      val plane = graft.functions.LshSigs.planes(t * graft.functions.LshSigs.maxPlanesPerTable + p)
+      val plane = graft.functions.LshSigs.planes(graft.functions.LshSigs.planeIndex(t, p))
       // E-notation → DuckDB's DOUBLE parse path (a plain decimal literal
       // goes through DECIMAL, whose cast double-rounds 17-digit values)
       def dlit(x: Double): String = {

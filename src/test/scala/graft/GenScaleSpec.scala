@@ -134,12 +134,38 @@ class GenScaleSpec extends SparkSpec {
     assert(Similarity.scaledK(8192) == 32, "knee of the clamp")
     assert(Similarity.scaledK(20000) == 78, "sf1 corpus unclamps")
     assert(Similarity.scaledK(100000000000L) == 65536, "broadcast cap")
-    // sign-LSH width: same clamp discipline (2^q buckets ≈ N/8)
+    // sign-LSH width: same clamp discipline (2^q buckets ≈ N/8). The cap
+    // is the plane supply (31 bits/table — the int sign-bit bound), not
+    // the old q=16 that re-capped capacity at 524k vectors.
     assert(Similarity.lshQ(500) == 8, "min width at test scale")
     assert(Similarity.lshQ(2048) == 8, "exact power boundary stays 8")
     assert(Similarity.lshQ(2049) == 9, "first unclamped step")
     assert(Similarity.lshQ(20000) == 12, "sf1 corpus")
-    assert(Similarity.lshQ(100000000L) == 16, "width cap")
+    assert(Similarity.lshQ(524289) == 17, "first step past the old q=16 ceiling")
+    assert(Similarity.lshQ(100000000L) == 24, "1e8 vectors")
+    assert(Similarity.lshQ(100000000000L) == 31, "width cap = plane supply")
+    // expected bucket population stays ≤ 8 all the way to the cap
+    (10 to 34).foreach { e =>
+      val n = 1L << e
+      if (n <= (1L << 31) * 8)
+        assert((1L << Similarity.lshQ(n)) * 8 >= n,
+          s"bucket population unbounded at N=$n")
+    }
+    // plane-stream freeze: extending the supply must never re-index the
+    // legacy block — positions 0..47 are bit-identical to the
+    // pre-extension Random(42) draw (emb_dim_reduce's JL matrix is
+    // positions 0..15), and (t, p<16) still maps to t·16+p.
+    import graft.functions.LshSigs
+    val rnd = new scala.util.Random(42)
+    val legacy = Array.fill(48)(Array.fill(64)(rnd.nextGaussian()))
+    (0 until 48).foreach { i =>
+      assert(java.util.Arrays.equals(LshSigs.planes(i), legacy(i)),
+        s"plane stream position $i re-indexed by the width extension")
+    }
+    for (t <- 0 until 3; p <- 0 until 16)
+      assert(LshSigs.planeIndex(t, p) == t * 16 + p, s"legacy layout moved at ($t,$p)")
+    assert(LshSigs.planeIndex(0, 16) == 48, "extension block must append, not interleave")
+    assert(LshSigs.planeIndex(2, 30) == LshSigs.planes.length - 1)
 
     // Tile sf0.001 embeddings in memory exactly like GenScale (rotation +
     // disjoint ids) to two corpus sizes ABOVE the clamp knee, run the real
@@ -175,6 +201,86 @@ class GenScaleSpec extends SparkSpec {
     val growth = p2.toDouble / p1
     assert(growth < 3.0,
       s"pairwise work grew ${growth}× at 2× data ($p1 → $p2) — not linear")
+  }
+
+  test("vector-heavy mode: table subset; sign flips extend past the rotation family") {
+    val dir = java.nio.file.Files.createTempDirectory("genvec").toString
+    GenScale.run(spark, sf, dir, 66, Set("embeddings"))
+    val files = new java.io.File(dir).list().toSet
+    assert(files == Set("embeddings.parquet"), s"subset mode wrote $files")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Tables.t(spark, sf, "embeddings")
+    val n0 = base.count()
+    assert(emb.count() == 66 * n0)
+    // replica 64's rotation is the identity — without sign flips every
+    // vector would be a byte-twin of replica 0 (identical-vector twins
+    // across replicas turn ANN structure quadratic, the artifact GenScale
+    // exists to avoid). The seeded ±1 pattern must decorrelate them while
+    // preserving magnitudes exactly (sign flips never round floats).
+    val r64 = emb.filter(col("vec_id") >= 64 * 2000L && col("vec_id") < 65 * 2000L)
+      .withColumn("vec_id", col("vec_id") - 64 * 2000L)
+      .join(base.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
+    assert(r64.filter(expr(
+      "forall(sequence(0, 63), j -> element_at(embedding, j + 1) = element_at(e0, j + 1))"))
+      .count() == 0, "replica 64 reproduced replica 0 — rotation family exhausted unnoticed")
+    assert(r64.filter(expr(
+      "exists(sequence(0, 63), j -> abs(element_at(embedding, j + 1)) <> abs(element_at(e0, j + 1)))"))
+      .count() == 0, "sign flip changed a magnitude — must be exact on floats")
+    // and the sign pattern is per-replica: 64 vs 65 are decorrelated too
+    assert(GenScale.signs(64).toSeq != GenScale.signs(65).toSeq)
+    assert(GenScale.signs(64).count(_ == -1) > 10, "sign draw should be ~balanced")
+  }
+
+  test("empty documents survive the replica rotation unchanged") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("gensrc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("genout").toString
+    Seq((0L, "web", "en", "hello world 42", 14L), (1L, "web", "en", "", 0L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    GenScale.run(spark, srcDir, outDir, 2, Set("documents"))
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    assert(docs.count() == 4)
+    // replica 1 of the empty doc: text '' (NOT null — r % length('') is
+    // NULL under non-ANSI modulo and would null every downstream shingle)
+    val r1 = docs.filter(col("doc_id") === 5001L).head()
+    assert(r1.getAs[String]("text") == "", "empty doc nulled by the rotation")
+    assert(r1.getAs[Number]("n_chars").longValue == 0L)
+    // the non-empty doc is still permuted+rotated (differs from base)
+    val r0 = docs.filter(col("doc_id") === 5000L).head()
+    assert(r0.getAs[String]("text") != "hello world 42")
+    assert(r0.getAs[String]("text").length == 14)
+  }
+
+  test("lshQ keeps bucket candidates linear across the corpus-width knee") {
+    import graft.operators.Similarity
+    graft.functions.F.register(spark)
+    val base0 = Tables.t(spark, sf, "embeddings")
+    // tile in-memory exactly like GenScale (rotation + sign flips would
+    // both do; rotation suffices below 64 reps) to two corpus sizes whose
+    // lshQ differ, and count bucket-join candidate pairs Σ n·(n−1)/2
+    def candWork(reps: Int): (Int, Long) = {
+      val tiled = (0 until reps).map { r =>
+        (if (r == 0) base0 else base0.withColumn("embedding", expr(
+          s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
+          .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
+      }.reduce(_ unionAll _)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = tiled.count()
+      val q = Similarity.lshQ(n)
+      val pairs = tiled
+        .select(posexplode(expr(s"lsh_sigs(v, $q)")).as(Seq("t", "sig")))
+        .groupBy("t", "sig").agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) / 2")).cast("long")).head.getLong(0)
+      (q, pairs)
+    }
+    val (q1, p1) = candWork(3) // N=6k → q=10
+    val (q2, p2) = candWork(6) // N=12k → q=11
+    assert(q2 == q1 + 1, s"expected one width step, got q=$q1 → q=$q2")
+    val growth = p2.toDouble / p1
+    assert(growth < 3.0,
+      s"bucket candidate work grew ${growth}× at 2× data ($p1 → $p2) — not linear")
   }
 
   test("Components loop parallelism scales with the edge count") {

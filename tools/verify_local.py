@@ -14,7 +14,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # partial sf dirs (GenScale table-subset mode) only carry the
+        # tables their queries read; skip the rest
+        if os.path.exists(f"{sfdir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracles):
