@@ -76,6 +76,25 @@ object Similarity2 {
       expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
       expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
 
+  /** Two-level quantizer sizing (dd_semantic_hier — the path past the
+    * single-level kMax = 65536 broadcast ceiling, which holds cluster
+    * population ~256 only to 16.7M vectors): the COARSE codebook targets
+    * ~65536 vectors per cell and stays broadcastable (≤ 65536 × 64
+    * doubles ≈ 32 MB); each coarse cell then gets its own FINE codebook
+    * sized from the CELL population (clamp(1, 256, pop/256)), so the
+    * effective cluster population stays ~256 up to
+    * 65536 · 65536 · 256 ≈ 1.1e15 vectors — the fixed-capacity quadratic
+    * class removed for the quantizer family outright, not just pushed.
+    * Fine codebooks are never broadcast: they live partitioned BY coarse
+    * cell, and fine assignment rides the same coarse-keyed shuffle the
+    * within-cluster pairwise stage needs anyway. Integer-clamped from
+    * COUNT(*) / per-cell COUNT so the oracle rederives both levels. */
+  private[graft] val coarseTarget = 65536
+  private[graft] def hierK1(n: Long): Int =
+    math.max(32L, math.min(65536L, n / coarseTarget)).toInt
+  private[graft] def hierK2(cellN: Long): Long =
+    math.max(1L, math.min(256L, cellN / Similarity.clusterTarget))
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 42d. incremental near-dup: the "new batch" (doc_id % 10 == 0 — the
@@ -314,6 +333,103 @@ object Similarity2 {
              |  JOIN n na ON na.vec_id = a.vec_id
              |  JOIN n nb ON nb.vec_id = b.vec_id)
              |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, ia, ib, cos
+             |FROM j WHERE cos >= 0.35""".stripMargin)),
+
+    // 45d. semantic dedup, TWO-LEVEL quantizer (the billion-vector path):
+    // dd_semantic's single-level K caps at 65536 (the codebook broadcast
+    // bound), so past 16.7M vectors its cluster population — and the
+    // within-cluster pairwise — grows again. Here the coarse codebook
+    // (K1 = clamp(32, 65536, N/65536)) broadcasts and assigns map-only;
+    // the FINE codebooks are sized per coarse cell from the cell's own
+    // population (K2 = clamp(1, 256, pop/256)) and are PARTITIONED BY
+    // COARSE CELL, never broadcast — fine assignment is a co-partitioned
+    // join on coarse_id, the exact shuffle key the pairwise stage needs
+    // anyway, so the second level costs no extra vector movement class.
+    // Effective cluster population stays ~256 to ~1e15 vectors. Both
+    // levels' sampling (md5 rank) and sizing derive from COUNT(*) /
+    // per-cell COUNT, so the DuckDB oracle reproduces centroid sets,
+    // both assignments and the pairwise verify bit-exactly.
+    GraftQuery("dd_semantic_hier", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      F.register(s)
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      val k1 = hierK1(Similarity.embCount(s, d))
+      val cb1 = centroidArrays(Similarity.centroids(base, k1))
+      val a1 = base.crossJoin(broadcast(cb1))
+        .withColumn("coarse_id", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+        .select(col("vec_id"), col("coarse_id"), col("v"), col("n2"))
+      // fine centroids: deterministic md5-rank sample WITHIN each coarse
+      // cell, k2 from the cell population (hierK2, `div` = DuckDB `//`)
+      val wCell = Window.partitionBy(col("coarse_id"))
+      val wRank = wCell.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val fineCb = a1
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("cn", count(lit(1)).over(wCell))
+        .filter(col("rk") <= greatest(lit(1L), least(lit(256L), expr("cn div 256"))))
+        .select(col("coarse_id"), col("vec_id").as("fcid"), col("v").as("fcv"))
+        .groupBy("coarse_id").agg(
+          expr("transform(array_sort(collect_list(struct(fcid, fcv))), x -> x.fcid)").as("fids"),
+          expr("transform(array_sort(collect_list(struct(fcid, fcv))), x -> x.fcv)").as("fvs"))
+      // fine assignment: one shuffle keyed on coarse_id (codebooks
+      // co-partitioned with their vectors); ties match the oracle's
+      // ORDER BY dist, fcid because fids/fvs are sorted by fcid
+      val a2 = a1.join(fineCb, "coarse_id")
+        .withColumn("fine_id", expr("element_at(fids, argmin_l2(v, fvs) + 1)"))
+        .select(col("vec_id"), col("coarse_id"), col("fine_id"), col("v"), col("n2"))
+      val a = a2.select(col("coarse_id"), col("fine_id"), col("vec_id").as("ia"),
+        col("v").as("va"), col("n2").as("na"))
+      val b = a2.select(col("coarse_id"), col("fine_id"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("n2").as("nb"))
+      a.join(b, Seq("coarse_id", "fine_id"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cos", expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cos") >= 0.35)
+        .select(col("coarse_id").cast("long").as("coarse_id"),
+          col("fine_id").cast("long").as("fine_id"),
+          col("ia"), col("ib"), col("cos"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+             |      (s, x) -> s + x) AS n2 FROM e),
+             |c1 AS (SELECT vec_id AS cid, v AS cv FROM (
+             |    SELECT vec_id, v,
+             |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS krn,
+             |      COUNT(*) OVER () AS kn
+             |    FROM n)
+             |  WHERE krn <= GREATEST(32, LEAST(65536, kn // 65536))),
+             |a1 AS (SELECT vec_id, cid AS coarse_id FROM (
+             |    SELECT n.vec_id, c1.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |        ${Similarity.duckL2("n.v", "c1.cv")}, c1.cid) AS rn
+             |    FROM n CROSS JOIN c1) WHERE rn = 1),
+             |f AS (SELECT coarse_id, vec_id AS fcid FROM (
+             |    SELECT coarse_id, vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY coarse_id
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+             |      COUNT(*) OVER (PARTITION BY coarse_id) AS cn
+             |    FROM a1)
+             |  WHERE rk <= GREATEST(1, LEAST(256, cn // 256))),
+             |a2 AS (SELECT vec_id, coarse_id, fcid AS fine_id FROM (
+             |    SELECT a1.vec_id, a1.coarse_id, f.fcid,
+             |      ROW_NUMBER() OVER (PARTITION BY a1.vec_id ORDER BY
+             |        ${Similarity.duckL2("nv.v", "nf.v")}, f.fcid) AS rn
+             |    FROM a1 JOIN f ON f.coarse_id = a1.coarse_id
+             |    JOIN n nv ON nv.vec_id = a1.vec_id
+             |    JOIN n nf ON nf.vec_id = f.fcid) WHERE rn = 1),
+             |j AS (SELECT a.coarse_id, a.fine_id, na.vec_id AS ia, nb.vec_id AS ib,
+             |    list_reduce(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]),
+             |      (s, x) -> s + x) / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |  FROM a2 a JOIN a2 b ON a.coarse_id = b.coarse_id
+             |    AND a.fine_id = b.fine_id AND a.vec_id < b.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id
+             |  JOIN n nb ON nb.vec_id = b.vec_id)
+             |SELECT CAST(coarse_id AS BIGINT) AS coarse_id,
+             |  CAST(fine_id AS BIGINT) AS fine_id, ia, ib, cos
              |FROM j WHERE cos >= 0.35""".stripMargin)),
 
     // 46e. IVF-PQ — the composed production ANN at 100 TB scale: coarse
