@@ -62,25 +62,36 @@ object BenchScale {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => nameFilter.forall(_.findFirstIn(n).isDefined))
+    // A failed iteration must NOT contribute its (near-zero) wall time as
+    // a bogus minimum, and the failure must survive into the JSON — a
+    // silently-corrupted min_total invalidates every scaling conclusion
+    // downstream (tools/pool_mins.py refuses failed entries). NonFatal
+    // only: an OOM should kill the run, not be recorded as a data point.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (0 until iters).map { _ =>
+      val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench-scale] $name FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }.sorted
       System.err.println(f"[bench-scale] $name: ${times.mkString("s, ")}s")
-      (name, times.head, times(times.length / 2))
+      if (times.isEmpty) (name, None, None)
+      else (name, Some(times.head), Some(times(times.length / 2)))
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + f"""":${f(r)}%.3f""" }.mkString("{", ",", "}")
-    val minTotal = results.map(_._2).sum
-    val medTotal = results.map(_._3).sum
+    def jnum(v: Option[Double]): String = v.fold("null")(x => f"$x%.3f")
+    def jmap(f: ((String, Option[Double], Option[Double])) => Option[Double]): String =
+      results.map { r => "\"" + r._1 + "\":" + jnum(f(r)) }.mkString("{", ",", "}")
+    val failed = results.filter(_._2.isEmpty).map(_._1)
+    val minTotal = results.flatMap(_._2).sum
+    val medTotal = results.flatMap(_._3).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"min_total","value":$minTotal%.3f,"median_total":$medTotal%.3f,"unit":"sec","iters":$iters,"n_queries":${results.size},"queries_min":${jmap(_._2)},"queries_median":${jmap(_._3)},"sf":"$sfDir"}"""
+      f"""{"metric":"min_total","value":$minTotal%.3f,"median_total":$medTotal%.3f,"unit":"sec","iters":$iters,"n_queries":${results.size},"failed":$failedJson,"queries_min":${jmap(_._2)},"queries_median":${jmap(_._3)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -15,8 +15,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      them by identityHashCode, which can collide after GC).
   *
   * Keys are the SparkSession OBJECT in a weak identity map: no hash
-  * collisions by construction, and a dropped session's entries become
-  * unreachable with it. */
+  * collisions by construction. NOTE the weak keys alone do NOT reclaim a
+  * dropped session's entries — the map's DataFrame values strongly
+  * reference their session (a Dataset holds its SparkSession), so the
+  * value chain keeps the weak key alive. `release(session)` is therefore
+  * MANDATORY at end of life (every runtime entrypoint — Verify, Bench,
+  * BenchScale, TimeQ — calls it), and as a backstop every registry
+  * mutation sweeps entries whose SparkContext has been STOPPED (the one
+  * session-death signal observable from outside): a stopped session's
+  * cached plans are unusable anyway, so dropping the references then is
+  * both safe and the actual leak fix for sessions that died without
+  * release(). */
 object OpCache {
   private val memos =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
@@ -25,9 +34,29 @@ object OpCache {
   private val pinned =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
+  /** Drop every entry belonging to a stopped SparkContext (see class
+    * doc). Caller must hold the monitor. */
+  private def sweepStopped(): Unit = {
+    val dead = new java.util.ArrayList[SparkSession]()
+    memos.keySet().forEach { s => if (s.sparkContext.isStopped) dead.add(s) }
+    pinned.keySet().forEach { s =>
+      if (s.sparkContext.isStopped && !dead.contains(s)) dead.add(s)
+    }
+    longs.keySet().forEach { s =>
+      if (s.sparkContext.isStopped && !dead.contains(s)) dead.add(s)
+    }
+    hooks.keySet().forEach { s =>
+      if (s.sparkContext.isStopped && !dead.contains(s)) dead.add(s)
+    }
+    dead.forEach { s =>
+      memos.remove(s); pinned.remove(s); longs.remove(s); hooks.remove(s); ()
+    }
+  }
+
   /** Record a DataFrame this package persisted so release() can free it.
     * Returns the argument for inline use. */
   def track(s: SparkSession, df: DataFrame): DataFrame = synchronized {
+    sweepStopped()
     var l = pinned.get(s)
     if (l == null) { l = new java.util.ArrayList[DataFrame](); pinned.put(s, l) }
     l.add(df)
@@ -37,6 +66,7 @@ object OpCache {
   /** Memoized persisted DataFrame per (session, key): built + tracked once,
     * then shared by every consumer until release(). */
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = synchronized {
+    sweepStopped()
     var m = memos.get(s)
     if (m == null) { m = new java.util.HashMap[String, DataFrame](); memos.put(s, m) }
     var df = m.get(key)
@@ -47,6 +77,7 @@ object OpCache {
   /** Memoized scalar per (session, key) — corpus statistics (row counts)
     * that parameterize quantizer sizes. */
   def memoLong(s: SparkSession, key: String)(build: => Long): Long = synchronized {
+    sweepStopped()
     var m = longs.get(s)
     if (m == null) { m = new java.util.HashMap[String, java.lang.Long](); longs.put(s, m) }
     var v = m.get(key)
@@ -60,6 +91,7 @@ object OpCache {
   /** Register a custom release action (e.g. unpersisting an RDD-backed
     * snapshot a DataFrame.unpersist can't reach). */
   def trackHook(s: SparkSession, hook: () => Unit): Unit = synchronized {
+    sweepStopped()
     var l = hooks.get(s)
     if (l == null) { l = new java.util.ArrayList[() => Unit](); hooks.put(s, l) }
     l.add(hook)

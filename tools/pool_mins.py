@@ -5,6 +5,12 @@ same scale): min of mins, median kept from the run with the lower min
 import json, sys
 
 out, runs = sys.argv[1], [json.load(open(p)) for p in sys.argv[2:]]
+# a run with failed entries (null minima) must not pool: its totals are
+# not comparable and the failure needs fixing, not averaging away
+for p, r in zip(sys.argv[2:], runs):
+    failed = r.get("failed") or [k for k, v in r["queries_min"].items() if v is None]
+    if failed:
+        sys.exit(f"refusing to pool {p}: failed entries {failed}")
 keys = set(runs[0]["queries_min"])
 for r in runs[1:]:
     keys &= set(r["queries_min"])
