@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The sf1-scale plan audit as DATA, shared by the PlanSpec tier (runs
+  * continuously in `sbt test`) and the `graft.PlanAudit` main (generates
+  * PLANS_r*.md) — so the committed audit document and the enforced
+  * assertions can never drift apart (the round-6 verdict's ask: the
+  * hand-read PLANS file becomes generated FROM the assertions).
+  *
+  * Every contract is evaluated on the AQE-FINAL executed plan under
+  * BIG-STATS SIMULATION: `spark.sql.autoBroadcastJoinThreshold = -1`.
+  * At sf1+ parquet stats nothing auto-broadcasts, so a broadcast that
+  * must survive at scale has to be DECLARED in the plan — the round-5
+  * regression was exactly an undeclared probe-side broadcast flipping to
+  * a corpus-shuffling SortMergeJoin once stats grew. Asserting under -1
+  * pins every declared hint and every no-shuffle/no-cartesian contract
+  * against ANY stats, which is what "would this plan survive sf1" means
+  * for a local[32] audit that cannot afford to re-plan 100 TB. */
+object PlanContracts {
+
+  /** `full` = the whole AdaptiveSparkPlan toString (final + initial
+    * sections: expression-level lines like codegen stage markers only
+    * print fully there, since the final section abbreviates materialized
+    * query stages); `finalSection` = the text before "== Initial Plan =="
+    * (exact node COUNTS must read only this, or every exchange
+    * double-counts). */
+  final case class PlanText(full: String, finalSection: String)
+
+  final case class Contract(desc: String, check: PlanText => Boolean)
+
+  /** The named native expression must evaluate inside a whole-stage
+    * codegen stage (its plan line carries the `*(` stage marker). */
+  def codegen(fn: String): Contract = Contract(
+    s"`$fn` evaluates inside whole-stage codegen",
+    p => p.full.linesIterator.exists(l => l.contains(fn) && l.contains("*(")))
+
+  val noCartesian: Contract = Contract(
+    "no CartesianProduct anywhere in the plan",
+    p => !p.full.contains("CartesianProduct"))
+
+  def absent(frag: String, why: String): Contract =
+    Contract(why, p => !p.full.contains(frag))
+
+  def present(frag: String, why: String): Contract =
+    Contract(why, p => p.full.contains(frag))
+
+  /** Exactly `n` declared broadcasts survive with auto-broadcast off
+    * (counted in the FINAL plan section only). */
+  def broadcasts(n: Int, why: String): Contract = Contract(
+    why, p => "BroadcastExchange".r.findAllIn(p.finalSection).length == n)
+
+  /** The audited entries: the 10 heaviest BATCH entries by pooled sf0.1
+    * minima (BENCH_sf1 round 6) plus the declared-broadcast quantizer
+    * pair and the round-7 additions that carry new plan shapes. The 5
+    * streaming entries in the top 15 (st_late_data, st_session_window,
+    * st_recovery, st_interval_join, st_update_mode) are out of scope
+    * here: their per-trigger micro-batch plans are not capturable from
+    * `queries()`; their scale contracts (watermark bounds, state-store
+    * shape, no-data-batch policy) live in StreamingSpec. */
+  val audited: Seq[(String, Seq[Contract])] = Seq(
+    "dd_pipeline" -> Seq(
+      noCartesian,
+      codegen("minhash_sig"), codegen("char_shingles"), codegen("sig_agree"),
+      absent("windowspecdefinition(doc_id",
+        "no per-doc window materialization (pairs come from banding, not ranking)")),
+    "dd_ngram_jaccard" -> Seq(
+      noCartesian,
+      codegen("minhash_sig"), codegen("sig_agree"), codegen("jaccard_sim")),
+    "mm_phash" -> Seq(
+      noCartesian,
+      codegen("bit_count"),
+      present("bit_count",
+        "popcount hamming verify is evaluated inline on the band-collided stream")),
+    "dd_cluster" -> Seq(noCartesian),
+    "mm_phash_cluster" -> Seq(noCartesian),
+    "ta_tfidf" -> Seq(
+      noCartesian,
+      present("partial_", "term aggregation is partial (map-side) before the shuffle")),
+    "q_join_star" -> Seq(
+      noCartesian,
+      broadcasts(3,
+        "exactly the 3 DECLARED dimension broadcasts (supplier/nation/region) " +
+          "survive big stats; the customer⋈orders⋈lineitem fact joins must NOT " +
+          "broadcast at scale"),
+      present("SortMergeJoin", "fact⋈fact joins shuffle on their keys")),
+    "dd_chunk_dedup" -> Seq(
+      noCartesian, codegen("cdc_chunks"),
+      present("partial_", "chunk-hash counts partial-aggregate before the shuffle")),
+    "q_approx_distinct" -> Seq(
+      noCartesian,
+      present("partial_kmv_sketch",
+        "the KMV sketch is a partial aggregate — k-sized summaries shuffle, not rows " +
+          "(ObjectHashAggregate: typed aggregates don't codegen, the sketch buffer does the work)")),
+    "q_agg_stats" -> Seq(
+      noCartesian,
+      present("partial_", "all stats aggregate map-side first")),
+    "dd_semantic" -> Seq(
+      noCartesian,
+      codegen("argmin_l2"),
+      absent("windowspecdefinition(vec_id",
+        "cluster assignment must not materialize an N×K window per vec_id"),
+      broadcasts(1, "exactly one BroadcastExchange: the corpus-scaled codebook row")),
+    "dd_semantic_hier" -> Seq(
+      noCartesian,
+      codegen("argmin_l2"),
+      absent("windowspecdefinition(vec_id",
+        "neither assignment level windows per vec_id"),
+      Contract(
+        "fine-codebook join on coarse_id is a PARTITIONED join (SMJ/SHJ), " +
+          "never broadcast — a fine-codebook broadcast dies at scale; only the " +
+          "one-row coarse codebook broadcasts (its exchange may appear per subtree)",
+        p => {
+          val part = """(SortMergeJoin|ShuffledHashJoin) \[coarse_id#\d+L?\], \[coarse_id#\d+L?\]""".r
+          val bcast = """BroadcastHashJoin \[coarse_id#\d+L?\], \[coarse_id#\d+L?\]""".r
+          part.findFirstIn(p.full).isDefined && bcast.findFirstIn(p.full).isEmpty
+        })),
+    "ann_ivf" -> Seq(
+      noCartesian, codegen("argmin_l2"),
+      present("BuildLeft",
+        "probe→index cell join keeps the DECLARED probe-side broadcast"),
+      absent("windowspecdefinition(vec_id",
+        "cell assignment must not window per vec_id")),
+    "ann_ivf_pq" -> Seq(
+      noCartesian, codegen("adc_dist"),
+      present("BuildLeft",
+        "probe→index cell join keeps the DECLARED probe-side broadcast")),
+    "ann_lsh" -> Seq(
+      noCartesian, codegen("lsh_sigs")))
+
+  /** AQE-final executed plan text for one entry, split per PlanText. */
+  def finalPlan(s: SparkSession, d: String, name: String): PlanText = {
+    val df = SparkEntry.queries(name)(s, d)
+    df.queryExecution.toRdd.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    PlanText(p, if (cut >= 0) p.substring(0, cut) else p)
+  }
+
+  /** Run `body` under the big-stats simulation (see class doc). */
+  def withBigStats[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Evaluate every contract for one entry; returns (desc, pass) plus the
+    * plan text for reporting. */
+  def audit(s: SparkSession, d: String, name: String): (String, Seq[(String, Boolean)]) = {
+    val p = finalPlan(s, d, name)
+    (p.full, audited.toMap.apply(name).map(c => (c.desc, c.check(p))))
+  }
+}

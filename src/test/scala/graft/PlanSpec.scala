@@ -178,6 +178,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("sf1-scale plan audit: every PlanContracts contract holds under big stats") {
+    // The generated PLANS_r*.md is a report of THIS table (PlanAudit
+    // renders the same contracts) — the audit document and the enforced
+    // assertions cannot drift. Big-stats simulation: auto-broadcast off,
+    // so only DECLARED broadcasts survive, as at sf1+ parquet stats.
+    PlanContracts.withBigStats(spark) {
+      val bad = PlanContracts.audited.flatMap { case (name, _) =>
+        val (plan, results) = PlanContracts.audit(spark, sf, name)
+        results.collect { case (desc, false) =>
+          s"$name: VIOLATED '$desc'\n${plan.take(4000)}"
+        }
+      }
+      assert(bad.isEmpty, bad.mkString("\n\n"))
+    }
+  }
+
   test("top_bigram_stats stays inside whole-stage codegen; no explode in ta_repetition") {
     val df = SparkEntry.queries("ta_repetition")(spark, sf)
     df.queryExecution.toRdd.count()
