@@ -71,12 +71,19 @@ object Multimodal {
   private[graft] def phashW(n: Long): Int =
     (16 to 32).find(w => (1L << w) >= 256L * n).getOrElse(32)
 
-  /** Exact-verify threshold: hamming ≤ bits/8 (8 at 64-bit, 16 at
-    * 128-bit). Planted re-encode variants sit at p99 ≤ 3 regardless of
-    * width (flips cluster — see phashW); unrelated near-background text
-    * sits at ≥ bits/3 (p01 = 20 measured at 64 bits, scaling with bits),
-    * so the threshold splits them with margin on both sides at every w. */
-  private[graft] def phashThr(w: Int): Int = (4 * w) / 8
+  /** Exact-verify threshold: hamming ≤ 8, CONSTANT across widths. A
+    * re-encode's perturbations flip a bounded ABSOLUTE number of votes
+    * regardless of fingerprint width (the sf10 study: planted hamming
+    * p99 ≤ 3 at 64, 128 and 256 blocks alike — flips cluster in fixed
+    * positions), so the threshold must not scale with bits: a bits/8
+    * rule was measured at sf1 (w=24, thr 12) to admit ~9% extra
+    * background pairs at hamming 9..12 that deepened the cluster graph
+    * and tripled the components loop (5.2 → 16 s) while adding zero
+    * planted recall. Background non-pairs sit at ≥ 9 on 64 bits and
+    * only move FARTHER (∝ bits) as w grows, so the margin widens with
+    * the corpus. (Takes w for signature stability; the value is width-
+    * independent by design.) */
+  private[graft] def phashThr(w: Int): Int = 8
 
   /** Document count, memoized per (session, dir) — one metadata-scale
     * count job sizes the fingerprint for every phash consumer. */
@@ -156,7 +163,8 @@ object Multimodal {
   /** Shared phash near-dup pair pipeline (feeds mm_phash and
     * mm_phash_cluster): fingerprints (originals + planted re-encode
     * variants), 4 corpus-scaled w-bit hamming bands for candidates,
-    * popcount verify ≤ 4w/8. See phashW and the mm_phash entry for the
+    * popcount verify ≤ 8 (width-constant — see phashThr). See phashW and
+    * the mm_phash entry for the
     * full design rationale.
     *
     * Memoized + persisted per (session, dir) like Similarity.minhashPairs:
@@ -345,7 +353,7 @@ object Multimodal {
       |  JOIN ph pb ON pb.doc_id = cand.ib
       |  WHERE bit_count(xor(pa.b3, pb.b3)) + bit_count(xor(pa.b2, pb.b2))
       |      + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b0, pb.b0))
-      |      <= (SELECT nb // 8 FROM wc))""".stripMargin
+      |      <= 8)""".stripMargin
 
   val defs: Seq[GraftQuery] = Seq(
     // 52. binary column + metadata in, fixed-shape features out, batched
@@ -461,7 +469,8 @@ object Multimodal {
     // dedup shape: fingerprint per payload, band equijoin for candidates
     // (pigeonhole: any pair within hamming 3 shares an intact band; the
     // oracle mirrors the banding so recall is part of the contract), exact
-    // popcount(xor) verify ≤ 4w/8. Never all-pairs: candidates are
+    // popcount(xor) verify ≤ 8 (width-constant, see phashThr). Never
+    // all-pairs: candidates are
     // bucket-bounded exactly like SimHash/MinHash text dedup, and the
     // band keyspace grows with the corpus so collisions stay linear.
     //
@@ -472,8 +481,8 @@ object Multimodal {
     // insertions is exactly what it must NOT match (that's MinHash's job) —
     // so the planted pairs land at hamming ≤ 4 while the text near-dup
     // background sits at ≥ 9 (measured p01 = 20 over 64 bits, scaling with
-    // width), and the verify threshold 4w/8 splits them with margin on
-    // both sides at every w.
+    // width), and the constant verify threshold 8 splits them with a
+    // margin that WIDENS with w.
     GraftQuery("mm_phash",
       (s, d) => phashPairs(s, d),
       Some(s"""$phashPairsSql

@@ -68,7 +68,8 @@ class GenScaleSpec extends SparkSpec {
         .select(col("doc_id"), col("text").as("tb")), "doc_id")
       .collect()
     // checked at BOTH ends of the width clamp: w=16 (the original 64-bit
-    // calibration, thr 8) and w=32 (the 100 TB design point, thr 16)
+    // calibration) and w=32 (the 100 TB design point); thr is 8 at both
+    // (width-constant by design — flips do not scale with bits)
     for (w <- Seq(16, 32)) {
       val thr = graft.operators.Multimodal.phashThr(w)
       val near = sib.count { r =>
@@ -92,7 +93,7 @@ class GenScaleSpec extends SparkSpec {
     assert(Multimodal.phashW(500000) == 27, "sf10 corpus")
     assert(Multimodal.phashW(100000000000L) == 32, "width cap")
     assert(Multimodal.phashThr(16) == 8)
-    assert(Multimodal.phashThr(32) == 16)
+    assert(Multimodal.phashThr(32) == 8, "threshold is width-constant — flips are absolute")
     // planted-recall at the 100 TB design point (w=32, 128-bit): every
     // re-encode variant (+1 on every 11th byte — the mm_phash ground
     // truth) must band-collide AND pass the verify. The sf10 study
