@@ -19,7 +19,8 @@ object BenchScale {
     * quick-iteration filter `subset`. */
   val subset: Seq[String] = Seq(
     "dd_pipeline", "dd_ngram_jaccard", "dd_cluster", "mm_phash_cluster",
-    "ann_pq", "ann_ivf", "ann_ivf_pq", "ann_lsh", "dd_semantic",
+    "mm_phash", "ann_pq", "ann_ivf", "ann_ivf_pq", "ann_lsh",
+    "dd_semantic", "dd_semantic_hier",
     "dd_bloom_gate", "dd_exact", "ta_tfidf", "ta_line_dedup",
     "q_agg_basic", "q_join_inner", "q_sessionize")
 
