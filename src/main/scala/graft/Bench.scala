@@ -77,8 +77,12 @@ object Bench {
       "ta_tfidf", "ta_pack_sequences",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table
     spark.stop()
+    // Emit the stdout JSON line LAST, after spark.stop(): anything Spark's
+    // shutdown prints must not land between this line and EOF, or a
+    // tail-capture regex downstream misses it (BENCH_r06 parsed=null).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -22,6 +22,7 @@ object BenchScale {
     "mm_phash", "ann_pq", "ann_ivf", "ann_ivf_pq", "ann_lsh",
     "dd_semantic", "dd_semantic_hier",
     "dd_bloom_gate", "dd_exact", "ta_tfidf", "ta_line_dedup",
+    "dd_canonical", "ta_bm25",
     "q_agg_basic", "q_join_inner", "q_sessionize")
 
   def main(args: Array[String]): Unit = {

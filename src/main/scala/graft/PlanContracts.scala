@@ -52,7 +52,9 @@ object PlanContracts {
 
   /** The audited entries: the 10 heaviest BATCH entries by pooled sf0.1
     * minima (BENCH_sf1 round 6) plus the declared-broadcast quantizer
-    * pair and the round-7 additions that carry new plan shapes. The 5
+    * pair and the round-7 additions that carry new plan shapes
+    * (dd_semantic_hier's two-level joins; the curation family's
+    * broadcast-keep / TakeOrdered / projection-pruning contracts). The 5
     * streaming entries in the top 15 (st_late_data, st_session_window,
     * st_recovery, st_interval_join, st_update_mode) are out of scope
     * here: their per-trigger micro-batch plans are not capturable from
@@ -126,7 +128,37 @@ object PlanContracts {
       present("BuildLeft",
         "probe→index cell join keeps the DECLARED probe-side broadcast")),
     "ann_lsh" -> Seq(
-      noCartesian, codegen("lsh_sigs")))
+      noCartesian, codegen("lsh_sigs")),
+    "dd_canonical" -> Seq(
+      noCartesian,
+      Contract(
+        "the per-cluster keep-id table joins back as a DECLARED broadcast " +
+          "(one row per cluster — broadcast-sized at any corpus scale; the " +
+          "corpus-wide side must not shuffle for it)",
+        p => """BroadcastHashJoin \[cluster_id#\d+L?\]""".r
+          .findFirstIn(p.full).isDefined)),
+    "ta_bm25" -> Seq(
+      noCartesian,
+      present("partial_", "per-doc tf/dlen aggregation is map-side partial"),
+      present("TakeOrderedAndProject",
+        "top-10 is a distributed TakeOrdered, not a global sort"),
+      Contract(
+        "the single corpus-stats row joins via BroadcastNestedLoopJoin " +
+          "(declared broadcast; one row, any scale)",
+        p => p.full.contains("BroadcastNestedLoopJoin"))),
+    "ta_split" -> Seq(
+      noCartesian,
+      absent("Exchange",
+        "pure per-row projection: no shuffle at any scale"),
+      Contract(
+        "the parquet scan prunes to doc_id+source (text, the wide column, " +
+          "is never read)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("ReadSchema") && !l.contains("text")))),
+    "ta_source_stats" -> Seq(
+      noCartesian,
+      present("partial_",
+        "per-source stats partial-aggregate map-side; ~n_sources rows shuffle")))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

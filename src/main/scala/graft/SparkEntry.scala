@@ -10,6 +10,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++
       operators.TextOps.defs ++ operators.TextOps2.defs ++
+      operators.Curation.defs ++
       operators.Similarity.defs ++ operators.Similarity2.defs ++
       operators.VTab.defs ++
       operators.Multimodal.defs ++ operators.Sinks.defs ++

@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — corpus CURATION DECISIONS: the stage after measurement
+  * (ta_quality, dd_cluster) where a training pipeline actually chooses
+  * what to keep, what to hold out, and what to report. Reference scope
+  * analog: the reference exposes raw tables and leaves curation to SQL
+  * (`test.sql` composes filters by hand); here each decision is a
+  * first-class operator with a DuckDB oracle.
+  *
+  * Float determinism: same discipline as TextOps/TextOps2 — integer
+  * aggregation first (order-insensitive, exact), then ONE fixed-shape
+  * double expression per row, and no transcendentals (ta_bm25 uses the
+  * rational Robertson idf (N-df+0.5)/(df+0.5)+1 WITHOUT the ln() of
+  * textbook BM25: ln is not correctly-rounded and differs between java
+  * Math.log and DuckDB's libm, while +*-/ are IEEE-exact — the ranking
+  * is order-isomorphic for single-term weights and bit-identical across
+  * engines). */
+object Curation {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+
+  /** Per-doc rational quality score — the exact ta_quality formula
+    * (TextOps.scala) reused as the canonical-member ranking key. */
+  private def qualityCol: Column =
+    (lit(0.4) * (col("n_uniq") / col("n_toks"))
+      + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+      + lit(0.3) * least(col("sum_len") / col("n_toks") / lit(10.0), lit(1.0)))
+
+  private def withQuality(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr(toksExpr))
+    .withColumn("n_toks", expr("size(toks)").cast("long"))
+    .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+    .withColumn("sum_len",
+      expr("aggregate(transform(toks, t -> length(t)), 0L, (s, x) -> s + x)"))
+    .select(col("doc_id"), qualityCol.as("quality"))
+
+  private val qualitySqlCtes =
+    """tq AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |qm AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+      |  FROM tq),
+      |q AS (SELECT doc_id,
+      |    0.4 * (n_uniq / n_toks)
+      |      + 0.3 * least(n_toks / 200.0, 1.0)
+      |      + 0.3 * least(sum_len / n_toks / 10.0, 1.0) AS quality
+      |  FROM qm)""".stripMargin
+
+  // ta_bm25 constants (Okapi k1/b; idf is the rational variant, see class doc)
+  private val bmTerms = Seq("spark", "join", "scan")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+
+  /** One BM25 term of the oracle score. Every numeric literal is CAST to
+    * DOUBLE: DuckDB parses bare `2.2` as DECIMAL(2,1), and a
+    * BIGINT×DECIMAL multiply stays in exact decimal arithmetic — 1-2 ulp
+    * off Spark's double×double (measured on tf=3: 6.6 vs
+    * 6.6000000000000005). With the casts both engines run the identical
+    * IEEE op sequence. */
+  private def bmTermSql(tf: String, df: String): String = {
+    def D(x: Double) = s"CAST($x AS DOUBLE)"
+    s"((n_docs - $df + ${D(0.5)}) / ($df + ${D(0.5)}) + ${D(1.0)})" +
+      s" * ($tf * ${D(bmK1 + 1.0)})" +
+      s" / ($tf + ${D(bmK1)} * (${D(1.0 - bmB)} + (${D(bmB)} * dlen) / avgdl))"
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 152. near-dup cluster CANONICALIZATION: dedup that keeps the BEST
+    // member of each cluster (by ta_quality score, min doc_id on ties),
+    // not an arbitrary one — the FineWeb/Dolma-style "representative
+    // selection" step dd_cluster stops short of. Plan shape at scale:
+    // quality is a map-only projection over the corpus; the argmax
+    // groupBys run only over the CLUSTERED subset (docs that appear in
+    // the verified pair graph — a small fraction of any real corpus);
+    // the final keep_id join key is one row per cluster, broadcast-sized.
+    // Singletons never enter a shuffle: their cluster_id and keep flag
+    // come from coalesce() on the left joins.
+    GraftQuery("dd_canonical", (s, d) => {
+      val q = withQuality(docs(s, d))
+      val labels = Components
+        .minLabel(s, Similarity.minhashPairs(s, d).select("ia", "ib"))
+        .withColumnRenamed("id", "doc_id")
+      val clustered = labels.join(q, "doc_id")
+      val qmax = clustered.groupBy("label").agg(max("quality").as("qmax"))
+      val keep = clustered.join(qmax, "label")
+        .filter(col("quality") === col("qmax"))
+        .groupBy("label").agg(min("doc_id").as("keep_id"))
+      q.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .join(broadcast(keep.withColumnRenamed("label", "cluster_id")),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          coalesce(col("doc_id") === col("keep_id"), lit(true)).as("keep"))
+    },
+      Some(s"""${Similarity.minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
+             |reach(n, m) AS (
+             |  SELECT a, a FROM e GROUP BY a
+             |  UNION
+             |  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
+             |cc AS (SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY n),
+             |$qualitySqlCtes,
+             |cl AS (SELECT cc.label, q.doc_id, q.quality
+             |  FROM cc JOIN q USING (doc_id)),
+             |bq AS (SELECT label, MAX(quality) AS qmax FROM cl GROUP BY label),
+             |keep AS (SELECT cl.label, MIN(cl.doc_id) AS keep_id
+             |  FROM cl JOIN bq ON cl.label = bq.label AND cl.quality = bq.qmax
+             |  GROUP BY cl.label)
+             |SELECT q.doc_id, COALESCE(cc.label, q.doc_id) AS cluster_id,
+             |  q.quality,
+             |  COALESCE(q.doc_id = keep.keep_id, TRUE) AS keep
+             |FROM q LEFT JOIN cc USING (doc_id)
+             |LEFT JOIN keep ON keep.label = cc.label""".stripMargin)),
+
+    // 153. BM25 retrieval scoring: top-10 docs for a fixed 3-term query —
+    // the relevance-ranking shape of every eval-set / decontamination
+    // retrieval pass (ta_tfidf ranks terms WITHIN a doc; this ranks DOCS
+    // for a query). Exact-integer aggregation (tf per term via
+    // conditional sums, df + corpus stats in one scalar row, broadcast),
+    // then one fixed-shape double expression and a distributed
+    // TakeOrdered top-10 — no global sort, no float-sum ordering hazard
+    // (per-term scores are summed in fixed lexical order, not via a
+    // float groupBy).
+    GraftQuery("ta_bm25", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.widened(s, d, "documents")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      val per = tok.groupBy("doc_id").agg(
+        count(lit(1)).as("dlen"),
+        sum(when(col("token") === bmTerms(0), 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("token") === bmTerms(1), 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("token") === bmTerms(2), 1L).otherwise(0L)).as("tf3"))
+      val glob = per.agg(
+        count(lit(1)).as("n_docs"),
+        sum("dlen").as("sum_dlen"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+      def term(tf: String, df: String): Column =
+        ((col("n_docs") - col(df) + lit(0.5)) / (col(df) + lit(0.5)) + lit(1.0)) *
+          (col(tf) * lit(bmK1 + 1.0)) /
+          (col(tf) + lit(bmK1) *
+            (lit(1.0 - bmB) + (lit(bmB) * col("dlen")) / col("avgdl")))
+      val scored = per.crossJoin(broadcast(glob))
+        .filter(col("tf1") + col("tf2") + col("tf3") > 0)
+        .withColumn("avgdl", col("sum_dlen").cast("double") / col("n_docs"))
+        .withColumn("score",
+          term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rk", "doc_id", "score")
+    },
+      Some(s"""WITH tok AS (SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+             |  FROM documents),
+             |per AS (SELECT doc_id, COUNT(*) AS dlen,
+             |    CAST(SUM(CASE WHEN token = '${bmTerms(0)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+             |    CAST(SUM(CASE WHEN token = '${bmTerms(1)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+             |    CAST(SUM(CASE WHEN token = '${bmTerms(2)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+             |  FROM tok GROUP BY doc_id),
+             |gs AS (SELECT COUNT(*) AS n_docs,
+             |    CAST(SUM(dlen) AS BIGINT) AS sum_dlen,
+             |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+             |  FROM per),
+             |sc AS (SELECT per.doc_id,
+             |    CAST(sum_dlen AS DOUBLE) / n_docs AS avgdl,
+             |    per.dlen, per.tf1, per.tf2, per.tf3,
+             |    gs.n_docs, gs.df1, gs.df2, gs.df3
+             |  FROM per CROSS JOIN gs
+             |  WHERE per.tf1 + per.tf2 + per.tf3 > 0),
+             |scored AS (SELECT doc_id,
+             |    ${(1 to 3).map(i => bmTermSql(s"tf$i", s"df$i")).mkString("\n             |    + ")} AS score
+             |  FROM sc),
+             |top AS (SELECT doc_id, score,
+             |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM scored)
+             |SELECT CAST(rk AS BIGINT) AS rk, doc_id, score
+             |FROM top WHERE rk <= 10""".stripMargin)),
+
+    // 154. deterministic stratified train/val/test split (80/10/10):
+    // hash-bucketed WITHIN source (the salt is source||':'||doc_id) so
+    // every source lands 80/10/10 regardless of doc_id layout — the
+    // held-out-split contract reproducible across engines, runs and
+    // repartitionings (rand()-based splits are none of those). Pure
+    // per-row projection: pushes to the scan, no shuffle, no state.
+    GraftQuery("ta_split",
+      (s, d) => docs(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("source"), lit(":"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("doc_id", "source", "bucket", "split"),
+      Some(s"""WITH h AS (SELECT doc_id, source,
+             |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m
+             |  FROM documents),
+             |b AS (SELECT doc_id, source,
+             |    ${Relational.duckHex8("m", 1)} % 100 AS bucket FROM h)
+             |SELECT doc_id, source, bucket,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
+
+    // 155. per-source DATA CARD: the one-row-per-source datasheet every
+    // corpus release ships (counts, token mass, exact-dup rate, language
+    // spread, length envelope). One partial-aggregated groupBy — integer
+    // sums only (order-exact), the three reported ratios derived from
+    // them in fixed-shape double expressions. Shuffles ~n_sources rows.
+    GraftQuery("ta_source_stats",
+      (s, d) => docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+        .withColumn("th", md5(col("text")))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          countDistinct("th").as("n_unique_texts"),
+          countDistinct("lang").as("n_langs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum("n_uniq").as("sum_uniq"))
+        .withColumn("mean_doc_tokens",
+          col("n_tokens").cast("double") / col("n_docs"))
+        .withColumn("exact_dup_rate",
+          lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"))
+        .withColumn("uniq_token_ratio",
+          col("sum_uniq").cast("double") / col("n_tokens"))
+        .select("source", "n_docs", "n_tokens", "n_unique_texts", "n_langs",
+          "min_chars", "max_chars", "mean_doc_tokens", "exact_dup_rate",
+          "uniq_token_ratio"),
+      Some("""WITH t AS (SELECT doc_id, source, lang, n_chars, text,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT source, lang, n_chars, md5(text) AS th,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+             |  FROM t),
+             |g AS (SELECT source,
+             |    COUNT(*) AS n_docs,
+             |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |    COUNT(DISTINCT th) AS n_unique_texts,
+             |    COUNT(DISTINCT lang) AS n_langs,
+             |    MIN(n_chars) AS min_chars,
+             |    MAX(n_chars) AS max_chars,
+             |    CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq
+             |  FROM m GROUP BY source)
+             |SELECT source, n_docs, n_tokens, n_unique_texts, n_langs,
+             |  min_chars, max_chars,
+             |  CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
+             |  1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs AS exact_dup_rate,
+             |  CAST(sum_uniq AS DOUBLE) / n_tokens AS uniq_token_ratio
+             |FROM g""".stripMargin))
+  )
+}
