@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the curation family (operators/Curation.scala) that the
+  * row/hash oracle can't express: cluster-level keep cardinality, split
+  * stratification, ranking monotonicity, data-card conservation. Run at
+  * sf0.001 (and sf0.01 for the split proportions, which need ~100 docs
+  * per source to be meaningful). */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("dd_canonical: exactly one keep per cluster, and it has max quality") {
+    val out = run("dd_canonical").cache()
+    try {
+      val perCluster = out.groupBy("cluster_id").agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max("quality").as("qmax"))
+      assert(perCluster.filter(col("n_keep") =!= 1).count() == 0,
+        "every cluster must keep exactly one member")
+      // the kept member's quality equals the cluster max
+      val bad = out.filter(col("keep"))
+        .join(perCluster, "cluster_id")
+        .filter(col("quality") =!= col("qmax"))
+      assert(bad.count() == 0, "kept member must have the max quality")
+      // cluster ids are member doc_ids (min-label): every cluster_id exists
+      val orphan = out.select("cluster_id").distinct()
+        .join(out.select(col("doc_id")), col("cluster_id") === col("doc_id"),
+          "left_anti")
+      assert(orphan.count() == 0, "cluster_id must be a member doc_id")
+    } finally { out.unpersist(); () }
+  }
+
+  test("dd_canonical keeps fewer docs than the corpus when near-dups exist") {
+    // sf0.001 documents contain planted near-dup groups (same generator as
+    // dd_minhash_lsh's); canonicalization must actually drop something.
+    val out = run("dd_canonical")
+    val total = out.count()
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < total,
+      s"expected 0 < kept < $total, got $kept")
+  }
+
+  test("ta_split: deterministic, exhaustive, and stratified per source") {
+    val a = run("ta_split", "/root/testdata/sf0.01").cache()
+    try {
+      // deterministic: a second run is identical
+      val b = run("ta_split", "/root/testdata/sf0.01")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      // exhaustive partition of the corpus
+      val n = Tables.t(spark, "/root/testdata/sf0.01", "documents").count()
+      assert(a.count() == n)
+      // stratification: corpus-wide train share within 3σ of 0.8
+      // (n=500 Bernoulli(0.8): σ≈1.8pp), and no source drifts past its
+      // own 3σ envelope (sf0.01 sources hold only 25 docs: σ=8pp)
+      val corpus = a.agg(
+        (sum(when(col("split") === "train", 1).otherwise(0))
+          / count(lit(1))).as("frac")).head.getDouble(0)
+      assert(corpus > 0.746 && corpus < 0.854,
+        s"corpus train fraction $corpus far from 0.8")
+      val off = a.groupBy("source").agg(
+        (sum(when(col("split") === "train", 1).otherwise(0))
+          / count(lit(1))).as("frac"))
+        .filter(col("frac") < 0.56 || col("frac") > 1.0 - 1e-9)
+      assert(off.count() == 0, "a source's train fraction fell outside 3σ")
+    } finally { a.unpersist(); () }
+  }
+
+  test("ta_bm25: ranks 1..10, scores strictly ordered, all terms indexed") {
+    val rows = run("ta_bm25", "/root/testdata/sf0.01")
+      .orderBy("rk").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L),
+      "ranks must be exactly 1..10")
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+      "scores must be non-increasing in rank")
+    assert(scores.forall(s => s > 0 && !s.isNaN && !s.isInfinite))
+  }
+
+  test("ta_source_stats: per-source rows conserve corpus totals") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = run("ta_source_stats").cache()
+    try {
+      assert(out.count() ==
+        docs.select("source").distinct().count())
+      val sumDocs = out.agg(sum("n_docs")).head.getLong(0)
+      assert(sumDocs == docs.count(), "n_docs must sum to the corpus size")
+      val bad = out.filter(
+        col("exact_dup_rate") < 0.0 || col("exact_dup_rate") > 1.0 ||
+          col("uniq_token_ratio") <= 0.0 || col("uniq_token_ratio") > 1.0 ||
+          col("min_chars") > col("max_chars"))
+      assert(bad.count() == 0, "ratio/envelope invariants violated")
+    } finally { out.unpersist(); () }
+  }
+}
