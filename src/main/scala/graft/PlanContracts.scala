@@ -158,7 +158,8 @@ object PlanContracts {
     "ta_source_stats" -> Seq(
       noCartesian,
       present("partial_",
-        "per-source stats partial-aggregate map-side; ~n_sources rows shuffle")))
+        "per-source stats partial-aggregate map-side; ~n_sources rows shuffle")),
+    "dd_split_leak" -> Seq(noCartesian))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -60,6 +60,34 @@ object Curation {
   private val bmK1 = 1.2
   private val bmB = 0.75
 
+  /** md5(source:doc_id)-bucketed 80/10/10 assignment (see ta_split). */
+  private def splitAssign(df: DataFrame): DataFrame = df
+    .withColumn("bucket",
+      conv(substring(md5(concat(col("source"), lit(":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100)
+    .withColumn("split",
+      when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+
+  /** DuckDB CTE chain mirroring splitAssign; ends with
+    * `sp(doc_id, source, bucket, split)`. */
+  private val splitSqlCtes =
+    s"""h AS (SELECT doc_id, source,
+       |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m
+       |  FROM documents),
+       |b AS (SELECT doc_id, source,
+       |    ${Relational.duckHex8("m", 1)} % 100 AS bucket FROM h),
+       |sp AS (SELECT doc_id, source, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM b)""".stripMargin
+
+  /** minhashPairsSql (ends with `p`) extended with the split CTEs. */
+  private def minhashPairsWithSplitSql: String =
+    s"""${Similarity.minhashPairsSql},
+       |$splitSqlCtes""".stripMargin
+
   /** One BM25 term of the oracle score. Every numeric literal is CAST to
     * DOUBLE: DuckDB parses bare `2.2` as DECIMAL(2,1), and a
     * BIGINT×DECIMAL multiply stays in exact decimal arithmetic — 1-2 ulp
@@ -197,24 +225,34 @@ object Curation {
     // repartitionings (rand()-based splits are none of those). Pure
     // per-row projection: pushes to the scan, no shuffle, no state.
     GraftQuery("ta_split",
-      (s, d) => docs(s, d)
-        .withColumn("bucket",
-          conv(substring(md5(concat(col("source"), lit(":"),
-            col("doc_id").cast("string"))), 1, 8), 16, 10)
-            .cast("long") % 100)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test"))
+      (s, d) => splitAssign(docs(s, d))
         .select("doc_id", "source", "bucket", "split"),
-      Some(s"""WITH h AS (SELECT doc_id, source,
-             |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS m
-             |  FROM documents),
-             |b AS (SELECT doc_id, source,
-             |    ${Relational.duckHex8("m", 1)} % 100 AS bucket FROM h)
-             |SELECT doc_id, source, bucket,
-             |  CASE WHEN bucket < 80 THEN 'train'
-             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-             |FROM b""".stripMargin)),
+      Some(s"""WITH $splitSqlCtes
+             |SELECT doc_id, source, bucket, split FROM sp""".stripMargin)),
+
+    // 156. split-LEAKAGE audit: verified near-dup pairs that straddle a
+    // split boundary — the post-split check that no test/val doc has a
+    // near-duplicate in train (near-dups leak evaluation answers even
+    // after exact dedup). Reuses the shared verified-pair index
+    // (bounded by banding, linear in N) and the ta_split assignment;
+    // the pair table is the SMALL side of both doc_id joins, so the
+    // corpus-side split projection shuffles only its two key columns.
+    // Empty output = a clean split; rows name the offending pairs.
+    GraftQuery("dd_split_leak", (s, d) => {
+      val sp = splitAssign(docs(s, d)).select("doc_id", "split")
+      Similarity.minhashPairs(s, d).select("ia", "ib", "jacc")
+        .join(sp.withColumnRenamed("doc_id", "ia")
+          .withColumnRenamed("split", "split_a"), "ia")
+        .join(sp.withColumnRenamed("doc_id", "ib")
+          .withColumnRenamed("split", "split_b"), "ib")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("ia", "ib", "jacc", "split_a", "split_b")
+    },
+      Some(s"""$minhashPairsWithSplitSql
+             |SELECT p.ia, p.ib, p.jacc, sa.split AS split_a, sb.split AS split_b
+             |FROM p JOIN sp sa ON sa.doc_id = p.ia
+             |JOIN sp sb ON sb.doc_id = p.ib
+             |WHERE sa.split <> sb.split""".stripMargin)),
 
     // 155. per-source DATA CARD: the one-row-per-source datasheet every
     // corpus release ships (counts, token mass, exact-dup rate, language

@@ -79,6 +79,24 @@ class CurationSpec extends SparkSpec {
     assert(scores.forall(s => s > 0 && !s.isNaN && !s.isInfinite))
   }
 
+  test("dd_split_leak reports only cross-split pairs, and canonicalization " +
+    "eliminates them") {
+    val leak = run("dd_split_leak").cache()
+    try {
+      assert(leak.filter(col("split_a") === col("split_b")).count() == 0)
+      // the pipeline claim: every verified near-dup pair is an edge inside
+      // one connected component, and dd_canonical keeps exactly one member
+      // per component — so restricting the corpus to kept docs must leave
+      // ZERO leaking pairs (dedup-then-split is leak-free by construction)
+      val kept = run("dd_canonical").filter(col("keep")).select("doc_id")
+      val survivors = leak
+        .join(kept.withColumnRenamed("doc_id", "ia"), "ia")
+        .join(kept.withColumnRenamed("doc_id", "ib"), "ib")
+      assert(survivors.count() == 0,
+        "a near-dup pair survived canonicalization")
+    } finally { leak.unpersist(); () }
+  }
+
   test("ta_source_stats: per-source rows conserve corpus totals") {
     val docs = Tables.t(spark, sf, "documents")
     val out = run("ta_source_stats").cache()
