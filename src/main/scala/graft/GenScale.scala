@@ -158,16 +158,25 @@ object GenScale {
       .withColumn("l_partkey", col("l_partkey") + lit(r * 20000L))
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * 1000L)))
     // events: new ids/users per replica, sessions time-shifted apart.
-    // Tiled from the RAW parquet (ts = nanos bigint), not Tables.t's
-    // converted view: the driver testdata stores nanos, and the streaming
-    // entries' source schema check depends on the layouts matching — a
-    // TIMESTAMP ts in a generated sf dir broke every st_* entry there.
+    // Tiled from the RAW parquet, not Tables.t's converted view: the
+    // streaming entries' source schema check depends on the generated
+    // layout matching the driver's, so the tiling preserves whatever ts
+    // layout the source has (the driver has shipped both nanos-BIGINT and
+    // TIMESTAMP_NTZ) and the per-replica 30-day shift dispatches on it.
     if (sel("events")) {
       val rawEvents = spark.read.parquet(s"$src/events.parquet")
+      val shifted: Int => org.apache.spark.sql.Column =
+        rawEvents.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            r => col("ts") + lit(r * 30L * 86400L * 1000000000L) // nanos
+          case _ =>
+            // timestamp (NTZ or LTZ): interval arithmetic keeps the type
+            r => col("ts") + expr(s"INTERVAL '${r * 30}' DAY")
+        }
       write("events", (0 until reps).map(r => rawEvents
         .withColumn("event_id", col("event_id") + lit(r * 100000L))
         .withColumn("user_id", col("user_id") + lit(r * 1500L))
-        .withColumn("ts", col("ts") + lit(r * 30L * 86400L * 1000000000L)))
+        .withColumn("ts", shifted(r)))
         .reduce(_ unionAll _))
     }
     // documents: per-replica seeded PERMUTATION of the letter/digit

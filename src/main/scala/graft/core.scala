@@ -18,16 +18,29 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanos bigint (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    // GraftSession/Verify/Bench). Surface it as a proper micros timestamp;
-    // `div 1000` floors like DuckDB's ns→us conversion.
-    df.schema.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    tsNormalized(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Load-boundary contract for the events `ts` column: whatever layout the
+    * driver's generator writes, every operator downstream sees one type — a
+    * session-zone TimestampType (micros). The driver has shipped two layouts
+    * so far, and both stay supported so a regen in either direction is a
+    * no-op here rather than 15 broken entries:
+    *  - parquet TIMESTAMP(NANOS) → Spark reads a nanos BIGINT under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in every entrypoint);
+    *    `div 1000` floors ns→us exactly like DuckDB's conversion.
+    *  - parquet timestamp[us] with no timezone → Spark reads TIMESTAMP_NTZ;
+    *    with the session pinned to UTC the cast to TimestampType is
+    *    value-identical to what DuckDB reads from the same file.
+    * Anything else (already TimestampType, or no ts column) passes through. */
+  def tsNormalized(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -16,11 +16,27 @@ object Streams {
   private val runId = new AtomicLong(0)
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema // ts = nanos bigint
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     // glob (not a bare file path): FileStreamSource requires a directory or
-    // pattern to poll, exactly like a landing bucket in production
-    s.readStream.schema(schema).option("basePath", d).parquet(s"$d/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // pattern to poll, exactly like a landing bucket in production. The ts
+    // layout varies by driver generation (nanos BIGINT vs TIMESTAMP_NTZ);
+    // Tables.tsNormalized dispatches on the loaded schema so every stream
+    // sees one TimestampType column either way.
+    graft.Tables.tsNormalized(
+      s.readStream.schema(schema).option("basePath", d).parquet(s"$d/events.*"))
+  }
+
+  /** A ts literal in the RAW on-disk layout of `raw`'s ts column, for
+    * staging sentinel/tick rows next to copied source files: a file-stream
+    * source reads every staged file with ONE schema, so synthetic rows must
+    * be written in the same physical layout as the copied raw parquet. */
+  private def tsLitLike(raw: DataFrame, micros: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType => lit(micros * 1000L) // nanos-as-long layout
+      case TimestampNTZType => expr(s"cast(timestamp_micros(${micros}L) as timestamp_ntz)")
+      case _ => expr(s"timestamp_micros(${micros}L)")
+    }
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
@@ -90,12 +106,13 @@ object Streams {
       Files.copy(Paths.get(s"$d/events.parquet"), dst)
       Files.setLastModifiedTime(dst,
         attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
-      // sentinel: one event in year 2100 (ts column is raw nanos here)
+      // sentinel: one event in year 2100, written in the raw ts layout
       val tmp = Files.createTempDirectory("graft_sess_sentinel")
-      s.read.parquet(s"$d/events.parquet").limit(1)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      raw.limit(1)
         .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
         .withColumn("event_id", org.apache.spark.sql.functions.lit(-1L))
-        .withColumn("ts", org.apache.spark.sql.functions.lit(4102444800000000000L))
+        .withColumn("ts", tsLitLike(raw, 4102444800000000L)) // 2100-01-01T00:00Z
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
@@ -119,7 +136,7 @@ object Streams {
     lateDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
       val staged = Files.createTempDirectory("graft_late_src")
-      val raw = s.read.parquet(s"$d/events.parquet") // ts = raw nanos bigint
+      val raw = s.read.parquet(s"$d/events.parquet") // ts in raw on-disk layout
       def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
         val tmp = Files.createTempDirectory("graft_late_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -142,13 +159,13 @@ object Streams {
       put(raw.limit(1)
         .withColumn("user_id", lit(-2L)).withColumn("event_id", lit(-2L))
         .withColumn("event_type", lit("tick")).withColumn("value", lit(0.0))
-        .withColumn("ts", lit(1704067200000000000L)), // 2024-01-01T00:00Z
+        .withColumn("ts", tsLitLike(raw, 1704067200000000L)), // 2024-01-01T00:00Z
         "01_tick.parquet", 120000)
       put(raw.filter(col("user_id") % 2 =!= 0), "02_late.parquet", 60000)
       put(raw.limit(1)
         .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
         .withColumn("event_type", lit("sentinel")).withColumn("value", lit(0.0))
-        .withColumn("ts", lit(4102444800000000000L)), "zz_sentinel.parquet", 0)
+        .withColumn("ts", tsLitLike(raw, 4102444800000000L)), "zz_sentinel.parquet", 0)
       staged.toString
     })
 
@@ -191,7 +208,7 @@ object Streams {
       val evs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // real batch, then sentinel batch
         .parquet(s"${stageWithSentinel(s, d)}/*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.tsNormalized)
         .withWatermark("ts", "1 second")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("ts"))
         .as[EvW]
@@ -375,7 +392,7 @@ object Streams {
       val agg = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$staged/*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.tsNormalized)
         .groupBy(window(col("ts"), "6 hours"))
         .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
         .select(unix_micros(col("window.start")).as("ws"), col("n"), col("total"))
@@ -460,7 +477,7 @@ object Streams {
       val evs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"${stageWithSentinel(s, d)}/*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.tsNormalized)
         .withWatermark("ts", "1 second")
       val agg = evs
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -503,7 +520,7 @@ object Streams {
       val evs = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"${stageLate(s, d)}/*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.tsNormalized)
         .withWatermark("ts", "1 hour")
       val agg = evs.groupBy(window(col("ts"), "6 hours"))
         .agg(count(lit(1)).as("n"), sumd(d2(col("value"))).as("total"))
