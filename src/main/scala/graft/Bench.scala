@@ -35,25 +35,33 @@ object Bench {
     // Similarity.minhashPairs; dd_minhash_lsh/dd_cluster then time reads
     // of the persisted snapshot, the production shape).
     operators.Similarity.warmSharedIndex(spark, sfDir)
+    operators.Similarity.warmVecs(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
     streaming.Streams.warmStaging(spark, sfDir)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed entry is recorded by NAME and excluded from timings — a
+    // sub-second analysis failure must never masquerade as a measurement
+    // (same discipline as BenchScale's failed[]).
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val results = timed.collect { case (n, sec, true) => n -> sec }
+    val failed = timed.collect { case (n, _, false) => n }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    def jsonList(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
     // Full per-query timings to a file (the stdout capture downstream keeps
     // only a bounded tail, which a 117-entry map overflows).
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"failed":${jsonList(failed)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")),
       (detail + "\n").getBytes("UTF-8"))
@@ -82,7 +90,7 @@ object Bench {
     // Emit the stdout JSON line LAST, after spark.stop(): anything Spark's
     // shutdown prints must not land between this line and EOF, or a
     // tail-capture regex downstream misses it (BENCH_r06 parsed=null).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonList(failed)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

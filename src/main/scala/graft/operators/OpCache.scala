@@ -64,25 +64,51 @@ object OpCache {
   }
 
   /** Memoized persisted DataFrame per (session, key): built + tracked once,
-    * then shared by every consumer until release(). */
-  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = synchronized {
-    sweepStopped()
-    var m = memos.get(s)
-    if (m == null) { m = new java.util.HashMap[String, DataFrame](); memos.put(s, m) }
-    var df = m.get(key)
-    if (df == null) { df = track(s, build); m.put(key, df) }
-    df
+    * then shared by every consumer until release(). The build runs OUTSIDE
+    * the monitor (it may launch Spark jobs; holding the lock would serialize
+    * every concurrent session on one build) with a double-checked put — a
+    * losing racer unpersists its redundant copy. */
+  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val cached = synchronized {
+      sweepStopped()
+      var m = memos.get(s)
+      if (m == null) { m = new java.util.HashMap[String, DataFrame](); memos.put(s, m) }
+      m.get(key)
+    }
+    if (cached != null) return cached
+    val built = build
+    synchronized {
+      val m = memos.get(s)
+      val prior = if (m == null) null else m.get(key)
+      if (prior != null) { built.unpersist(); prior }
+      else {
+        track(s, built)
+        var mm = memos.get(s)
+        if (mm == null) { mm = new java.util.HashMap[String, DataFrame](); memos.put(s, mm) }
+        mm.put(key, built)
+        built
+      }
+    }
   }
 
   /** Memoized scalar per (session, key) — corpus statistics (row counts)
-    * that parameterize quantizer sizes. */
-  def memoLong(s: SparkSession, key: String)(build: => Long): Long = synchronized {
-    sweepStopped()
-    var m = longs.get(s)
-    if (m == null) { m = new java.util.HashMap[String, java.lang.Long](); longs.put(s, m) }
-    var v = m.get(key)
-    if (v == null) { v = java.lang.Long.valueOf(build); m.put(key, v) }
-    v.longValue()
+    * that parameterize quantizer sizes. Same build-outside-the-lock shape
+    * as memo: the count job must not run under the OpCache monitor. */
+  def memoLong(s: SparkSession, key: String)(build: => Long): Long = {
+    val cached = synchronized {
+      sweepStopped()
+      var m = longs.get(s)
+      if (m == null) { m = new java.util.HashMap[String, java.lang.Long](); longs.put(s, m) }
+      m.get(key)
+    }
+    if (cached != null) return cached.longValue()
+    val v = build
+    synchronized {
+      var m = longs.get(s)
+      if (m == null) { m = new java.util.HashMap[String, java.lang.Long](); longs.put(s, m) }
+      val prior = m.get(key)
+      if (prior != null) prior.longValue() else { m.put(key, v); v }
+    }
   }
 
   private val hooks =

@@ -141,6 +141,15 @@ object Similarity {
     * (dd_ngram_jaccard still times its full un-shared LSH pipeline.) */
   def warmSharedIndex(s: SparkSession, d: String): Unit = { minhashPairs(s, d); () }
 
+  /** Bench warmup hook: materialize the shared vector feature table and the
+    * corpus count that parameterizes every quantizer, so the family's
+    * one-time build cost doesn't land on whichever ann_* entry happens to
+    * run first (in production both are standing feature-store artifacts). */
+  def warmVecs(s: SparkSession, d: String): Unit = {
+    vecs(s, d).write.format("noop").mode("overwrite").save()
+    embCount(s, d); ()
+  }
+
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     OpCache.memo(s, "mhpairs|" + d) {
       F.register(s)
