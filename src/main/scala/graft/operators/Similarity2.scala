@@ -95,6 +95,17 @@ object Similarity2 {
   private[graft] def hierK2(cellN: Long): Long =
     math.max(1L, math.min(256L, cellN / Similarity.clusterTarget))
 
+  /** Routing contract for semantic dedup at corpus size n (GenScaleSpec-
+    * pinned): `dd_semantic`'s single-level quantizer holds cluster
+    * population ≤ clusterTarget only while scaledK(n) is below the kMax
+    * broadcast ceiling (n < kMax · clusterTarget ≈ 16.7M vectors). At or
+    * past the clamp a deployment must run `dd_semantic_hier`, whose
+    * two-level quantizer keeps the effective population bounded — the
+    * single-level entry degrades quadratically there by design, it does
+    * not fail. */
+  private[graft] def semanticPath(n: Long): String =
+    if (Similarity.scaledK(n) < Similarity.kMax) "dd_semantic" else "dd_semantic_hier"
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 42d. incremental near-dup: the "new batch" (doc_id % 10 == 0 — the
@@ -292,7 +303,10 @@ object Similarity2 {
     // trade: candidate generation from semantic clusters instead of
     // labels/LSH). Assignment is a map-only native argmin_l2 (centroids
     // broadcast, no shuffle, codegen'd tight loop); the pairwise stage
-    // shuffles once on cluster_id.
+    // shuffles once on cluster_id. SCALE BINDING POINT: valid to
+    // kMax · clusterTarget ≈ 16.7M vectors, where scaledK clamps and
+    // cluster population starts growing again — past that, run
+    // dd_semantic_hier (see semanticPath; GenScaleSpec pins the boundary).
     GraftQuery("dd_semantic", (s, d) => {
       F.register(s)
       val base = Tables.widened(s, d, "embeddings").select(

@@ -393,4 +393,35 @@ class GenScaleSpec extends SparkSpec {
     assert(emb.filter(col("vec_id") >= 2000L).filter(col("label") < 10).count() == 0,
       "replica labels must not collide with base labels")
   }
+
+  test("semantic dedup routes to the two-level quantizer past the K clamp") {
+    import operators.{Similarity, Similarity2}
+    val clampN = Similarity.kMax.toLong * Similarity.clusterTarget // 16.7M
+    // the boundary is exact: one vector below the clamp the single-level
+    // path still holds population ≤ clusterTarget; at the clamp it is the
+    // hierarchical entry's regime
+    assert(Similarity2.semanticPath(clampN - 1) == "dd_semantic")
+    assert(Similarity2.semanticPath(clampN) == "dd_semantic_hier")
+    assert(Similarity.scaledK(clampN - 1) < Similarity.kMax)
+    assert(Similarity.scaledK(clampN) == Similarity.kMax)
+    // past the clamp the single-level population grows with the corpus
+    // while the two-level effective population stays bounded through the
+    // coarse codebook's own capacity (coarseTarget · kMax ≈ 4.3e9)
+    for (n <- Seq(clampN, 100000000L, 1000000000L, 4294967296L)) {
+      val single = n / Similarity.scaledK(n)
+      val cell = n / Similarity2.hierK1(n)
+      val hier = cell / Similarity2.hierK2(cell)
+      assert(single >= Similarity.clusterTarget,
+        s"n=$n: single-level population $single should be at/past the target")
+      assert(hier <= Similarity.clusterTarget,
+        s"n=$n: hier population $hier must stay ≤ ${Similarity.clusterTarget}")
+      assert(hier <= single, s"n=$n: routing must never lose population bound")
+    }
+    // beyond the coarse capacity the hier population grows only as
+    // n / (kMax · 256) — linear with a 1.7e7 divisor, not quadratic-class
+    val far = 1000000000000L // 1e12
+    val farCell = far / Similarity2.hierK1(far)
+    val farPop = farCell / Similarity2.hierK2(farCell)
+    assert(farPop == far / (Similarity2.coarseTarget.toLong * 256L))
+  }
 }
