@@ -58,6 +58,7 @@ object BenchScale {
     SparkEntry.queries("q_bucketed_join")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
     operators.Similarity.warmSharedIndex(spark, sfDir)
+    operators.Similarity.warmVecs(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
     streaming.Streams.warmStaging(spark, sfDir)

@@ -21,6 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // An entry that throws leaves no parquet, and a downstream compare
+    // that iterates the out dir would silently shrink — record every
+    // failure by name in _failed.json so absence is always visible.
+    val failed = scala.collection.mutable.ArrayBuffer[(String, String)]()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
@@ -28,6 +32,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed += name -> String.valueOf(e.getMessage).take(500)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +51,8 @@ object Verify {
       .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table
     spark.stop()
   }
