@@ -303,6 +303,97 @@ object Curation {
              |  CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
              |  1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs AS exact_dup_rate,
              |  CAST(sum_uniq AS DOUBLE) / n_tokens AS uniq_token_ratio
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // 157. LM-based quality score (the perplexity-filter shape of
+    // CCNet/Gopher-style curation, reduced to an exactly-reproducible
+    // core): train a char-bigram model ON the corpus (add-one smoothing,
+    // smoothing width = distinct-bigram count), then score every doc by
+    // its mean bigram probability. Scale shape is the production one:
+    // the MODEL is alphabet-bounded (|Σ|² entries — ~5k ascii, never
+    // corpus-sized; a unicode corpus would bucket rare chars into an OOV
+    // symbol before this bound matters) and broadcasts as two one-row
+    // maps, so scoring is one map-only pass; training is one
+    // map-side-combined count shuffle of alphabet-bounded width. Float
+    // parity: each per-position probability is one integer-derived
+    // double division, and the per-doc mean folds those doubles in
+    // POSITION order on both engines (Spark aggregate() over the bigram
+    // array vs DuckDB list(prob ORDER BY pos) + list_reduce) — the same
+    // strict-left-fold discipline as dot_product/duckDot.
+    GraftQuery("ta_ngram_lm", (s, d) => {
+      val bg = Tables.widened(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+          .as("bgs"))
+      val counts = bg.select(explode(col("bgs")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val prefix = counts.groupBy(substring(col("bg"), 1, 1).as("a"))
+        .agg(sum("c").as("ca"))
+      val model = counts.agg(
+          map_from_entries(expr("array_sort(collect_list(struct(bg, c)))")).as("cmap"),
+          count(lit(1)).as("v"))
+        .crossJoin(prefix.agg(
+          map_from_entries(expr("array_sort(collect_list(struct(a, ca)))")).as("pmap")))
+      bg.crossJoin(broadcast(model))
+        .withColumn("n_bg", expr("size(bgs)").cast("long"))
+        .withColumn("lm_score", expr(
+          "aggregate(bgs, CAST(0 AS DOUBLE), (acc, b) -> acc + " +
+            "CAST(element_at(cmap, b) + 1 AS DOUBLE) " +
+            "/ (element_at(pmap, substring(b, 1, 1)) + v)) / n_bg"))
+        .select("doc_id", "n_bg", "lm_score")
+    },
+      Some("""WITH bg AS (SELECT doc_id,
+             |    list_transform(range(1, length(text)), i -> substring(text, i, 2)) AS bgs
+             |  FROM documents WHERE length(text) >= 2),
+             |x AS (SELECT doc_id,
+             |    unnest(range(1, len(bgs) + 1)) AS pos,
+             |    unnest(bgs) AS b
+             |  FROM bg),
+             |c AS (SELECT b, COUNT(*) AS c FROM x GROUP BY b),
+             |p AS (SELECT substring(b, 1, 1) AS a, CAST(SUM(c) AS BIGINT) AS ca
+             |  FROM c GROUP BY 1),
+             |v AS (SELECT COUNT(*) AS v FROM c),
+             |t AS (SELECT x.doc_id, x.pos,
+             |    CAST(c.c + 1 AS DOUBLE) / (p.ca + v.v) AS prob
+             |  FROM x JOIN c USING (b)
+             |  JOIN p ON p.a = substring(x.b, 1, 1) CROSS JOIN v),
+             |l AS (SELECT doc_id, list(prob ORDER BY pos) AS ps FROM t GROUP BY doc_id)
+             |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bg,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE), ps), (a, x) -> a + x)
+             |    / len(ps) AS lm_score
+             |FROM l""".stripMargin)),
+
+    // 158. temperature-based source mixing (the multilingual/multi-source
+    // sampling-weight computation: w_s ∝ n_s^(1/τ) at τ = 2): per-source
+    // counts → sqrt weights normalized over sources → expected draw count
+    // out of a fixed 10000-doc budget. sqrt (not an arbitrary exponent)
+    // because IEEE-754 requires sqrt correctly rounded — pow(x, 0.7)
+    // differs between Java and libm in last ulps, sqrt never does. The
+    // normalizer folds the per-source sqrt terms in SOURCE order on both
+    // engines (n_sources values — one tiny shuffle, one broadcast row,
+    // everything else is arithmetic on the grouped result).
+    GraftQuery("ta_mix_temperature", (s, d) => {
+      val perSrc = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = perSrc.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(source, n_docs))), " +
+          "x -> sqrt(CAST(x.n_docs AS DOUBLE))), CAST(0 AS DOUBLE), (a, w) -> a + w)")
+        .as("z"))
+      perSrc.crossJoin(broadcast(z))
+        .withColumn("weight", sqrt(col("n_docs").cast("double")) / col("z"))
+        .withColumn("expect_docs", floor(col("weight") * lit(10000)).cast("long"))
+        .select("source", "n_docs", "weight", "expect_docs")
+    },
+      Some("""WITH s AS (SELECT source, COUNT(*) AS n_docs
+             |  FROM documents GROUP BY source),
+             |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+             |    (a, w) -> a + w) AS z
+             |  FROM s)
+             |SELECT source, n_docs,
+             |  sqrt(CAST(n_docs AS DOUBLE)) / z.z AS weight,
+             |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z.z * 10000) AS BIGINT)
+             |    AS expect_docs
+             |FROM s CROSS JOIN z""".stripMargin))
   )
 }

@@ -112,4 +112,44 @@ class CurationSpec extends SparkSpec {
       assert(bad.count() == 0, "ratio/envelope invariants violated")
     } finally { out.unpersist(); () }
   }
+
+  test("ta_ngram_lm: scores are probabilities, corpus-trained docs never OOV") {
+    val out = run("ta_ngram_lm").cache()
+    try {
+      val n = out.count()
+      // every doc with >= 2 chars scores; none null (model trained on corpus)
+      val expected = Tables.t(spark, sf, "documents")
+        .filter(length(col("text")) >= 2).count()
+      assert(n == expected, s"scored $n of $expected eligible docs")
+      assert(out.filter(col("lm_score").isNull).count() == 0)
+      // mean of conditional probabilities: strictly inside (0, 1)
+      val bad = out.filter(col("lm_score") <= 0.0 || col("lm_score") >= 1.0).count()
+      assert(bad == 0, s"$bad docs outside (0,1)")
+      // the score separates docs (a constant score = a broken model)
+      assert(out.select("lm_score").distinct().count() > 1)
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_mix_temperature: weights normalize, budget never exceeded, " +
+      "temperature flattens the source distribution") {
+    val out = run("ta_mix_temperature").cache()
+    try {
+      val srcs = Tables.t(spark, sf, "documents").select("source").distinct().count()
+      assert(out.count() == srcs)
+      val wsum = out.agg(sum("weight")).head.getDouble(0)
+      assert(math.abs(wsum - 1.0) < 1e-9, s"weights sum to $wsum")
+      // floor() of per-source shares can only under-spend the budget
+      val spent = out.agg(sum("expect_docs")).head.getLong(0)
+      assert(spent <= 10000L && spent > 10000L - srcs,
+        s"expected budget-floor spend in (${10000L - srcs}, 10000], got $spent")
+      // τ=2 flattening: every weight sits between its proportional share
+      // and the uniform share (sqrt pulls toward uniform, never past it)
+      val total = Tables.t(spark, sf, "documents").count().toDouble
+      val off = out.filter(
+        (col("n_docs") / total < col("weight") && col("weight") > lit(1.0 / srcs) + 1e-12) ||
+        (col("n_docs") / total > col("weight") && col("weight") < lit(1.0 / srcs) - 1e-12))
+        .count()
+      assert(off == 0, s"$off sources outside the [share, uniform] envelope")
+    } finally { out.unpersist(); () }
+  }
 }
