@@ -394,6 +394,39 @@ object Curation {
              |  sqrt(CAST(n_docs AS DOUBLE)) / z.z AS weight,
              |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / z.z * 10000) AS BIGINT)
              |    AS expect_docs
-             |FROM s CROSS JOIN z""".stripMargin))
+             |FROM s CROSS JOIN z""".stripMargin)),
+
+    // 159. SOFT dedup (the keep-all-with-weight alternative to dropping:
+    // SlimPajama-style hard dedup loses the duplication signal, so
+    // recent pipelines downweight instead — each exact-dup cluster
+    // contributes total sampling mass 1, i.e. weight = 1/n_dup per
+    // copy — and budget tokens by the weighted mass). One window count
+    // over the content-hash partition: a SINGLE shuffle on the 32-char
+    // digest (vs groupBy + re-join = two), no row is dropped, and the
+    // two reported doubles are fixed-shape single divisions of exact
+    // integers, so both engines agree bitwise. Skew posture: a
+    // pathological mega-cluster (one text duplicated across a whole
+    // shard) lands in one window partition, but the per-row state is a
+    // count — AQE splits the partition, and the window needs no
+    // ordering, so there is no sort to skew.
+    GraftQuery("dd_soft", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .withColumn("n_toks", expr(s"size($toksExpr)").cast("long"))
+        .withColumn("n_dup",
+          count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+        .select(col("doc_id"), col("n_dup"),
+          (lit(1.0) / col("n_dup")).as("weight"),
+          (col("n_toks").cast("double") / col("n_dup")).as("eff_tokens"))
+    },
+      Some("""WITH w AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+             |      AS BIGINT) AS n_toks,
+             |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_dup
+             |  FROM documents)
+             |SELECT doc_id, n_dup,
+             |  CAST(1 AS DOUBLE) / n_dup AS weight,
+             |  CAST(n_toks AS DOUBLE) / n_dup AS eff_tokens
+             |FROM w""".stripMargin))
   )
 }

@@ -399,6 +399,58 @@ object Relational3 {
              |SELECT doc_id, path, key, json_type(js) AS type,
              |  CASE WHEN json_type(js) IN ('OBJECT', 'ARRAY') THEN NULL
              |       ELSE CAST(js AS VARCHAR) END AS value
-             |FROM tree""".stripMargin))
+             |FROM tree""".stripMargin)),
+
+    // ordered FUNNEL conversion (view → click → purchase, strictly
+    // later steps): the product-analytics sequence-match every event
+    // engine ships. Stage k is min event time AFTER the user's stage-k-1
+    // time — inherently sequential, so the plan is a 3-step chain of
+    // filter → per-user min → co-partitioned join: each stage's filter
+    // pushes its event_type to the scan, every shuffle is on user_id
+    // (the SAME key, so the exchanges line up and per-stage state is one
+    // (user_id, ts) row — at 100 TB the stage tables are |users|-sized,
+    // orders smaller than the event log), and the final stage counts are
+    // three one-row aggregates exploded to a 3-row report. conv is one
+    // double division of exact counts per row (bit-identical both
+    // engines).
+    GraftQuery("q_funnel", (s, d) => {
+      val ev = Tables.t(s, d, "events").select("user_id", "event_type", "ts")
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val tc = ev.filter(col("event_type") === "click").join(tv, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val tp = ev.filter(col("event_type") === "purchase").join(tc, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      tv.agg(count(lit(1)).as("n1"))
+        .crossJoin(tc.agg(count(lit(1)).as("n2")))
+        .crossJoin(tp.agg(count(lit(1)).as("n3")))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("n1").as("n_users"),
+            (col("n1").cast("double") / col("n1")).as("conv")),
+          struct(lit("2_click").as("stage"), col("n2").as("n_users"),
+            (col("n2").cast("double") / col("n1")).as("conv")),
+          struct(lit("3_purchase").as("stage"), col("n3").as("n_users"),
+            (col("n3").cast("double") / col("n1")).as("conv")))).as("r"))
+        .select("r.*")
+    },
+      Some("""WITH tv AS (SELECT user_id, MIN(ts) AS tv FROM events
+             |    WHERE event_type = 'view' GROUP BY user_id),
+             |tc AS (SELECT e.user_id, MIN(e.ts) AS tc
+             |  FROM events e JOIN tv ON e.user_id = tv.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > tv.tv
+             |  GROUP BY e.user_id),
+             |tp AS (SELECT e.user_id, MIN(e.ts) AS tp
+             |  FROM events e JOIN tc ON e.user_id = tc.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > tc.tc
+             |  GROUP BY e.user_id),
+             |n AS (SELECT (SELECT COUNT(*) FROM tv) AS n1,
+             |    (SELECT COUNT(*) FROM tc) AS n2,
+             |    (SELECT COUNT(*) FROM tp) AS n3)
+             |SELECT '1_view' AS stage, n1 AS n_users,
+             |    CAST(n1 AS DOUBLE) / n1 AS conv FROM n
+             |UNION ALL SELECT '2_click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+             |UNION ALL SELECT '3_purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM n""".stripMargin))
   )
 }

@@ -564,6 +564,156 @@ object Streams {
              |FROM events p JOIN events v
              |  ON p.user_id = v.user_id
              |  AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
-             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin))
+             |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin)),
+
+    // 55k. stream-stream LEFT OUTER interval join: purchases enriched
+    // with same-user views from the preceding 2 hours, and purchases
+    // with NO qualifying view still emitted (view_id NULL) — the
+    // attribution shape where "unattributed" is itself the signal. Null
+    // rows can only emit once the watermark proves no matching view can
+    // still arrive, so the replay stages a year-2100 sentinel that
+    // PASSES BOTH side filters (event_type = 'sentinel' is isin-kept on
+    // each side; a filtered-out sentinel would be pushed below the
+    // EventTimeWatermark node and never advance the clock): after the
+    // single data batch commits, both watermarks jump past every real
+    // event and the no-data batch flushes every unmatched purchase
+    // through the normal eviction path. The two sentinels match each
+    // other (same user, equal ts) and are dropped by the user_id >= 0
+    // output filter. State posture at scale: both join sides are
+    // time-bounded by the condition, so state per user is the 2-hour
+    // view tail + unflushed purchases — watermark-bounded, not
+    // stream-length-bounded.
+    GraftQuery("st_left_join", (s, d) => {
+      val staged = stageBothSentinel(s, d)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def side(types: Seq[String], idAs: String, userAs: String, tsAs: String) =
+        s.readStream.schema(schema).parquet(s"$staged/*.parquet")
+          .transform(graft.Tables.tsNormalized)
+          .filter(col("event_type").isin(types: _*))
+          .select(col("user_id").as(userAs), col("event_id").as(idAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "1 hour")
+      val p = side(Seq("purchase", "sentinel"), "purchase_id", "pu", "pts")
+      val v = side(Seq("view", "sentinel"), "view_id", "vu", "vts")
+      val joined = p.join(v, col("pu") === col("vu") &&
+          col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+          col("vts") <= col("pts"), "left_outer")
+        .select(col("purchase_id"), col("view_id"), col("pu").as("user_id"))
+      // The sentinel-drop filter runs on the SINK TABLE, not in the
+      // streaming plan: user_id >= 0 references a left-side column, so
+      // inside the plan Catalyst pushes it below the left EventTimeWatermark
+      // into the scan — the sentinel then never reaches the event-time
+      // stats, the watermark stalls at max(real ts) - 1h, and the last two
+      // hours of unmatched purchases are withheld forever (observed before
+      // this fix: 2 rows short at sf0.001).
+      runToTable(s, joined, OutputMode.Append()).filter(col("user_id") >= 0L)
+    },
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+             |FROM events p LEFT JOIN events v
+             |  ON p.user_id = v.user_id AND v.event_type = 'view'
+             |  AND v.ts >= p.ts - INTERVAL 2 HOUR AND v.ts <= p.ts
+             |WHERE p.event_type = 'purchase'""".stripMargin)),
+
+    // 55l. streaming dedup with state TTL (dropDuplicatesWithinWatermark):
+    // the infinite-key-space variant of st_dedup — state for a key is
+    // freed once the watermark passes its event time + delay, so a
+    // duplicate arriving AFTER that horizon re-emits (at-least-once
+    // dedup with bounded state: the contract a year-long ingest needs,
+    // where plain dropDuplicates' state grows forever). The replay makes
+    // the TTL OBSERVABLE and hash-checked: batch 1 = the corpus (every
+    // event_id unique → all emit), batch 2 = the same event_ids replayed
+    // one year later. At batch-2 processing the eviction watermark is
+    // max(batch-1 ts) - 1 h; a key's state expires when that watermark
+    // passes its event time + 1 h — so exactly the event_ids older than
+    // max(ts) - 2 h re-emit, and the oracle recomputes that ms-floored
+    // cutoff in SQL (same watermark arithmetic as st_late_data). The
+    // replay is 3 batches (base → tick → replay): dedup eviction reads
+    // the watermark from ONE COMMIT BACK (the SPARK-40925 lag that
+    // st_late_data's tick also absorbs), so without the tick the replay
+    // batch would still evict against the pre-base watermark and every
+    // duplicate would be dropped (observed: 1000 rows, zero re-emits).
+    GraftQuery("st_dedup_watermark", (s, d) => {
+      val staged = stageYearReplay(s, d)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // base batch, tick, replay batch
+        .parquet(s"$staged/*.parquet")
+        .transform(graft.Tables.tsNormalized)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      // tick-drop on the sink table (an in-plan filter would push below
+      // the watermark node — see st_left_join)
+      runToTable(s, evs, OutputMode.Append()).filter(col("event_id") >= 0L)
+    },
+      Some("""WITH wm AS (
+             |  SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) AS w1ms FROM events)
+             |SELECT event_id, epoch_us(ts) AS us FROM events
+             |UNION ALL
+             |SELECT e.event_id, epoch_us(e.ts + INTERVAL 365 DAYS) AS us
+             |FROM events e, wm
+             |WHERE epoch_us(e.ts) // 1000 + 3600000 < wm.w1ms""".stripMargin))
   )
+
+  /** Staged single-batch replay + a year-2100 sentinel whose event_type
+    * is the literal 'sentinel', so BOTH sides of a two-stream join can
+    * isin-keep it through their type filters (stageWithSentinel's
+    * sentinel inherits an arbitrary real type — fine for unfiltered
+    * streams, wrong for per-type sides). */
+  private val bothDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageBothSentinel(s: SparkSession, d: String): String =
+    bothDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_lj_src")
+      Files.copy(Paths.get(s"$d/events.parquet"), staged.resolve("events.parquet"))
+      val tmp = Files.createTempDirectory("graft_lj_sentinel")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      raw.limit(1)
+        .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel"))
+        .withColumn("ts", tsLitLike(raw, 4102444800000000L)) // 2100-01-01T00:00Z
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, staged.resolve("zz_sentinel.parquet"))
+      staged.toString
+    })
+
+  /** Stage a 3-batch replay: 00 = the corpus, 01 = one tick row (lets
+    * the lagged eviction watermark catch up to the base batch — see
+    * st_dedup_watermark), 02 = the SAME events shifted one year later
+    * (raw ts layout preserved), mtime-ordered so maxFilesPerTrigger=1
+    * makes the batch boundaries — and therefore the watermark sequence
+    * the TTL dedup contract depends on — deterministic. */
+  private val replayDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageYearReplay(s: SparkSession, d: String): String =
+    replayDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_ttl_src")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_ttl_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val shifted = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", col("ts") + lit(365L * 86400L * 1000000000L))
+        case TimestampNTZType => raw.withColumn("ts", expr("ts + INTERVAL 365 DAYS"))
+        case _ => raw.withColumn("ts", expr("ts + INTERVAL 365 DAYS"))
+      }
+      put(raw, "00_base.parquet", 180000)
+      // tick = the max-ts row re-badged (adds no event-time mass, so the
+      // watermark after the tick batch is exactly max(base) - delay)
+      put(raw.orderBy(org.apache.spark.sql.functions.desc("ts")).limit(1)
+        .withColumn("event_id", lit(-2L)).withColumn("user_id", lit(-2L)),
+        "01_tick.parquet", 120000)
+      put(shifted, "02_replay.parquet", 60000)
+      staged.toString
+    })
 }
