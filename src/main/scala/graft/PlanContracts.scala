@@ -159,7 +159,47 @@ object PlanContracts {
       noCartesian,
       present("partial_",
         "per-source stats partial-aggregate map-side; ~n_sources rows shuffle")),
-    "dd_split_leak" -> Seq(noCartesian))
+    "dd_split_leak" -> Seq(noCartesian),
+    "dd_soft" -> Seq(
+      noCartesian,
+      Contract(
+        "exactly ONE keyed shuffle (the window over the content hash) — " +
+          "no groupBy + re-join double exchange",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length == 1)),
+    "q_funnel" -> Seq(
+      noCartesian,
+      present("partial_", "per-user stage minima partial-aggregate map-side"),
+      Contract(
+        "every keyed shuffle is on user_id (the stage chain re-uses one " +
+          "partitioning; no shuffle on any other key)",
+        p => """Exchange hashpartitioning\((?!user_id#)""".r
+          .findFirstIn(p.finalSection).isEmpty)),
+    "emb_quantize" -> Seq(
+      noCartesian,
+      absent("Exchange hashpartitioning",
+        "pure map-only projection: no keyed shuffle at any scale"),
+      Contract(
+        "the parquet scan prunes to vec_id+embedding (label is never read)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("ReadSchema") && !l.contains("label")))),
+    "ann_kmeans_refine" -> Seq(
+      noCartesian,
+      codegen("argmin_l2"),
+      absent("windowspecdefinition(vec_id",
+        "cell assignment must not materialize an N×K window per vec_id"),
+      broadcasts(2,
+        "exactly the two DECLARED broadcasts survive big stats: the one-row " +
+          "centroid-array codebook and the K-row old-centroid table for shift2")),
+    "dd_containment" -> Seq(
+      noCartesian,
+      codegen("char_shingles"),
+      present("partial_",
+        "gram document-frequency counts partial-aggregate before the shuffle")),
+    "ta_winnow" -> Seq(
+      noCartesian,
+      absent("Exchange hashpartitioning",
+        "pure per-row projection: no keyed shuffle (only the single-file " +
+          "split-widening round-robin)")))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

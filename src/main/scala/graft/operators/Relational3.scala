@@ -423,9 +423,12 @@ object Relational3 {
       val tp = ev.filter(col("event_type") === "purchase").join(tc, "user_id")
         .filter(col("ts") > col("tc"))
         .groupBy("user_id").agg(min("ts").as("tp"))
+      // the three one-row stage counts combine via DECLARED broadcasts
+      // (nested-loop on a single row at any scale; undeclared, big stats
+      // would plan a CartesianProduct)
       tv.agg(count(lit(1)).as("n1"))
-        .crossJoin(tc.agg(count(lit(1)).as("n2")))
-        .crossJoin(tp.agg(count(lit(1)).as("n3")))
+        .crossJoin(broadcast(tc.agg(count(lit(1)).as("n2"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n3"))))
         .select(explode(array(
           struct(lit("1_view").as("stage"), col("n1").as("n_users"),
             (col("n1").cast("double") / col("n1")).as("conv")),

@@ -44,7 +44,7 @@ object Similarity {
     }
 
   /** DuckDB-side dot with identical left-fold accumulation order. */
-  private def duckDot(a: String, b: String): String =
+  private[operators] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (s, x) -> s + x)"
 
   /** DuckDB-side squared-L2 with the identical strict left fold the native

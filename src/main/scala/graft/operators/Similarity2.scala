@@ -553,6 +553,112 @@ object Similarity2 {
              |fin AS (SELECT q_id, n_id, cos,
              |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
              |  FROM rr)
-             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin))
+             |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin)),
+
+    // 163. int8 SCALAR quantization of the embedding store (the 4×
+    // compression every vector warehouse applies before PQ is worth its
+    // codebook): per-vector scale = max|v| / 127, symmetric round-half-up
+    // codes, and the per-vector reconstruction error that decides whether
+    // int8 recall is acceptable. PURE map-only projection — no shuffle, no
+    // broadcast, pushes the embedding column straight off the scan — so it
+    // runs at scan speed on any corpus. Float parity: scale is one
+    // division of an order-insensitive exact max; each code is
+    // floor(x/scale + 0.5) (floor is exact, the sum is one IEEE add); mse
+    // folds the 64 squared residuals in POSITION order on both engines;
+    // sum_code is an integer checksum that pins every individual code (a
+    // paired ±1 error that cancelled in mse would still break it... and
+    // vice versa for errors mse catches but the sum cancels).
+    GraftQuery("emb_quantize", (s, d) => {
+      Tables.widened(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale",
+          when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / lit(127.0)))
+        .withColumn("codes",
+          expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))"))
+        .withColumn("sum_code", expr("aggregate(codes, 0L, (a, c) -> a + c)"))
+        .withColumn("mse", expr(
+          "aggregate(zip_with(v, codes, (x, c) -> (x - c * scale) * (x - c * scale)), " +
+            "CAST(0 AS DOUBLE), (a, t) -> a + t) / 64"))
+        .select("vec_id", "scale", "sum_code", "mse")
+    },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+             |sc AS (SELECT vec_id, v,
+             |    CASE WHEN amax = 0 THEN CAST(1 AS DOUBLE)
+             |         ELSE amax / CAST(127 AS DOUBLE) END AS scale
+             |  FROM a),
+             |c AS (SELECT vec_id, v, scale,
+             |    list_transform(v, x ->
+             |      CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INTEGER)) AS codes
+             |  FROM sc)
+             |SELECT vec_id, scale,
+             |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_transform(range(1, 65),
+             |      i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale))),
+             |    (acc, t) -> acc + t) / 64 AS mse
+             |FROM c""".stripMargin)),
+
+    // 164. one distributed Lloyd iteration refining the hash-sampled
+    // codebook (the step that turns the to-date sample-only quantizer
+    // family into real k-means: assign → per-cell mean → measure how far
+    // each centroid moved). Plan shape at scale: assignment is the same
+    // map-only broadcast argmin_l2 as ann_ivf (no N×K materialization);
+    // the update is ONE groupBy on the cell id whose per-cell state is
+    // bounded by the corpus-scaled K (population ~clusterTarget, the same
+    // bound SemDeDup's pairwise stage already relies on) — so the
+    // collect_list never holds more than ~256 vectors. Float parity for
+    // the mean: the per-cell sum folds member vectors in vec_id order
+    // (sort_array struct trick ↔ list(v ORDER BY vec_id)) element-wise,
+    // then one division by the exact count; shift2 is the strict
+    // left-fold L2 both engines share (l2_sq ↔ duckL2). In production the
+    // loop iterates to convergence; one audited iteration pins the whole
+    // mechanism, and shift2 is the convergence signal a driver loop reads.
+    GraftQuery("ann_kmeans_refine", (s, d) => {
+      F.register(s)
+      val base = Tables.widened(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      val cents = Similarity.centroids(base, Similarity.ivfK(s, d))
+      val cbRow = centroidArrays(cents)
+      val assign = base.crossJoin(broadcast(cbRow))
+        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+        .select(col("vec_id"), col("cell"), col("v"))
+      val upd = assign.groupBy("cell").agg(
+        count(lit(1)).as("pop"),
+        expr("transform(array_sort(collect_list(struct(vec_id, v))), x -> x.v)").as("vs"))
+        .withColumn("mean", expr(
+          "transform(aggregate(vs, array_repeat(CAST(0 AS DOUBLE), 64), " +
+            "(acc, x) -> zip_with(acc, x, (a, b) -> a + b)), t -> t / pop)"))
+      upd.join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+        .withColumn("shift2", expr("l2_sq(mean, cv)"))
+        .select("cell", "pop", "shift2")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, ${Similarity.duckDot("v", "v")} AS n2 FROM e),
+             |c AS (${Similarity.centroidsSql}),
+             |asg AS (SELECT vec_id, cell, v FROM (
+             |    SELECT n.vec_id, c.cid AS cell, n.v,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS arn
+             |    FROM n CROSS JOIN c) WHERE arn = 1),
+             |g AS (SELECT cell, COUNT(*) AS pop, list(v ORDER BY vec_id) AS vs
+             |  FROM asg GROUP BY cell),
+             |m AS (SELECT cell, pop,
+             |    list_transform(
+             |      list_reduce(
+             |        list_prepend(list_transform(range(1, 65), i -> CAST(0 AS DOUBLE)), vs),
+             |        (acc, x) -> list_transform(range(1, 65),
+             |          i -> acc[CAST(i AS INTEGER)] + x[CAST(i AS INTEGER)])),
+             |      t -> t / pop) AS mean
+             |  FROM g)
+             |SELECT m.cell, m.pop, ${Similarity.duckL2("m.mean", "c.cv")} AS shift2
+             |FROM m JOIN c ON c.cid = m.cell""".stripMargin))
   )
 }

@@ -510,6 +510,110 @@ object TextOps2 {
              |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
              |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
              |    '\d{13,16}', '[NUM]', 'g') AS scrubbed
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // 165. asymmetric CONTAINMENT join (C(A,B) = |A∩B| / |A| over char
+    // 5-gram shingle sets): finds docs mostly CONTAINED in another —
+    // quotes, boilerplate wrappers, near-supersets — which symmetric
+    // Jaccard (dd_ngram_jaccard) misses by construction (a 100-word quote
+    // inside a 10k-word page has Jaccard ≈ 0.01 but containment ≈ 1).
+    // Candidate generation is an inverted-index join bounded by gram
+    // document-frequency (2 ≤ df ≤ 20): only DISCRIMINATIVE grams fan
+    // out, so per-gram work is ≤ df² and total candidates stay linear in
+    // corpus size — a pair ALL of whose shared grams are stop-grams
+    // (df > 20) is by-design invisible, the same tuned-above-background
+    // discipline as LSH banding (the oracle mirrors the exact df rule, so
+    // the contract is hash-checked, not hand-waved). Verify is exact set
+    // arithmetic on the candidate pairs only: two integer set sizes and
+    // one double division, bit-identical in both engines.
+    GraftQuery("dd_containment", (s, d) => {
+      graft.functions.F.register(s)
+      val sh = OpCache.track(s, Tables.widened(s, d, "documents")
+        .select(col("doc_id"), expr("char_shingles(text, 5)").as("sh"))
+        .persist()) // feeds the inverted index AND both verify joins
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 20).select("g")
+      val cand = inv.join(rare, "g")
+        .select(col("doc_id").as("ia"), col("g"))
+        .join(inv.join(rare, "g").select(col("doc_id").as("ib"), col("g")), "g")
+        .filter(col("ia") =!= col("ib"))
+        .select("ia", "ib").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+        .withColumn("inter", expr("size(array_intersect(sha, shb))").cast("long"))
+        .withColumn("cont", col("inter").cast("double") / expr("size(sha)"))
+        .filter(col("cont") >= 0.8)
+        .select("ia", "ib", "cont")
+    },
+      Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
+             |inv AS (SELECT doc_id, unnest(sh) AS g FROM d),
+             |rare AS (SELECT g FROM inv GROUP BY g
+             |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 20),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
+             |  WHERE a.doc_id <> b.doc_id),
+             |v AS (SELECT ia, ib,
+             |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+             |    CAST(len(da.sh) AS BIGINT) AS na
+             |  FROM cand JOIN d da ON da.doc_id = cand.ia
+             |  JOIN d db ON db.doc_id = cand.ib)
+             |SELECT ia, ib, CAST(inter AS DOUBLE) / na AS cont
+             |FROM v WHERE CAST(inter AS DOUBLE) / na >= 0.8""".stripMargin)),
+
+    // 166. WINNOWING fingerprint selection (Schleimer et al., SIGMOD 2003
+    // — the MOSS algorithm): hash every char 8-gram, slide a 4-hash
+    // window, keep the RIGHTMOST minimal hash per window, dedup
+    // (hash, position) picks. Guarantees every match of length ≥ 11 chars
+    // shares a fingerprint while storing ~2/(w+1) of the grams — the
+    // local-sampling alternative to ta_fingerprint's fixed-stride rolling
+    // hash (winnowing's guarantee is position-INDEPENDENT: insertions
+    // shift positions but the window-min picks realign). Pure per-row
+    // projection (no shuffle); each (hash, pos) pick is encoded as one
+    // BIGINT (hash·10⁵ + pos) so the dedup and the checksum fold need no
+    // struct equality, and the integer checksum pins every pick exactly.
+    GraftQuery("ta_winnow", (s, d) => {
+      val winnowExpr =
+        // h: 32-bit md5-prefix hash per 8-gram (conv hex→BIGINT, exact in
+        // both engines); picks: left fold over each window keeping the
+        // rightmost minimum (<= replaces on ties as j increases)
+        "array_distinct(transform(sequence(1, size(h) - 3), wi -> " +
+          "aggregate(sequence(wi + 1, wi + 3), " +
+          "element_at(h, wi) * 100000L + wi, " +
+          "(acc, j) -> IF(element_at(h, j) <= acc div 100000L, " +
+          "element_at(h, j) * 100000L + j, acc))))"
+      Tables.widened(s, d, "documents")
+        .filter(length(col("text")) >= 11) // 8-gram + window 4 minimum
+        .withColumn("h", expr(
+          "transform(sequence(1, length(text) - 7), " +
+            "i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) AS BIGINT))"))
+        .withColumn("fp", expr(winnowExpr))
+        .select(col("doc_id"),
+          expr("size(h) - 3").cast("long").as("n_windows"),
+          expr("size(fp)").cast("long").as("n_fp"),
+          expr("aggregate(fp, 0L, (a, x) -> a + x)").as("fp_sum"))
+    },
+      Some(s"""WITH g AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) - 6),
+             |      i -> md5(substr(text, CAST(i AS INTEGER), 8))) AS ms
+             |  FROM documents WHERE length(text) >= 11),
+             |h AS (SELECT doc_id,
+             |    list_transform(ms, m -> ${Relational.duckHex8("m", 1)}) AS h
+             |  FROM g),
+             |w AS (SELECT doc_id, h,
+             |    list_distinct(list_transform(range(1, len(h) - 2), wi ->
+             |      list_reduce(
+             |        list_prepend(h[CAST(wi AS INTEGER)] * 100000 + wi,
+             |          list_transform(range(wi + 1, wi + 4), j -> j)),
+             |        (acc, j) -> CASE
+             |          WHEN h[CAST(j AS INTEGER)] <= acc // 100000
+             |          THEN h[CAST(j AS INTEGER)] * 100000 + j ELSE acc END))) AS fp
+             |  FROM h)
+             |SELECT doc_id,
+             |  CAST(len(h) - 3 AS BIGINT) AS n_windows,
+             |  CAST(len(fp) AS BIGINT) AS n_fp,
+             |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
+             |FROM w""".stripMargin))
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-8 operator batch that the row/hash oracle
+  * can't express: conservation laws (soft-dedup mass, Lloyd-assignment
+  * partition), algebraic envelopes (quantization error bound, winnowing
+  * density), and funnel monotonicity. Run at sf0.001. */
+class OpInvariantsSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("dd_soft: keeps every row and each dup cluster carries total mass 1") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = run("dd_soft").cache()
+    try {
+      assert(out.count() == docs.count(), "soft dedup must not drop rows")
+      // sum of weights = number of distinct texts (each cluster sums to 1);
+      // weights are exact reciprocals so the double sum is exact too
+      val wsum = out.agg(sum("weight")).head.getDouble(0)
+      val nTexts = docs.select(countDistinct(md5(col("text")))).head.getLong(0)
+      assert(math.abs(wsum - nTexts) < 1e-6,
+        s"weight mass $wsum must equal distinct-text count $nTexts")
+      assert(out.filter(col("weight") <= 0 || col("weight") > 1).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_funnel: stage counts are monotone non-increasing, conv in [0,1]") {
+    val rows = run("q_funnel").orderBy("stage").collect()
+    assert(rows.length == 3)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel must narrow: ${ns.toSeq}")
+    val convs = rows.map(_.getAs[Double]("conv"))
+    assert(convs(0) == 1.0 && convs.forall(c => c >= 0.0 && c <= 1.0))
+  }
+
+  test("emb_quantize: mse within the scalar-quantization half-step bound") {
+    // round-to-nearest puts every residual within scale/2, so
+    // mse <= (scale/2)^2; violating this means a code escaped [-127, 127]
+    val bad = run("emb_quantize")
+      .filter(col("mse") > col("scale") * col("scale") / 4)
+    assert(bad.count() == 0, "per-dim residual exceeded half a quantization step")
+  }
+
+  test("ann_kmeans_refine: assignment partitions the corpus; shifts are finite") {
+    val out = run("ann_kmeans_refine").cache()
+    try {
+      val n = Tables.t(spark, sf, "embeddings").count()
+      val popSum = out.agg(sum("pop")).head.getLong(0)
+      assert(popSum == n, s"cell populations $popSum must partition all $n vectors")
+      assert(out.count() <= operators.Similarity.scaledK(n),
+        "cannot emit more cells than centroids")
+      assert(out.filter(col("shift2") < 0 || col("shift2").isNull).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("dd_containment: containment in [0.8, 1]; exact dups contain both ways") {
+    val out = run("dd_containment").cache()
+    try {
+      assert(out.filter(col("cont") < 0.8 || col("cont") > 1.0).count() == 0)
+      // planted exact duplicates (same text) must appear in BOTH directions
+      // with cont = 1 — containment of equals is symmetric
+      val dups = Tables.t(spark, sf, "documents").alias("a")
+        .join(Tables.t(spark, sf, "documents").alias("b"),
+          col("a.text") === col("b.text") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      val missing = dups.join(out.filter(col("cont") === 1.0),
+        Seq("ia", "ib"), "left_anti")
+      assert(missing.count() == 0, "exact dup pair missing from containment output")
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_winnow: picks per doc sit inside the winnowing density envelope") {
+    // every window picks exactly one (hash, pos); one pick can serve at
+    // most w = 4 consecutive windows -> n_windows/4 <= n_fp <= n_windows
+    val bad = run("ta_winnow").filter(
+      col("n_fp") > col("n_windows") ||
+        col("n_fp") * 4 < col("n_windows"))
+    assert(bad.count() == 0)
+  }
+
+  test("st_left_join: one row per unmatched purchase, nulls complete the purchases") {
+    val out = run("st_left_join").cache()
+    try {
+      val purchases = Tables.t(spark, sf, "events")
+        .filter(col("event_type") === "purchase").count()
+      assert(out.select("purchase_id").distinct().count() == purchases,
+        "every purchase must appear (matched or null-padded)")
+      val nullRows = out.filter(col("view_id").isNull)
+      assert(nullRows.count() ==
+        nullRows.select("purchase_id").distinct().count(),
+        "an unmatched purchase emits exactly one null row")
+    } finally { out.unpersist(); () }
+  }
+
+  test("st_dedup_watermark: base corpus emits exactly once; re-emits are a strict subset") {
+    val out = run("st_dedup_watermark").cache()
+    try {
+      val n = Tables.t(spark, sf, "events").count()
+      val perKey = out.groupBy("event_id").agg(count(lit(1)).as("c"))
+      assert(perKey.count() == n, "every event_id emits at least once")
+      assert(perKey.filter(col("c") > 2).count() == 0,
+        "a key can emit at most twice (base + one post-TTL replay)")
+      val reemits = out.count() - n
+      assert(reemits > 0 && reemits < n,
+        s"TTL must be observable: 0 < $reemits < $n re-emits")
+    } finally { out.unpersist(); () }
+  }
+}
