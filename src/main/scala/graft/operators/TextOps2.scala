@@ -517,26 +517,35 @@ object TextOps2 {
     // quotes, boilerplate wrappers, near-supersets — which symmetric
     // Jaccard (dd_ngram_jaccard) misses by construction (a 100-word quote
     // inside a 10k-word page has Jaccard ≈ 0.01 but containment ≈ 1).
-    // Candidate generation is an inverted-index join bounded by gram
-    // document-frequency (2 ≤ df ≤ 20): only DISCRIMINATIVE grams fan
-    // out, so per-gram work is ≤ df² and total candidates stay linear in
-    // corpus size — a pair ALL of whose shared grams are stop-grams
-    // (df > 20) is by-design invisible, the same tuned-above-background
-    // discipline as LSH banding (the oracle mirrors the exact df rule, so
-    // the contract is hash-checked, not hand-waved). Verify is exact set
-    // arithmetic on the candidate pairs only: two integer set sizes and
-    // one double division, bit-identical in both engines.
+    // Candidate generation is EXACT prefix filtering (the ppjoin/
+    // all-pairs principle, PAPERS.md): C(A,B) ≥ τ forces |A∩B| ≥
+    // ceil(τ|A|), so at most |A| - ceil(τ|A|) of A's grams can miss B —
+    // probing only A's (|A| - ceil(τ|A|) + 1) globally-RAREST grams
+    // (order = (df, gram), one rank window per doc, bounded by doc
+    // length) against the full inverted index guarantees every
+    // qualifying pair shares a probed gram. NO capacity knob to outgrow:
+    // unlike a df-cap heuristic (which goes blind once a dup cluster's
+    // size passes the cap — the fixed-capacity failure class of SURVEY
+    // §5), prefix fan-out concentrates exactly where true near-supersets
+    // are, so candidate work scales with the OUTPUT, not a tuning
+    // constant. Verify is exact set arithmetic on candidates only: two
+    // integer set sizes, one double division, bit-identical both engines.
     GraftQuery("dd_containment", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       graft.functions.F.register(s)
       val sh = OpCache.track(s, Tables.widened(s, d, "documents")
         .select(col("doc_id"), expr("char_shingles(text, 5)").as("sh"))
+        .withColumn("n_g", expr("size(sh)").cast("long"))
         .persist()) // feeds the inverted index AND both verify joins
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val rare = inv.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 20).select("g")
-      val cand = inv.join(rare, "g")
+      val inv = sh.select(col("doc_id"), col("n_g"), explode(col("sh")).as("g"))
+      val dfq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
+      // prefix length for tau = 0.8: n - ceil(4n/5) + 1, all-integer
+      val pre = inv.join(dfq, "g")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("gdf"), col("g"))))
+        .filter(col("rn") <= col("n_g") - expr("(n_g * 4 + 4) div 5") + 1)
         .select(col("doc_id").as("ia"), col("g"))
-        .join(inv.join(rare, "g").select(col("doc_id").as("ib"), col("g")), "g")
+      val cand = pre.join(inv.select(col("doc_id").as("ib"), col("g")), "g")
         .filter(col("ia") =!= col("ib"))
         .select("ia", "ib").distinct()
       cand
@@ -547,13 +556,19 @@ object TextOps2 {
         .filter(col("cont") >= 0.8)
         .select("ia", "ib", "cont")
     },
-      Some(s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
-             |inv AS (SELECT doc_id, unnest(sh) AS g FROM d),
-             |rare AS (SELECT g FROM inv GROUP BY g
-             |  HAVING COUNT(*) >= 2 AND COUNT(*) <= 20),
-             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-             |  FROM inv a JOIN rare USING (g) JOIN inv b USING (g)
-             |  WHERE a.doc_id <> b.doc_id),
+      Some(s"""WITH d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_g
+             |  FROM (${DuckSql.shingles("documents", "doc_id", 5)})),
+             |inv AS (SELECT doc_id, n_g, unnest(sh) AS g FROM d),
+             |dfq AS (SELECT g, COUNT(*) AS gdf FROM inv GROUP BY g),
+             |rk AS (SELECT inv.doc_id, inv.n_g, inv.g,
+             |    ROW_NUMBER() OVER (PARTITION BY inv.doc_id
+             |      ORDER BY dfq.gdf, inv.g) AS rn
+             |  FROM inv JOIN dfq USING (g)),
+             |pre AS (SELECT doc_id AS ia, g FROM rk
+             |  WHERE rn <= n_g - (n_g * 4 + 4) // 5 + 1),
+             |cand AS (SELECT DISTINCT pre.ia, inv.doc_id AS ib
+             |  FROM pre JOIN inv USING (g)
+             |  WHERE pre.ia <> inv.doc_id),
              |v AS (SELECT ia, ib,
              |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
              |    CAST(len(da.sh) AS BIGINT) AS na
