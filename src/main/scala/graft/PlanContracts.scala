@@ -192,7 +192,6 @@ object PlanContracts {
           "centroid-array codebook and the K-row old-centroid table for shift2")),
     "dd_containment" -> Seq(
       noCartesian,
-      codegen("char_shingles"),
       present("partial_",
         "gram document-frequency counts partial-aggregate before the shuffle")),
     "ta_winnow" -> Seq(

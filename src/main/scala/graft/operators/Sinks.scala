@@ -65,6 +65,9 @@ object Sinks {
   val defs: Seq[GraftQuery] = Seq(
     GraftQuery("q_sink_csv", (s, d) => roundTrip(s, d, "csv"), Some(oracle)),
     GraftQuery("q_sink_json", (s, d) => roundTrip(s, d, "json"), Some(oracle)),
+    // columnar alternative to parquet (predicate pushdown + striping —
+    // the interchange format half the Hive-era lakehouse still speaks)
+    GraftQuery("q_sink_orc", (s, d) => roundTrip(s, d, "orc"), Some(oracle)),
 
     // partitioned layout: write partitioned by a low-cardinality key, read
     // one partition back — the plan's PartitionFilters prove directory

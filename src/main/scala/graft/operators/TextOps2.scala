@@ -512,29 +512,38 @@ object TextOps2 {
              |    '\d{13,16}', '[NUM]', 'g') AS scrubbed
              |FROM r""".stripMargin)),
 
-    // 165. asymmetric CONTAINMENT join (C(A,B) = |A∩B| / |A| over char
-    // 5-gram shingle sets): finds docs mostly CONTAINED in another —
-    // quotes, boilerplate wrappers, near-supersets — which symmetric
-    // Jaccard (dd_ngram_jaccard) misses by construction (a 100-word quote
-    // inside a 10k-word page has Jaccard ≈ 0.01 but containment ≈ 1).
-    // Candidate generation is EXACT prefix filtering (the ppjoin/
-    // all-pairs principle, PAPERS.md): C(A,B) ≥ τ forces |A∩B| ≥
-    // ceil(τ|A|), so at most |A| - ceil(τ|A|) of A's grams can miss B —
-    // probing only A's (|A| - ceil(τ|A|) + 1) globally-RAREST grams
-    // (order = (df, gram), one rank window per doc, bounded by doc
-    // length) against the full inverted index guarantees every
-    // qualifying pair shares a probed gram. NO capacity knob to outgrow:
-    // unlike a df-cap heuristic (which goes blind once a dup cluster's
-    // size passes the cap — the fixed-capacity failure class of SURVEY
-    // §5), prefix fan-out concentrates exactly where true near-supersets
-    // are, so candidate work scales with the OUTPUT, not a tuning
-    // constant. Verify is exact set arithmetic on candidates only: two
-    // integer set sizes, one double division, bit-identical both engines.
+    // 165. asymmetric CONTAINMENT join (C(A,B) = |A∩B| / |A| over word
+    // 8-gram span sets — dd_span's token space): finds docs mostly
+    // CONTAINED in another — quotes, boilerplate wrappers, near-supersets
+    // — which symmetric Jaccard (dd_ngram_jaccard) misses by construction
+    // (a 100-word quote inside a 10k-word page has Jaccard ≈ 0.01 but
+    // containment ≈ 1). Word 8-grams, not char shingles: a gram carries
+    // ~8 words of context, so its document frequency is ~1 except for
+    // genuinely shared passages — on a low-entropy corpus char 5-grams
+    // collapse to a tiny shared vocabulary and ANY candidate scheme
+    // degenerates toward all-pairs (measured at sf0.1: 17.3M candidate
+    // pairs char-5 vs 505 word-8 for the same 5000 docs). Candidate
+    // generation is EXACT prefix filtering (the ppjoin/all-pairs
+    // principle, PAPERS.md): C(A,B) ≥ τ forces |A∩B| ≥ ceil(τ|A|), so at
+    // most |A| - ceil(τ|A|) of A's grams can miss B — probing only A's
+    // (|A| - ceil(τ|A|) + 1) globally-RAREST grams (order = (df, gram),
+    // one rank window per doc, bounded by doc length) against the full
+    // inverted index guarantees every qualifying pair shares a probed
+    // gram. NO capacity knob to outgrow: unlike a df-cap heuristic
+    // (which goes blind once a dup cluster's size passes the cap — the
+    // fixed-capacity failure class of SURVEY §5), prefix fan-out
+    // concentrates exactly where true shared passages are, so candidate
+    // work scales with the OUTPUT. Verify is exact set arithmetic on
+    // candidates only: two integer set sizes, one double division,
+    // bit-identical in both engines.
     GraftQuery("dd_containment", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      graft.functions.F.register(s)
       val sh = OpCache.track(s, Tables.widened(s, d, "documents")
-        .select(col("doc_id"), expr("char_shingles(text, 5)").as("sh"))
+        .withColumn("toks", expr(toksExpr))
+        .filter(expr("size(toks) >= 8"))
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(toks) - 7), " +
+            "i -> md5(concat_ws(' ', slice(toks, i, 8)))))").as("sh"))
         .withColumn("n_g", expr("size(sh)").cast("long"))
         .persist()) // feeds the inverted index AND both verify joins
       val inv = sh.select(col("doc_id"), col("n_g"), explode(col("sh")).as("g"))
@@ -556,8 +565,16 @@ object TextOps2 {
         .filter(col("cont") >= 0.8)
         .select("ia", "ib", "cont")
     },
-      Some(s"""WITH d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_g
-             |  FROM (${DuckSql.shingles("documents", "doc_id", 5)})),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |d AS (SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(toks) - 6),
+             |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sh,
+             |    CAST(len(list_distinct(list_transform(range(1, len(toks) - 6),
+             |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))) AS BIGINT)
+             |      AS n_g
+             |  FROM t WHERE len(toks) >= 8),
              |inv AS (SELECT doc_id, n_g, unnest(sh) AS g FROM d),
              |dfq AS (SELECT g, COUNT(*) AS gdf FROM inv GROUP BY g),
              |rk AS (SELECT inv.doc_id, inv.n_g, inv.g,

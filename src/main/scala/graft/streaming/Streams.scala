@@ -652,8 +652,97 @@ object Streams {
              |UNION ALL
              |SELECT e.event_id, epoch_us(e.ts + INTERVAL 365 DAYS) AS us
              |FROM events e, wm
-             |WHERE epoch_us(e.ts) // 1000 + 3600000 < wm.w1ms""".stripMargin))
+             |WHERE epoch_us(e.ts) // 1000 + 3600000 < wm.w1ms""".stripMargin)),
+
+    // 55m. foreachBatch MERGE sink: the production pattern for
+    // materializing a stream into an upsert target (key-value store,
+    // lakehouse table) when the sink has no native streaming writer —
+    // each micro-batch aggregates ITS rows, then full-outer-merges into
+    // the persisted target (matched keys combine, new keys insert) and
+    // atomically swaps the table directory. Deterministic 2-batch replay
+    // (evens then odds, mtime-ordered) drives two real merge rounds; the
+    // final materialized table must equal the all-at-once batch
+    // aggregate, which is exactly what the oracle computes. Exactness
+    // across merges: per-batch totals stay DECIMAL(38,2) inside the
+    // target (decimal addition is associative — merging per-batch sums
+    // equals the one-shot sum bit-for-bit) and only the final read casts
+    // to double. At scale each merge is one co-partitioned outer join of
+    // the (small) per-batch aggregate against the target — the same
+    // single-shuffle shape as q_merge_upsert, once per trigger.
+    GraftQuery("st_foreach_batch", (s, d) => {
+      import java.nio.file._
+      val staged = stageEvensOdds(s, d)
+      val tgt = Files.createTempDirectory("graft_fb_tgt")
+      val cur = tgt.resolve("cur")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // evens batch, then odds batch
+        .parquet(s"$staged/*.parquet")
+        .transform(graft.Tables.tsNormalized)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+          val agg = batch.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(d2(col("value"))).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+              .as("total"))
+          val merged =
+            if (!Files.exists(cur)) agg
+            else {
+              val prev = batch.sparkSession.read.parquet(cur.toString)
+                .select(col("event_type"), col("n").as("pn"), col("total").as("pt"))
+              prev.join(agg.select(col("event_type"), col("n").as("an"),
+                  col("total").as("at")), Seq("event_type"), "full_outer")
+                .select(col("event_type"),
+                  (coalesce(col("pn"), lit(0L)) + coalesce(col("an"), lit(0L))).as("n"),
+                  (coalesce(col("pt"), lit(BigDecimal(0))
+                     .cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+                   + coalesce(col("at"), lit(BigDecimal(0))
+                     .cast(org.apache.spark.sql.types.DecimalType(38, 2))))
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total"))
+            }
+          val next = tgt.resolve(s"next_$batchId")
+          merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+          // atomic-enough swap for a single-writer stream: replace cur
+          if (Files.exists(cur)) {
+            Files.list(cur).forEach(p => Files.delete(p))
+            Files.delete(cur)
+          }
+          Files.move(next, cur)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(cur.toString)
+        .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+    },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1""".stripMargin))
   )
+
+  /** Stage a deterministic 2-batch replay (even users, then odd users;
+    * mtime-ordered for maxFilesPerTrigger=1). */
+  private val eoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageEvensOdds(s: SparkSession, d: String): String =
+    eoDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = Files.createTempDirectory("graft_eo_src")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_eo_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      put(raw.filter(col("user_id") % 2 === 0), "00_evens.parquet", 120000)
+      put(raw.filter(col("user_id") % 2 =!= 0), "01_odds.parquet", 60000)
+      staged.toString
+    })
 
   /** Staged single-batch replay + a year-2100 sentinel whose event_type
     * is the literal 'sentinel', so BOTH sides of a two-stream join can
