@@ -27,6 +27,38 @@ object TextOps2 {
     "IF(size(toks) >= 8, array_distinct(transform(sequence(1, size(toks) - 7), " +
       "i -> md5(concat_ws(' ', slice(toks, i, 8))))), array())"
 
+  /** dd_containment's span-set table: (doc_id, sh: array<md5 of word
+    * 8-gram>, n_g). */
+  private[graft] def containmentSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.widened(s, d, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .filter(expr("size(toks) >= 8"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(toks) - 7), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 8)))))").as("sh"))
+      .withColumn("n_g", expr("size(sh)").cast("long"))
+
+  /** dd_containment's EXACT prefix-filter candidate pairs (ia, ib) —
+    * exposed so GenScaleSpec can pin that candidate fan-out grows
+    * linearly with the corpus (the property the ppjoin bound provides
+    * and a df-cap heuristic cannot). Prefix length for τ = 0.8:
+    * n - ceil(4n/5) + 1, all-integer in both engines. */
+  private[graft] def containmentCandidates(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("doc_id"), col("n_g"), explode(col("sh")).as("g"))
+    val dfq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val pre = inv.join(dfq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gdf"), col("g"))))
+      .filter(col("rn") <= col("n_g") - expr("(n_g * 4 + 4) div 5") + 1)
+      .select(col("doc_id").as("ia"), col("g"))
+    pre.join(inv.select(col("doc_id").as("ib"), col("g")), "g")
+      .filter(col("ia") =!= col("ib"))
+      .select("ia", "ib").distinct()
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // duplicated-span signal (word-8-gram analog of exact-substring dedup,
@@ -537,27 +569,9 @@ object TextOps2 {
     // candidates only: two integer set sizes, one double division,
     // bit-identical in both engines.
     GraftQuery("dd_containment", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = OpCache.track(s, Tables.widened(s, d, "documents")
-        .withColumn("toks", expr(toksExpr))
-        .filter(expr("size(toks) >= 8"))
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, size(toks) - 7), " +
-            "i -> md5(concat_ws(' ', slice(toks, i, 8)))))").as("sh"))
-        .withColumn("n_g", expr("size(sh)").cast("long"))
+      val sh = OpCache.track(s, containmentSpans(s, d)
         .persist()) // feeds the inverted index AND both verify joins
-      val inv = sh.select(col("doc_id"), col("n_g"), explode(col("sh")).as("g"))
-      val dfq = inv.groupBy("g").agg(count(lit(1)).as("gdf"))
-      // prefix length for tau = 0.8: n - ceil(4n/5) + 1, all-integer
-      val pre = inv.join(dfq, "g")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("gdf"), col("g"))))
-        .filter(col("rn") <= col("n_g") - expr("(n_g * 4 + 4) div 5") + 1)
-        .select(col("doc_id").as("ia"), col("g"))
-      val cand = pre.join(inv.select(col("doc_id").as("ib"), col("g")), "g")
-        .filter(col("ia") =!= col("ib"))
-        .select("ia", "ib").distinct()
-      cand
+      containmentCandidates(sh)
         .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("inter", expr("size(array_intersect(sha, shb))").cast("long"))

@@ -424,4 +424,23 @@ class GenScaleSpec extends SparkSpec {
     val farPop = farCell / Similarity2.hierK2(farCell)
     assert(farPop == far / (Similarity2.coarseTarget.toLong * 256L))
   }
+
+  test("containment prefix-filter candidates grow linearly across replicas") {
+    import operators.TextOps2
+    // Replica texts are char-translated + rotated, so word-8-gram spans
+    // are DISJOINT across replicas: the inverted index splits into
+    // per-replica islands and the exact prefix-filter candidate set must
+    // grow ~2x at 2x corpus (seam tokens at the rotation point shift a
+    // few spans per doc, hence the tolerance) — a quadratic candidate
+    // scheme (or a df-cap gone blind) would show ~4x here.
+    val c1 = TextOps2.containmentCandidates(
+      TextOps2.containmentSpans(spark, sf)).count()
+    val c2 = TextOps2.containmentCandidates(
+      TextOps2.containmentSpans(spark, out)).count()
+    assert(c1 > 0, "base corpus must produce candidates")
+    assert(c2 <= math.ceil(2.5 * c1).toLong,
+      s"candidates must stay ~linear: $c1 -> $c2 at 2x corpus")
+    assert(c2 >= (1.5 * c1).toLong,
+      s"replica structure should roughly double candidates: $c1 -> $c2")
+  }
 }
