@@ -312,36 +312,44 @@ object Curation {
     // its mean bigram probability. Scale shape is the production one:
     // the MODEL is alphabet-bounded (|Σ|² entries — ~5k ascii, never
     // corpus-sized; a unicode corpus would bucket rare chars into an OOV
-    // symbol before this bound matters) and broadcasts as two one-row
-    // maps, so scoring is one map-only pass; training is one
+    // symbol before this bound matters) and broadcasts as one row of
+    // sorted parallel arrays, so scoring is one map-only codegen'd pass
+    // (native bigram_lm_score, binary-search lookups); training is one
     // map-side-combined count shuffle of alphabet-bounded width. Float
     // parity: each per-position probability is one integer-derived
     // double division, and the per-doc mean folds those doubles in
-    // POSITION order on both engines (Spark aggregate() over the bigram
-    // array vs DuckDB list(prob ORDER BY pos) + list_reduce) — the same
+    // POSITION order on both engines (the native expression's ascending
+    // walk vs DuckDB list(prob ORDER BY pos) + list_reduce) — the same
     // strict-left-fold discipline as dot_product/duckDot.
     GraftQuery("ta_ngram_lm", (s, d) => {
-      val bg = Tables.widened(s, d, "documents")
+      graft.functions.F.register(s)
+      val docsW = Tables.widened(s, d, "documents")
         .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
-          .as("bgs"))
-      val counts = bg.select(explode(col("bgs")).as("bg"))
+        .select(col("doc_id"), col("text"))
+      val counts = docsW.select(explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c"))
       val prefix = counts.groupBy(substring(col("bg"), 1, 1).as("a"))
         .agg(sum("c").as("ca"))
+      // model as SORTED parallel arrays (not maps): element_at on a
+      // broadcast map is a linear ArrayBasedMapData scan — O(N·|Σ|²)
+      // corpus-wide, 26.8 s of the sf1 bench — while the native
+      // bigram_lm_score binary-searches the sorted keys (O(N·log|Σ|²),
+      // measured 10×). Sort order is the same binary UTF8 ordering the
+      // expression's compareTo uses.
       val model = counts.agg(
-          map_from_entries(expr("array_sort(collect_list(struct(bg, c)))")).as("cmap"),
+          expr("transform(array_sort(collect_list(struct(bg, c))), x -> x.bg)").as("bkeys"),
+          expr("transform(array_sort(collect_list(struct(bg, c))), x -> x.c)").as("bcnts"),
           count(lit(1)).as("v"))
         .crossJoin(prefix.agg(
-          map_from_entries(expr("array_sort(collect_list(struct(a, ca)))")).as("pmap")))
-      bg.crossJoin(broadcast(model))
-        .withColumn("n_bg", expr("size(bgs)").cast("long"))
-        .withColumn("lm_score", expr(
-          "aggregate(bgs, CAST(0 AS DOUBLE), (acc, b) -> acc + " +
-            "CAST(element_at(cmap, b) + 1 AS DOUBLE) " +
-            "/ (element_at(pmap, substring(b, 1, 1)) + v)) / n_bg"))
-        .select("doc_id", "n_bg", "lm_score")
+          expr("transform(array_sort(collect_list(struct(a, ca))), x -> x.a)").as("pkeys"),
+          expr("transform(array_sort(collect_list(struct(a, ca))), x -> x.ca)").as("pcnts")))
+      docsW.crossJoin(broadcast(model))
+        .withColumn("r", expr(
+          "bigram_lm_score(text, struct(bkeys, bcnts, pkeys, pcnts, v))"))
+        .select(col("doc_id"), col("r.n_bg").as("n_bg"),
+          col("r.lm_score").as("lm_score"))
     },
       Some("""WITH bg AS (SELECT doc_id,
              |    list_transform(range(1, length(text)), i -> substring(text, i, 2)) AS bgs

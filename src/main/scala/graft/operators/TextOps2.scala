@@ -556,7 +556,9 @@ object TextOps2 {
     // degenerates toward all-pairs (measured at sf0.1: 17.3M candidate
     // pairs char-5 vs 505 word-8 for the same 5000 docs). Candidate
     // generation is EXACT prefix filtering (the ppjoin/all-pairs
-    // principle, PAPERS.md): C(A,B) ≥ τ forces |A∩B| ≥ ceil(τ|A|), so at
+    // principle: Xiao et al. WWW 2008 "Efficient Similarity Joins for
+    // Near Duplicate Detection"; Bayardo et al. WWW 2007 "Scaling Up
+    // All Pairs Similarity Search"): C(A,B) ≥ τ forces |A∩B| ≥ ceil(τ|A|), so at
     // most |A| - ceil(τ|A|) of A's grams can miss B — probing only A's
     // (|A| - ceil(τ|A|) + 1) globally-RAREST grams (order = (df, gram),
     // one rank window per doc, bounded by doc length) against the full
