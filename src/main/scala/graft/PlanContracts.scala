@@ -198,7 +198,68 @@ object PlanContracts {
       noCartesian,
       absent("Exchange hashpartitioning",
         "pure per-row projection: no keyed shuffle (only the single-file " +
-          "split-widening round-robin)")))
+          "split-widening round-robin)")),
+    "ta_gopher_rules" -> Seq(
+      noCartesian,
+      absent("Exchange",
+        "pure per-row projection: the rule pass fuses into the scan — no " +
+          "shuffle at any scale"),
+      Contract(
+        "the parquet scan prunes to doc_id+text (source/lang/n_chars are " +
+          "never read)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("ReadSchema") && !l.contains("lang")))),
+    "ta_quality_prune" -> Seq(
+      noCartesian,
+      Contract(
+        "exactly ONE keyed shuffle (the per-source percent_rank window); " +
+          "scoring is map-only before it",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length == 1),
+      Contract(
+        "every keyed shuffle is on source",
+        p => """Exchange hashpartitioning\((?!source#)""".r
+          .findFirstIn(p.finalSection).isEmpty)),
+    "q_gaps_islands" -> Seq(
+      noCartesian,
+      Contract(
+        "exactly ONE keyed shuffle: the (event_type, grp) groupBy reuses " +
+          "the window's event_type partitioning (subset-key reuse) instead " +
+          "of re-exchanging",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length == 1),
+      Contract(
+        "the parquet scan prunes to event_id+event_type (ts/user_id/value/" +
+          "props are never read)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("ReadSchema") && !l.contains("props")))),
+    "ta_bpe_learn" -> Seq(
+      noCartesian,
+      present("TakeOrderedAndProject",
+        "the argmax merge pair is a distributed TakeOrdered(1), never a " +
+          "global sort"),
+      Contract(
+        "each learned merge rejoins the vocabulary as a DECLARED one-row " +
+          "broadcast (BroadcastNestedLoopJoin)",
+        p => p.full.contains("BroadcastNestedLoopJoin"))),
+    "q_retention" -> Seq(
+      noCartesian,
+      present("partial_",
+        "distinct-user counting partial-aggregates map-side before the " +
+          "(cohort, offset) shuffle"),
+      Contract(
+        "no self-join: the cohort comes from a window min over user_id " +
+          "(one corpus shuffle), not a groupBy+join back",
+        p => !p.finalSection.contains("SortMergeJoin") &&
+          !p.finalSection.contains("ShuffledHashJoin"))),
+    "emb_centroid_gate" -> Seq(
+      noCartesian,
+      Contract(
+        "the one-row centroid joins the corpus via BroadcastNestedLoopJoin " +
+          "(declared broadcast; one row at any scale)",
+        p => p.full.contains("BroadcastNestedLoopJoin")),
+      absent("Exchange hashpartitioning",
+        "no keyed shuffle anywhere: the corpus side is a map-only " +
+          "cosine+threshold pass (the 8-row probe agg is a SinglePartition " +
+          "exchange, not a corpus shuffle)")))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -10,7 +10,7 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++
       operators.TextOps.defs ++ operators.TextOps2.defs ++
-      operators.Curation.defs ++
+      operators.Curation.defs ++ operators.Curation2.defs ++
       operators.Similarity.defs ++ operators.Similarity2.defs ++
       operators.VTab.defs ++
       operators.Multimodal.defs ++ operators.Sinks.defs ++

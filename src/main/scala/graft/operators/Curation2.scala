@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — corpus-curation batch 2 (round 8, second wave): the
+  * published rule-based quality filters and selection passes a training-data
+  * pipeline runs AFTER dedup and BEFORE mixing, plus the gaps-and-islands
+  * sequence pattern the reference's SQLite surface expresses with window
+  * functions.
+  *
+  * Scale posture: every entry here is either a pure map-side projection
+  * (ta_gopher_rules), one windowed shuffle on a low-cardinality key
+  * (ta_quality_prune, q_gaps_islands — partition count = n_sources /
+  * n_event_types, each partition streams), or a broadcast of ONE row
+  * (emb_centroid_gate). Nothing is pairwise; nothing collects.
+  *
+  * Cross-engine float discipline (same as ta_quality / the ANN family):
+  * integer-only predicates where possible, and any double arithmetic uses
+  * a fixed evaluation order both engines reproduce bit-exactly.
+  */
+object Curation2 {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 169. Gopher quality rules (Rae et al. 2021, published thresholds):
+    // word-count bounds, mean-word-length band, symbol-to-word ratio,
+    // alphabetic-word fraction, minimum stopword evidence. Every predicate
+    // is INTEGER arithmetic (3·n ≤ Σlen ≤ 10·n instead of a double mean;
+    // 10·symbols ≤ n instead of ratio ≤ 0.1; 5·alpha ≥ 4·n instead of
+    // fraction ≥ 0.8), so the oracle is bit-exact with no float contract.
+    // Pure per-row projection — at 100 TB this is a map-only pass that
+    // fuses into the parquet scan (no shuffle, no state).
+    GraftQuery("ta_gopher_rules", (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_words", expr("size(toks)").cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_sym",
+          (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+            + ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"))
+        .withColumn("n_alpha",
+          expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
+        .select(
+          col("doc_id"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("f_count"),
+          (lit(3) * col("n_words") <= col("sum_len")
+            && col("sum_len") <= lit(10) * col("n_words")).as("f_meanlen"),
+          (lit(10) * col("n_sym") <= col("n_words")).as("f_symbol"),
+          (lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("f_alpha"),
+          (col("n_stop") >= 2).as("f_stop"))
+        .withColumn("keep",
+          col("f_count") && col("f_meanlen") && col("f_symbol")
+            && col("f_alpha") && col("f_stop")),
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+             |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+             |    CAST(len(list_filter(toks,
+             |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words,
+             |  n_words >= 50 AND n_words <= 100000 AS f_count,
+             |  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS f_meanlen,
+             |  10 * n_sym <= n_words AS f_symbol,
+             |  5 * n_alpha >= 4 * n_words AS f_alpha,
+             |  n_stop >= 2 AS f_stop,
+             |  (n_words >= 50 AND n_words <= 100000)
+             |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             |    AND (10 * n_sym <= n_words)
+             |    AND (5 * n_alpha >= 4 * n_words)
+             |    AND (n_stop >= 2) AS keep
+             |FROM m""".stripMargin)),
+
+    // 170. quality-percentile pruning (the DCLM/FineWeb selection shape):
+    // score every doc with the ta_quality formula (identical fixed-order
+    // double arithmetic), then keep the top quartile PER SOURCE by
+    // percent_rank — per-source so a high-scoring source can't crowd out
+    // the rest of the mix. One windowed shuffle on `source`; the window
+    // function streams each partition, so skewed sources cost memory O(1).
+    GraftQuery("ta_quality_prune", (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("quality",
+          lit(0.4) * (col("n_uniq") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(col("sum_len") / col("n_toks") / lit(10.0), lit(1.0)))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.25)
+        .select("source", "doc_id", "quality", "pr")
+    },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, source,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len
+             |  FROM t),
+             |q AS (SELECT doc_id, source,
+             |    0.4 * (n_uniq / n_toks)
+             |      + 0.3 * least(n_toks / 200.0, 1.0)
+             |      + 0.3 * least(sum_len / n_toks / 10.0, 1.0) AS quality
+             |  FROM m),
+             |r AS (SELECT source, doc_id, quality,
+             |    PERCENT_RANK() OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id ASC) AS pr
+             |  FROM q)
+             |SELECT source, doc_id, quality, pr FROM r WHERE pr <= 0.25""".stripMargin)),
+
+    // 171. gaps-and-islands: collapse each event_type's event_id sequence
+    // into maximal runs of consecutive ids (the classic id − row_number()
+    // grouping key — a sequence gap starts a new island). The missing-id
+    // report (monitoring ingestion holes) is this result's complement.
+    // One windowed shuffle on event_type, then a partial-agg groupBy on
+    // (event_type, grp) — both keyed, both stream; output size = number of
+    // runs, never the row count.
+    GraftQuery("q_gaps_islands", (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      Tables.t(s, d, "events")
+        .select(col("event_type"), col("event_id"))
+        .withColumn("grp", col("event_id") - row_number().over(w).cast("long"))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(min("event_id").as("island_start"),
+          max("event_id").as("island_end"),
+          count(lit(1)).as("island_len"))
+        .select("event_type", "island_start", "island_end", "island_len")
+    },
+      Some("""WITH r AS (SELECT event_type, event_id,
+             |    event_id - CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY event_id) AS BIGINT) AS grp
+             |  FROM events)
+             |SELECT event_type,
+             |  min(event_id) AS island_start,
+             |  max(event_id) AS island_end,
+             |  count(*) AS island_len
+             |FROM r GROUP BY event_type, grp""".stripMargin)),
+
+    // 172. centroid-cosine embedding gate (the CLIP-score filtering shape:
+    // keep items whose embedding is close to a concept vector). The concept
+    // centroid is the mean of a fixed 8-vector probe set, folded in sorted
+    // vec_id order (collect_list → sort_array → left fold) so both engines
+    // accumulate the identical double sequence; the centroid is ONE row,
+    // broadcast to a map-only cosine + threshold pass over the corpus. At
+    // 100 TB this is the cheapest possible semantic filter: no shuffle, no
+    // index — scan · O(dim) per row.
+    GraftQuery("emb_centroid_gate", (s, d) => {
+      val e = Similarity.vecs(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .groupBy()
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ps"))
+        .select(expr(
+          "transform(aggregate(slice(ps, 2, size(ps) - 1), element_at(ps, 1).v, " +
+            "(acc, p) -> zip_with(acc, p.v, (x, y) -> x + y)), x -> x / 8.0D)").as("cent"))
+        .withColumn("cn2", expr("dot_product(cent, cent)"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("cos",
+          expr("dot_product(cent, v)") / (sqrt(col("cn2")) * sqrt(col("n2"))))
+        .filter(col("cos") >= 0.10)
+        .select("vec_id", "label", "cos")
+    },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |p AS (SELECT list(v ORDER BY vec_id) AS ps FROM e WHERE vec_id < 8),
+             |c AS (SELECT list_transform(
+             |    list_reduce(ps, (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+             |    x -> x / 8.0) AS cent FROM p),
+             |n AS (SELECT vec_id, label, v,
+             |    ${Similarity.duckDot("v", "v")} AS n2 FROM e),
+             |s AS (SELECT vec_id, label,
+             |    ${Similarity.duckDot("cent", "v")} /
+             |      (sqrt(${Similarity.duckDot("cent", "cent")}) * sqrt(n2)) AS cos
+             |  FROM n, c)
+             |SELECT vec_id, label, cos FROM s WHERE cos >= 0.10""".stripMargin)),
+
+    // 173. BPE merge learning (Sennrich et al. 2016): learn the first 5
+    // merge rules over the corpus vocabulary, fully declaratively — each
+    // iteration counts adjacent symbol pairs weighted by word frequency
+    // (explode → partial-agg groupBy), takes the argmax pair as a
+    // distributed TakeOrdered(1) (total order: cnt desc, l, r), broadcasts
+    // that ONE row back, and applies the greedy left-to-right merge as a
+    // per-word array fold. No collect, no driver loop over data: the 5
+    // iterations are a fixed plan chain whose per-iteration working set is
+    // the VOCABULARY (≪ corpus; persisted once), so at 100 TB the corpus
+    // is read exactly once for the word count and never again. Oracle:
+    // the same 5 iterations unrolled as recursive CTEs (the merge fold is
+    // a per-word positional recursion), MATERIALIZED so DuckDB doesn't
+    // inline-re-evaluate the iteration chain.
+    GraftQuery("ta_bpe_learn", (s, d) => {
+      val words = graft.operators.OpCache.memo(s, "bpewords|" + d)(
+        docs(s, d)
+          .select(explode(expr(toksExpr)).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .persist())
+      val mergeFold =
+        "aggregate(syms, cast(array() as array<string>), (out, x) -> " +
+          "IF(size(out) > 0 AND element_at(out, size(out)) = ml AND x = mr, " +
+          "concat(slice(out, 1, size(out) - 1), array(concat(ml, mr))), " +
+          "concat(out, array(x))))"
+      val pairsExpr =
+        "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
+          "ELSE transform(sequence(1, size(syms) - 1), " +
+          "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
+      var syms = words.withColumn("syms", expr("split(word, '')"))
+      var merges: DataFrame = null
+      for (i <- 0 until 5) {
+        val best = syms
+          .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        val row = best.select(lit(i.toLong).as("it"), col("l"), col("r"), col("cnt"))
+        merges = if (merges == null) row else merges.unionAll(row)
+        syms = syms
+          .crossJoin(broadcast(best.select(col("l").as("ml"), col("r").as("mr"))))
+          .withColumn("syms", expr(mergeFold))
+          .drop("ml", "mr")
+      }
+      merges
+    },
+      Some {
+        def iter(i: Int) =
+          s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+             |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+             |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+             |    FROM s$i) t GROUP BY pr.l, pr.r),
+             |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+             |rec$i (word, freq, j, out) AS (
+             |  SELECT word, freq, 1, CAST([] AS VARCHAR[]) FROM s$i
+             |  UNION ALL
+             |  SELECT rec$i.word, rec$i.freq, j + 1,
+             |    CASE WHEN len(out) > 0 AND out[len(out)] = (SELECT l FROM b$i)
+             |           AND s.syms[j] = (SELECT r FROM b$i)
+             |      THEN list_append(out[1:len(out)-1], out[len(out)] || s.syms[j])
+             |      ELSE list_append(out, s.syms[j]) END
+             |  FROM rec$i JOIN s$i s USING (word) WHERE j <= len(s.syms)),
+             |s${i + 1} AS MATERIALIZED (SELECT r.word, r.freq, r.out AS syms
+             |  FROM rec$i r JOIN s$i s USING (word) WHERE r.j = len(s.syms) + 1)""".stripMargin
+        s"""WITH RECURSIVE
+           |words AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+           |    FROM documents) GROUP BY tok),
+           |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM words),
+           |${(0 until 5).map(iter).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS it, l, r, cnt FROM b0
+           |  UNION ALL SELECT 1, l, r, cnt FROM b1
+           |  UNION ALL SELECT 2, l, r, cnt FROM b2
+           |  UNION ALL SELECT 3, l, r, cnt FROM b3
+           |  UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY it""".stripMargin
+      }),
+
+    // 174. cohort retention (week-granular): cohort = each user's first
+    // active week (window min over user_id — no self-join), activity =
+    // distinct (user, week), report = users active at each week offset
+    // from their cohort. date_trunc('week') is Monday-start in both
+    // engines and the offset division is exact (week-aligned timestamps),
+    // so the matrix is integer-deterministic. Shuffles: one on user_id
+    // (window), then the countDistinct two-phase agg on (cohort, offset).
+    GraftQuery("q_retention", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.t(s, d, "events")
+        .select(col("user_id"),
+          // DATE-typed week start on both engines (DuckDB's date_trunc
+          //('week', ts) returns DATE; Spark's returns TIMESTAMP)
+          expr("to_date(date_trunc('week', ts))").as("wk"))
+        .withColumn("cohort", min("wk").over(w))
+        .withColumn("week_offset",
+          expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+    },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |c AS (SELECT user_id, wk,
+             |    min(wk) OVER (PARTITION BY user_id) AS cohort
+             |  FROM e)
+             |SELECT cohort,
+             |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM c GROUP BY cohort, week_offset""".stripMargin))
+  )
+}

@@ -33,7 +33,7 @@ object Similarity {
     * feature store, computed once, not per consumer, and released
     * explicitly via OpCache.release when the session's query set is done
     * (no immortal persist). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame =
     OpCache.memo(s, "vecs|" + d) {
       F.register(s)
       emb(s, d).select(
