@@ -231,6 +231,31 @@ object PlanContracts {
           "props are never read)",
         p => p.full.linesIterator.exists(l =>
           l.contains("ReadSchema") && !l.contains("props")))),
+    "ta_dsir" -> Seq(
+      noCartesian,
+      Contract(
+        "both 64-bucket feature distributions join the corpus as DECLARED " +
+          "one-row broadcasts (BroadcastNestedLoopJoin); scoring is map-only",
+        p => "BroadcastNestedLoopJoin".r.findAllIn(p.finalSection).length == 2),
+      present("partial_",
+        "bucket histograms partial-aggregate map-side (64 keys cross the " +
+          "shuffle, not the gram stream)")),
+    "emb_pca_power" -> Seq(
+      noCartesian,
+      present("partial_",
+        "the per-dim DECIMAL sum partial-aggregates map-side — 64 rows per " +
+          "task cross the one shuffle"),
+      absent("SortMergeJoin", "no join anywhere: quantize + fold + one agg")),
+    "ann_nndescent" -> Seq(
+      noCartesian,
+      codegen("dot_product"),
+      Contract(
+        "the per-key top-4 applies a PARTIAL group limit before its " +
+          "shuffle — at most k edges per key cross the exchange, not the " +
+          "full candidate set (WindowGroupLimit in a plain session; " +
+          "partial+final TopKPerGroup when the TopKRewrite extension is on)",
+        p => p.full.contains("WindowGroupLimit") ||
+          "TopKPerGroup".r.findAllIn(p.finalSection).length >= 2)),
     "ta_bpe_learn" -> Seq(
       noCartesian,
       present("TakeOrderedAndProject",

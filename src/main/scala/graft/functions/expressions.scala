@@ -183,6 +183,23 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
 }
 
+/** md5-prefix bucket per element of a string array (HashOps.md5Buckets);
+  * the SQL-expressible equivalent both oracles use is
+  * `conv(substring(md5(g), 1, 8), 16, 10) % mod`. */
+case class Md5Buckets(child: Expression, mod: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.md5Buckets(input.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.md5Buckets($c, $mod);")
+
+  override protected def withNewChildInternal(c: Expression): Md5Buckets = copy(child = c)
+}
+
 /** Jaccard similarity of two distinct-element string arrays:
   * |A∩B| / |A∪B| via one hash set (same rational as the
   * array_intersect/array_union formulation, so oracle-exact). */
@@ -798,6 +815,29 @@ object HashOps {
     fp
   }
 
+  /** Per-element md5-prefix bucket: the value of the first 8 hex digits of
+    * md5(s) (== first 4 bytes, big-endian, unsigned) mod `mod` — exactly
+    * what `conv(substring(md5(g), 1, 8), 16, 10) % mod` computes (the
+    * ta_split bucket recipe), as one native pass instead of an interpreted
+    * per-element HOF chain (measured 26.6 s → scan-speed on the ta_dsir
+    * sf0.1 gram stream). */
+  def md5Buckets(arr: ArrayData, mod: Int): ArrayData = {
+    val dig = md5.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      dig.reset()
+      val d = dig.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var j = 0
+      while (j < 4) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h % mod
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def charShingles(str: UTF8String, n: Int): ArrayData = {
     val s = str.toString
     val seen = new java.util.LinkedHashSet[String]()
@@ -917,6 +957,8 @@ object F {
     ("char_shingles", (es: Seq[Expression]) => CharShingles(es(0),
       es(1).eval().asInstanceOf[Int])),
     ("jaccard_sim", (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+    ("md5_buckets", (es: Seq[Expression]) => Md5Buckets(es(0),
+      es(1).eval().asInstanceOf[Int])),
     ("sig_agree", (es: Seq[Expression]) => SigAgree(es(0), es(1))),
     ("l2_sq", (es: Seq[Expression]) => L2Sq(es(0), es(1))),
     ("pq_encode", (es: Seq[Expression]) => PqEncode(es(0), es(1))),

@@ -298,6 +298,88 @@ object Curation2 {
              |SELECT cohort,
              |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-             |FROM c GROUP BY cohort, week_offset""".stripMargin))
+             |FROM c GROUP BY cohort, week_offset""".stripMargin)),
+
+    // 176. DSIR importance weighting (Xie et al. 2023, Data Selection via
+    // Importance Resampling): score every raw doc by how target-like its
+    // hashed n-gram profile is — w(doc) = Π_g p_tgt(h(g)) / p_raw(h(g))
+    // over word uni+bigrams hashed to 64 buckets (md5-prefix hash shared
+    // with ta_split so the oracle recomputes identical buckets), add-1
+    // smoothed. The two 64-bucket feature distributions are ONE broadcast
+    // row each; scoring is a map-only per-doc fold in gram position order
+    // (no cross-row float accumulation — the only sums are integer bucket
+    // counts), so the corpus is scanned twice (histogram + score) and
+    // nothing else moves. Target proxy: the 'src0' source slice.
+    GraftQuery("ta_dsir", (s, d) => {
+      val B = 64
+      // the bucketed-gram table feeds THREE consumers (raw histogram,
+      // target histogram, scoring pass) — materialize it once; the md5
+      // bucketing itself is the native codegen'd md5_buckets (the same
+      // HOF-chain formulation ran interpreted at 26.6 s on the sf0.1
+      // gram stream — 18% of the whole bench)
+      graft.functions.F.register(s)
+      val gb = OpCache.memo(s, "dsirbks|" + d)(
+        Tables.widened(s, d, "documents")
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("grams", expr(
+            "concat(toks, CASE WHEN size(toks) < 2 THEN cast(array() as array<string>) " +
+              "ELSE transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))) END)"))
+          .withColumn("bks", expr(s"md5_buckets(grams, $B)"))
+          .select("doc_id", "source", "bks")
+          .persist())
+      def hist(df: DataFrame) = df
+        .select(explode(col("bks")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"),
+          sum("c").as("tot"))
+        .select(expr(
+          s"transform(sequence(0, ${B - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
+          .as("arr"), col("tot"))
+      val raw = hist(gb).select(col("arr").as("rarr"), col("tot").as("rtot"))
+      val tgt = hist(gb.filter(col("source") === "src0"))
+        .select(col("arr").as("tarr"), col("tot").as("ttot"))
+      gb.crossJoin(broadcast(raw)).crossJoin(broadcast(tgt))
+        .select(col("doc_id"),
+          expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
+          expr(
+            "aggregate(bks, CAST(1.0 AS DOUBLE), (a, b) -> a * " +
+              "((CAST(element_at(tarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE)) " +
+              "/ (CAST(element_at(rarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE))))")
+            .as("w"))
+    },
+      Some {
+        val hex8 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), " +
+          "i -> CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+          "(a, x) -> a * 16 + x)"
+        s"""WITH t0 AS (SELECT doc_id, source,
+           |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           |  FROM documents),
+           |g0 AS (SELECT doc_id, source,
+           |    list_concat(toks,
+           |      CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+           |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) END) AS grams
+           |  FROM t0),
+           |gb AS (SELECT doc_id, source,
+           |    list_transform(grams, g -> ($hex8 % 64)) AS bks FROM g0),
+           |rawm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
+           |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+           |    FROM (SELECT unnest(bks) AS b FROM gb) GROUP BY b)),
+           |tgtm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
+           |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+           |    FROM (SELECT unnest(bks) AS b FROM gb WHERE source = 'src0') GROUP BY b)),
+           |dist AS (SELECT
+           |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM rawm) AS rarr,
+           |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM tgtm) AS tarr,
+           |    (SELECT tot FROM rawm) AS rtot,
+           |    (SELECT tot FROM tgtm) AS ttot),
+           |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
+           |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(bks,
+           |      b -> (CAST(tarr[b + 1] + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE))
+           |         / (CAST(rarr[b + 1] + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE)))),
+           |      (a, x) -> a * x) AS w
+           |  FROM gb, dist)
+           |SELECT doc_id, n_grams, w FROM sc""".stripMargin
+      })
   )
 }

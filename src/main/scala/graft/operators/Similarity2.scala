@@ -659,6 +659,91 @@ object Similarity2 {
              |      t -> t / pop) AS mean
              |  FROM g)
              |SELECT m.cell, m.pop, ${Similarity.duckL2("m.mean", "c.cv")} AS shift2
-             |FROM m JOIN c ON c.cid = m.cell""".stripMargin))
+             |FROM m JOIN c ON c.cid = m.cell""".stripMargin)),
+
+    // 175. one NN-Descent refinement round (Dong et al., WWW 2011): the
+    // graph-ANN construction primitive. Start from a DETERMINISTIC ring
+    // init (each vector's k=4 successors in id space mod N — the published
+    // random init replaced by a fixed permutation so both engines build
+    // the identical graph), then refine once: candidates(a) = B0(a) ∪
+    // reverse(B0)(a) ∪ B0(B0(a)), new graph = top-4 of candidates by
+    // cosine. Candidate degree is ≤ k + k + k² = 24 — candidate volume is
+    // O(N·k²) at ANY corpus size (this bounded-degree expansion is the
+    // whole point of NN-Descent; no pairwise pass anywhere). All joins are
+    // id-equi-joins that co-partition on the graph key; the top-4 is a
+    // bounded per-key window. Improvement is guaranteed pointwise:
+    // B0 ⊆ candidates, so the selected cos at every rank dominates the
+    // ring graph's (OpInvariantsSpec pins this).
+    GraftQuery("ann_nndescent", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.vecs(s, d)
+      val n = Similarity.embCount(s, d)
+      val b0 = e.select(col("vec_id").as("a"))
+        .withColumn("j", explode(expr("sequence(1, 4)")))
+        .select(col("a"), ((col("a") + col("j")) % n).as("b"))
+      val cand = b0
+        .unionAll(b0.select(col("b").as("a"), col("a").as("b")))
+        .unionAll(b0.as("x").join(b0.as("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("a"), col("y.b").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val na = e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na2"))
+      val nb = e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb2"))
+      val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b").asc)
+      cand.join(na, Seq("a")).join(nb, Seq("b"))
+        .withColumn("cos",
+          expr("dot_product(va, vb)") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 4)
+        .select(col("a").as("vec_id"), col("rk"), col("b").as("n_id"), col("cos"))
+    },
+      Some(s"""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v, ${Similarity.duckDot("v", "v")} AS n2 FROM e),
+             |b0 AS (SELECT e.vec_id AS a, (e.vec_id + j) % (SELECT count(*) FROM e) AS b
+             |  FROM e, unnest([1, 2, 3, 4]) AS t(j)),
+             |cand AS (SELECT DISTINCT a, b FROM (
+             |    SELECT a, b FROM b0
+             |    UNION ALL SELECT b AS a, a AS b FROM b0
+             |    UNION ALL SELECT x.a AS a, y.b AS b FROM b0 x JOIN b0 y ON x.b = y.a) u
+             |  WHERE a <> b),
+             |sc AS (SELECT c.a, c.b,
+             |    ${Similarity.duckDot("na.v", "nb.v")} / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |  FROM cand c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b),
+             |r AS (SELECT a AS vec_id, b AS n_id, cos,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS BIGINT) AS rk
+             |  FROM sc)
+             |SELECT vec_id, rk, n_id, cos FROM r WHERE rk <= 4""".stripMargin)),
+
+    // 177. one distributed PCA power-iteration step in EXACT arithmetic:
+    // the dominant-direction estimate s = Σ_x (1·q(x))·q(x) over the
+    // whole embedding store, where q quantizes each coordinate to
+    // round-half-up milli-units. Every term is an int64 product and the
+    // cross-row reduction is a DECIMAL(38,0) sum — exact and
+    // order-independent at ANY corpus size (a double sum here would be
+    // nondeterministic under Spark's partition-order aggregation and
+    // could never hash-match the oracle). Shape: map-only quantize +
+    // per-vector fold, one 64-key shuffle (posexplode → groupBy dim);
+    // scan-bound at 100 TB.
+    GraftQuery("emb_pca_power", (s, d) => {
+      val e = Similarity.vecs(s, d)
+      e.withColumn("q", expr("transform(v, x -> CAST(floor(x * 1000 + 0.5D) AS BIGINT))"))
+        .withColumn("tsum", expr("aggregate(q, 0L, (a, x) -> a + x)"))
+        .select(col("tsum"), posexplode(col("q")).as(Seq("pos", "qx")))
+        .groupBy((col("pos") + 1).cast("long").as("dim"))
+        .agg(sum(expr("CAST(tsum * qx AS DECIMAL(38,0))"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
+    },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |qv AS (SELECT vec_id,
+             |    list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q FROM e),
+             |t AS (SELECT vec_id, q,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS tsum FROM qv),
+             |u AS (SELECT j, CAST(tsum * q[CAST(j AS INTEGER)] AS DECIMAL(38,0)) AS term
+             |  FROM t, unnest(range(1, 65)) AS r(j))
+             |SELECT CAST(j AS BIGINT) AS dim, CAST(sum(term) AS DECIMAL(38,0)) AS s
+             |FROM u GROUP BY j""".stripMargin))
   )
 }

