@@ -265,6 +265,13 @@ object PlanContracts {
         "each learned merge rejoins the vocabulary as a DECLARED one-row " +
           "broadcast (BroadcastNestedLoopJoin)",
         p => p.full.contains("BroadcastNestedLoopJoin"))),
+    "ta_bpe_apply" -> Seq(
+      noCartesian,
+      present("TakeOrderedAndProject",
+        "the learning chain inside the encode plan still argmaxes via " +
+          "distributed TakeOrdered(1)"),
+      present("partial_",
+        "the per-doc char/token sums partial-aggregate map-side")),
     "q_retention" -> Seq(
       noCartesian,
       present("partial_",

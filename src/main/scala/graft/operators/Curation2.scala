@@ -27,6 +27,77 @@ object Curation2 {
 
   private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
 
+  /** The declarative 5-iteration BPE chain shared by ta_bpe_learn (the
+    * merge table) and ta_bpe_apply (the final vocabulary symbol table).
+    * Per iteration: pair counts (explode → partial-agg), argmax pair as a
+    * distributed TakeOrdered(1), ONE broadcast row back, greedy
+    * left-to-right merge as a per-word array fold. No collect, no driver
+    * loop over data; the per-iteration working set is the VOCABULARY
+    * (persisted once — the corpus is read exactly once, for the word
+    * count). Returns (merges: it/l/r/cnt, syms5: word/freq/syms). */
+  private def bpeChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val words = OpCache.memo(s, "bpewords|" + d)(
+      docs(s, d)
+        .select(explode(expr(toksExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist())
+    val mergeFold =
+      "aggregate(syms, cast(array() as array<string>), (out, x) -> " +
+        "IF(size(out) > 0 AND element_at(out, size(out)) = ml AND x = mr, " +
+        "concat(slice(out, 1, size(out) - 1), array(concat(ml, mr))), " +
+        "concat(out, array(x))))"
+    val pairsExpr =
+      "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
+        "ELSE transform(sequence(1, size(syms) - 1), " +
+        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
+    var syms = words.withColumn("syms", expr("split(word, '')"))
+    var merges: DataFrame = null
+    for (i <- 0 until 5) {
+      val best = syms
+        .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      val row = best.select(lit(i.toLong).as("it"), col("l"), col("r"), col("cnt"))
+      merges = if (merges == null) row else merges.unionAll(row)
+      syms = syms
+        .crossJoin(broadcast(best.select(col("l").as("ml"), col("r").as("mr"))))
+        .withColumn("syms", expr(mergeFold))
+        .drop("ml", "mr")
+    }
+    (merges, syms)
+  }
+
+  /** DuckDB mirror of bpeChain: the 5 iterations unrolled as MATERIALIZED
+    * recursive CTEs (the merge fold is a per-word positional recursion;
+    * MATERIALIZED stops DuckDB inline-re-evaluating the chain). Ends with
+    * `b0..b4` (merge rows) and `s5` (final vocabulary syms). */
+  private val bpeSqlChain: String = {
+    def iter(i: Int) =
+      s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
+         |    FROM s$i) t GROUP BY pr.l, pr.r),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |rec$i (word, freq, j, out) AS (
+         |  SELECT word, freq, 1, CAST([] AS VARCHAR[]) FROM s$i
+         |  UNION ALL
+         |  SELECT rec$i.word, rec$i.freq, j + 1,
+         |    CASE WHEN len(out) > 0 AND out[len(out)] = (SELECT l FROM b$i)
+         |           AND s.syms[j] = (SELECT r FROM b$i)
+         |      THEN list_append(out[1:len(out)-1], out[len(out)] || s.syms[j])
+         |      ELSE list_append(out, s.syms[j]) END
+         |  FROM rec$i JOIN s$i s USING (word) WHERE j <= len(s.syms)),
+         |s${i + 1} AS MATERIALIZED (SELECT r.word, r.freq, r.out AS syms
+         |  FROM rec$i r JOIN s$i s USING (word) WHERE r.j = len(s.syms) + 1)""".stripMargin
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |    FROM documents) GROUP BY tok),
+       |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM words),
+       |${(0 until 5).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 169. Gopher quality rules (Rae et al. 2021, published thresholds):
@@ -207,69 +278,48 @@ object Curation2 {
     // the same 5 iterations unrolled as recursive CTEs (the merge fold is
     // a per-word positional recursion), MATERIALIZED so DuckDB doesn't
     // inline-re-evaluate the iteration chain.
-    GraftQuery("ta_bpe_learn", (s, d) => {
-      val words = graft.operators.OpCache.memo(s, "bpewords|" + d)(
-        docs(s, d)
-          .select(explode(expr(toksExpr)).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .persist())
-      val mergeFold =
-        "aggregate(syms, cast(array() as array<string>), (out, x) -> " +
-          "IF(size(out) > 0 AND element_at(out, size(out)) = ml AND x = mr, " +
-          "concat(slice(out, 1, size(out) - 1), array(concat(ml, mr))), " +
-          "concat(out, array(x))))"
-      val pairsExpr =
-        "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
-          "ELSE transform(sequence(1, size(syms) - 1), " +
-          "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
-      var syms = words.withColumn("syms", expr("split(word, '')"))
-      var merges: DataFrame = null
-      for (i <- 0 until 5) {
-        val best = syms
-          .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
-          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        val row = best.select(lit(i.toLong).as("it"), col("l"), col("r"), col("cnt"))
-        merges = if (merges == null) row else merges.unionAll(row)
-        syms = syms
-          .crossJoin(broadcast(best.select(col("l").as("ml"), col("r").as("mr"))))
-          .withColumn("syms", expr(mergeFold))
-          .drop("ml", "mr")
-      }
-      merges
+    GraftQuery("ta_bpe_learn", (s, d) => bpeChain(s, d)._1,
+      Some(s"""$bpeSqlChain
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS it, l, r, cnt FROM b0
+             |  UNION ALL SELECT 1, l, r, cnt FROM b1
+             |  UNION ALL SELECT 2, l, r, cnt FROM b2
+             |  UNION ALL SELECT 3, l, r, cnt FROM b3
+             |  UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY it""".stripMargin)),
+
+    // 178. apply the learned BPE merges back to the corpus — the encode
+    // side of ta_bpe_learn, reporting per-doc compression: each word's
+    // token count after 5 merges comes from the final vocabulary symbol
+    // table (word-keyed equi-join — the corpus never re-tokenizes; the
+    // vocabulary carries the encoding), then one doc_id re-aggregation.
+    // n_chars/n_tokens are integer sums (exact); ratio is one double
+    // division. At 100 TB: corpus → words explode is the same shuffle
+    // shape as the word count; the vocab join co-partitions on word.
+    GraftQuery("ta_bpe_apply", (s, d) => {
+      val syms5 = bpeChain(s, d)._2
+      val enc = syms5.select(col("word"),
+        expr("CAST(size(syms) AS BIGINT)").as("toklen"),
+        length(col("word")).cast("long").as("wlen"))
+      docs(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .join(enc, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("wlen").as("n_chars"),
+          sum("toklen").as("n_tokens"))
+        .withColumn("ratio",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
     },
-      Some {
-        def iter(i: Int) =
-          s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
-             |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
-             |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
-             |    FROM s$i) t GROUP BY pr.l, pr.r),
-             |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-             |rec$i (word, freq, j, out) AS (
-             |  SELECT word, freq, 1, CAST([] AS VARCHAR[]) FROM s$i
-             |  UNION ALL
-             |  SELECT rec$i.word, rec$i.freq, j + 1,
-             |    CASE WHEN len(out) > 0 AND out[len(out)] = (SELECT l FROM b$i)
-             |           AND s.syms[j] = (SELECT r FROM b$i)
-             |      THEN list_append(out[1:len(out)-1], out[len(out)] || s.syms[j])
-             |      ELSE list_append(out, s.syms[j]) END
-             |  FROM rec$i JOIN s$i s USING (word) WHERE j <= len(s.syms)),
-             |s${i + 1} AS MATERIALIZED (SELECT r.word, r.freq, r.out AS syms
-             |  FROM rec$i r JOIN s$i s USING (word) WHERE r.j = len(s.syms) + 1)""".stripMargin
-        s"""WITH RECURSIVE
-           |words AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
-           |    FROM documents) GROUP BY tok),
-           |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM words),
-           |${(0 until 5).map(iter).mkString(",\n")}
-           |SELECT * FROM (
-           |  SELECT CAST(0 AS BIGINT) AS it, l, r, cnt FROM b0
-           |  UNION ALL SELECT 1, l, r, cnt FROM b1
-           |  UNION ALL SELECT 2, l, r, cnt FROM b2
-           |  UNION ALL SELECT 3, l, r, cnt FROM b3
-           |  UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY it""".stripMargin
-      }),
+      Some(s"""$bpeSqlChain,
+             |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS toklen,
+             |    CAST(length(word) AS BIGINT) AS wlen FROM s5),
+             |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+             |  FROM documents)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(e.wlen) AS BIGINT) AS n_chars,
+             |  CAST(sum(e.toklen) AS BIGINT) AS n_tokens,
+             |  CAST(sum(e.wlen) AS DOUBLE) / CAST(sum(e.toklen) AS DOUBLE) AS ratio
+             |FROM dw JOIN enc e USING (word) GROUP BY doc_id""".stripMargin)),
 
     // 174. cohort retention (week-granular): cohort = each user's first
     // active week (window min over user_id — no self-join), activity =

@@ -178,6 +178,18 @@ class OpInvariantsSpec extends SparkSpec {
     assert(pairs.distinct.length == 5, "the same pair cannot be re-learned")
   }
 
+  test("ta_bpe_apply: every word encodes to [1, wlen] tokens; merges only compress") {
+    val out = run("ta_bpe_apply").cache()
+    try {
+      assert(out.count() == Tables.t(spark, sf, "documents").count())
+      assert(out.filter(col("n_tokens") > col("n_chars")).count() == 0,
+        "a merge can never grow a word beyond its character count")
+      assert(out.filter(col("n_tokens") < col("n_words")).count() == 0,
+        "every word is at least one token")
+      assert(out.filter(col("ratio") < 1.0).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("ann_nndescent: k-regular graph that pointwise dominates the ring init") {
     val out = run("ann_nndescent").cache()
     try {
