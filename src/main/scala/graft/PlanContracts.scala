@@ -196,6 +196,7 @@ object PlanContracts {
         "gram document-frequency counts partial-aggregate before the shuffle")),
     "ta_winnow" -> Seq(
       noCartesian,
+      codegen("winnow_stats"),
       absent("Exchange hashpartitioning",
         "pure per-row projection: no keyed shuffle (only the single-file " +
           "split-widening round-robin)")),

@@ -338,6 +338,33 @@ case class SimpsonStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimpsonStats = copy(c)
 }
 
+/** Winnowing fingerprint stats of a document in ONE native pass (MOSS,
+  * Schleimer et al. 2003): per-position 8-gram md5-prefix hashes,
+  * window-4 rightmost-minimum picks encoded h·100000+pos, distinct-pick
+  * count + sum. Replaces the interpreted per-character HOF chain
+  * (~n_chars md5+conv lambda evaluations per doc — the worst 100×-scale
+  * ratio in BENCH_ALL before this). Semantics are identical to the SQL
+  * formulation the oracle keeps using: hash = first 8 hex digits of
+  * md5(substr(text, i, 8)) as BIGINT (== first 4 digest bytes,
+  * big-endian, unsigned), 1-based positions, `<=` replaces on ties so
+  * the RIGHTMOST minimum wins. Returns (n_windows, n_fp, fp_sum). */
+case class WinnowStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_fp", LongType, nullable = false),
+    StructField("fp_sum", LongType, nullable = false)))
+  override def prettyName: String = "winnow_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.winnowStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.winnowStats($c);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowStats = copy(c)
+}
+
 /** Product-quantization encoder: nearest codeword per 8-dim subspace of an
   * array<double>(64) against a flat codebook array<array<double>>(8·K)
   * laid out subspace-major (cb[m·K + r] = codeword r of subspace m).
@@ -838,6 +865,52 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** One-pass winnowing stats (see WinnowStats): 8-gram md5-prefix hash
+    * stream, window-4 rightmost-min picks, distinct count + sum. Mirrors
+    * the SQL oracle exactly: 1-based positions, pick = h(pos)*100000+pos,
+    * `<=` comparison keeps the rightmost minimum. */
+  def winnowStats(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = str.toString
+    val n = s.length
+    val hlen = n - 7
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    if (hlen < 4) {
+      row.setLong(0, math.max(hlen - 3, 0).toLong)
+      row.setLong(1, 0L); row.setLong(2, 0L)
+      return row
+    }
+    val dig = md5.get()
+    val h = new Array[Long](hlen)
+    var i = 0
+    while (i < hlen) {
+      dig.reset()
+      val d = dig.digest(s.substring(i, i + 8)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      h(i) = v
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var fpSum = 0L
+    var wi = 1 // 1-based window start, windows wi..wi+3
+    while (wi <= hlen - 3) {
+      var acc = h(wi - 1) * 100000L + wi
+      var j = wi + 1
+      while (j <= wi + 3) {
+        if (h(j - 1) <= acc / 100000L) acc = h(j - 1) * 100000L + j
+        j += 1
+      }
+      if (seen.add(acc)) fpSum += acc
+      wi += 1
+    }
+    row.setLong(0, (hlen - 3).toLong)
+    row.setLong(1, seen.size.toLong)
+    row.setLong(2, fpSum)
+    row
+  }
+
   def charShingles(str: UTF8String, n: Int): ArrayData = {
     val s = str.toString
     val seen = new java.util.LinkedHashSet[String]()
@@ -970,6 +1043,7 @@ object F {
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),
     ("bigram_lm_score", (es: Seq[Expression]) => BigramLmScore(es(0), es(1))),
     ("simpson_stats", (es: Seq[Expression]) => SimpsonStats(es.head)),
+    ("winnow_stats", (es: Seq[Expression]) => WinnowStats(es.head)),
     ("ip_to_long", (es: Seq[Expression]) => IpToLong(es.head)),
     ("cidr_contains", (es: Seq[Expression]) => CidrContains(es(0), es(1))),
     ("minhash_union", (es: Seq[Expression]) =>

@@ -622,25 +622,19 @@ object TextOps2 {
     // BIGINT (hash·10⁵ + pos) so the dedup and the checksum fold need no
     // struct equality, and the integer checksum pins every pick exactly.
     GraftQuery("ta_winnow", (s, d) => {
-      val winnowExpr =
-        // h: 32-bit md5-prefix hash per 8-gram (conv hex→BIGINT, exact in
-        // both engines); picks: left fold over each window keeping the
-        // rightmost minimum (<= replaces on ties as j increases)
-        "array_distinct(transform(sequence(1, size(h) - 3), wi -> " +
-          "aggregate(sequence(wi + 1, wi + 3), " +
-          "element_at(h, wi) * 100000L + wi, " +
-          "(acc, j) -> IF(element_at(h, j) <= acc div 100000L, " +
-          "element_at(h, j) * 100000L + j, acc))))"
+      // one native pass (winnow_stats): 8-gram md5-prefix hashes, window-4
+      // rightmost-min picks, distinct count + sum — the interpreted HOF
+      // formulation ran ~n_chars md5+conv lambda evaluations per doc and
+      // was the worst 100x-scale ratio in BENCH_ALL (51x); the SQL oracle
+      // keeps the explicit fold and the results stay hash-identical
+      graft.functions.F.register(s)
       Tables.widened(s, d, "documents")
         .filter(length(col("text")) >= 11) // 8-gram + window 4 minimum
-        .withColumn("h", expr(
-          "transform(sequence(1, length(text) - 7), " +
-            "i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 8), 16, 10) AS BIGINT))"))
-        .withColumn("fp", expr(winnowExpr))
+        .withColumn("st", expr("winnow_stats(text)"))
         .select(col("doc_id"),
-          expr("size(h) - 3").cast("long").as("n_windows"),
-          expr("size(fp)").cast("long").as("n_fp"),
-          expr("aggregate(fp, 0L, (a, x) -> a + x)").as("fp_sum"))
+          col("st.n_windows").as("n_windows"),
+          col("st.n_fp").as("n_fp"),
+          col("st.fp_sum").as("fp_sum"))
     },
       Some(s"""WITH g AS (SELECT doc_id,
              |    list_transform(range(1, length(text) - 6),
