@@ -232,6 +232,13 @@ object PlanContracts {
           "props are never read)",
         p => p.full.linesIterator.exists(l =>
           l.contains("ReadSchema") && !l.contains("props")))),
+    "dd_edit_verify" -> Seq(
+      noCartesian,
+      codegen("sig_agree"),
+      Contract(
+        "the bounded-distance verify runs over banded candidates only — " +
+          "no window over doc_id, no pairwise expansion",
+        p => !p.full.contains("windowspecdefinition(doc_id"))),
     "ta_dsir" -> Seq(
       noCartesian,
       Contract(

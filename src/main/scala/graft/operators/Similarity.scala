@@ -375,6 +375,31 @@ object Similarity {
       Some(s"""$minhashPairsSql
              |SELECT ia, ib, jacc FROM p""".stripMargin)),
 
+    // 42d. edit-distance verification of the banded candidates: the
+    // strictest near-dup predicate (token/shingle similarity can't tell a
+    // reordering from an edit), run ONLY over the LSH-banded pair set —
+    // never pairwise. The distance is BOUNDED (threshold 200): Spark's
+    // three-arg levenshtein early-exits at O(len·τ) instead of O(len²)
+    // and returns -1 past the bound, which the oracle reproduces with a
+    // CASE over the exact distance. Texts join the bare id pairs via two
+    // co-partitioned id joins (pairs are the small side; vectors of text
+    // move once).
+    GraftQuery("dd_edit_verify", (s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      minhashPairs(s, d).select("ia", "ib", "jacc")
+        .join(docs.select(col("doc_id").as("ia"), col("text").as("ta")), Seq("ia"))
+        .join(docs.select(col("doc_id").as("ib"), col("text").as("tb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("jacc"),
+          expr("CAST(levenshtein(ta, tb, 200) AS BIGINT)").as("dist"))
+    },
+      Some(s"""$minhashPairsSql,
+             |ev AS (SELECT ia, ib, jacc,
+             |    CASE WHEN levenshtein(da.text, db.text) > 200 THEN CAST(-1 AS BIGINT)
+             |      ELSE CAST(levenshtein(da.text, db.text) AS BIGINT) END AS dist
+             |  FROM p JOIN documents da ON da.doc_id = p.ia
+             |         JOIN documents db ON db.doc_id = p.ib)
+             |SELECT ia, ib, jacc, dist FROM ev""".stripMargin)),
+
     // 42c. near-dup CLUSTERS: connected components over the verified pair
     // graph — real dedup keeps one doc per duplicate CLUSTER, not per pair
     // (A~B, B~C must collapse to one survivor even when A~C was never

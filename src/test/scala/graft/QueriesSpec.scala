@@ -8,7 +8,8 @@ class QueriesSpec extends SparkSpec {
 
   /** Queries that legitimately may return zero rows at sf0.001. */
   private val mayBeEmpty = Set("dd_minhash_lsh", "ann_lsh", "dd_ngram_jaccard",
-    "dd_embed_cosine", "q_join_anti", "q_subquery_in", "q_agg_having", "q_except")
+    "dd_embed_cosine", "q_join_anti", "q_subquery_in", "q_agg_having", "q_except",
+    "dd_edit_verify") // follows dd_minhash_lsh's candidate set
 
   SparkEntry.allDefs.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
