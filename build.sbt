@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNMODIFIED: sbt's default
+// LoggedOutput strategy prefixes every child line with "[info] "/"[error] ",
+// which breaks any downstream per-line JSON parse of Bench's stdout
+// (BENCH_r01..r08 all parsed=null with the JSON visibly in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

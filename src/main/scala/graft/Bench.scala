@@ -85,12 +85,22 @@ object Bench {
       "ta_tfidf", "ta_pack_sequences",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
+    // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a
+    // downstream json.loads-per-line parse may type-check the field.
+    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonList(failed)},"sf":$sfJson}"""
+    // Emit the compact line BEFORE teardown and again LAST after
+    // spark.stop(): the duplicate guards both failure modes — shutdown
+    // noise after the first copy, and a tail-capture window that ends
+    // before teardown finishes. (With run/outputStrategy=StdoutOutput the
+    // lines reach stdout unprefixed; sbt's "[info] " wrapper was why
+    // BENCH_r01..r08 all recorded parsed=null.)
+    println(line)
+    System.out.flush()
     operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table
     spark.stop()
-    // Emit the stdout JSON line LAST, after spark.stop(): anything Spark's
-    // shutdown prints must not land between this line and EOF, or a
-    // tail-capture regex downstream misses it (BENCH_r06 parsed=null).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonList(failed)},"sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
   }
 }

@@ -868,11 +868,21 @@ object HashOps {
   /** One-pass winnowing stats (see WinnowStats): 8-gram md5-prefix hash
     * stream, window-4 rightmost-min picks, distinct count + sum. Mirrors
     * the SQL oracle exactly: 1-based positions, pick = h(pos)*100000+pos,
-    * `<=` comparison keeps the rightmost minimum. */
+    * `<=` comparison keeps the rightmost minimum. Grams are indexed by
+    * CODEPOINT (one offsets pass, identical cost on ASCII), not UTF-16
+    * code unit — DuckDB's substr counts codepoints, so supplementary
+    * (non-BMP) characters would otherwise shift every gram boundary and
+    * diverge the hashes. */
   def winnowStats(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = str.toString
-    val n = s.length
-    val hlen = n - 7
+    // off(i) = UTF-16 index where the i-th codepoint starts; off(ncp) = end
+    val ncp = s.codePointCount(0, s.length)
+    val off = new Array[Int](ncp + 1)
+    var ci = 0
+    var si = 0
+    while (ci < ncp) { off(ci) = si; si = s.offsetByCodePoints(si, 1); ci += 1 }
+    off(ncp) = s.length
+    val hlen = ncp - 7
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
     if (hlen < 4) {
       row.setLong(0, math.max(hlen - 3, 0).toLong)
@@ -884,7 +894,7 @@ object HashOps {
     var i = 0
     while (i < hlen) {
       dig.reset()
-      val d = dig.digest(s.substring(i, i + 8)
+      val d = dig.digest(s.substring(off(i), off(i + 8))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L
       var j = 0

@@ -300,26 +300,43 @@ object Curation2 {
       val enc = syms5.select(col("word"),
         expr("CAST(size(syms) AS BIGINT)").as("toklen"),
         length(col("word")).cast("long").as("wlen"))
-      docs(s, d)
+      val perDoc = docs(s, d)
         .select(col("doc_id"), explode(expr(toksExpr)).as("word"))
         .join(enc, Seq("word"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum("wlen").as("n_chars"),
-          sum("toklen").as("n_tokens"))
+        .agg(count(lit(1)).as("w"),
+          sum("wlen").as("c"),
+          sum("toklen").as("t"))
+      // aggregate FROM the documents side: explode produces no rows for a
+      // zero-token doc, so a doc-side left join (counts coalesced to 0,
+      // ratio NULL) is the only shape that keeps out.count == docs.count —
+      // GenScale deliberately preserves empty docs even when this sf tile
+      // has none.
+      docs(s, d).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("w"), lit(0L)).as("n_words"),
+          coalesce(col("c"), lit(0L)).as("n_chars"),
+          coalesce(col("t"), lit(0L)).as("n_tokens"))
         .withColumn("ratio",
-          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          when(col("n_tokens") === 0, lit(null).cast("double"))
+            .otherwise(col("n_chars").cast("double") / col("n_tokens").cast("double")))
     },
       Some(s"""$bpeSqlChain,
              |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS toklen,
              |    CAST(length(word) AS BIGINT) AS wlen FROM s5),
              |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
-             |  FROM documents)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-             |  CAST(sum(e.wlen) AS BIGINT) AS n_chars,
-             |  CAST(sum(e.toklen) AS BIGINT) AS n_tokens,
-             |  CAST(sum(e.wlen) AS DOUBLE) / CAST(sum(e.toklen) AS DOUBLE) AS ratio
-             |FROM dw JOIN enc e USING (word) GROUP BY doc_id""".stripMargin)),
+             |  FROM documents),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w,
+             |    CAST(sum(e.wlen) AS BIGINT) AS c,
+             |    CAST(sum(e.toklen) AS BIGINT) AS t
+             |  FROM dw JOIN enc e USING (word) GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(pd.w, 0) AS n_words,
+             |  coalesce(pd.c, 0) AS n_chars,
+             |  coalesce(pd.t, 0) AS n_tokens,
+             |  CASE WHEN coalesce(pd.t, 0) = 0 THEN NULL
+             |       ELSE CAST(pd.c AS DOUBLE) / CAST(pd.t AS DOUBLE) END AS ratio
+             |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // 174. cohort retention (week-granular): cohort = each user's first
     // active week (window min over user_id — no self-join), activity =

@@ -722,9 +722,14 @@ object Similarity2 {
     // cross-row reduction is a DECIMAL(38,0) sum — exact and
     // order-independent at ANY corpus size (a double sum here would be
     // nondeterministic under Spark's partition-order aggregation and
-    // could never hash-match the oracle). Shape: map-only quantize +
-    // per-vector fold, one 64-key shuffle (posexplode → groupBy dim);
-    // scan-bound at 100 TB.
+    // could never hash-match the oracle). The FINAL projected column is
+    // cast to STRING: decimal physical encodings differ across engines
+    // (Spark fixed-len-byte-array vs DuckDB decimal128) and break the
+    // driver's hash, while DOUBLE is exact only below 2^53 — which a
+    // 100 TB corpus sum exceeds. A digit string is exact at any
+    // magnitude and hash-stable (SURVEY §6: no DecimalType outputs).
+    // Shape: map-only quantize + per-vector fold, one 64-key shuffle
+    // (posexplode → groupBy dim); scan-bound at 100 TB.
     GraftQuery("emb_pca_power", (s, d) => {
       val e = Similarity.vecs(s, d)
       e.withColumn("q", expr("transform(v, x -> CAST(floor(x * 1000 + 0.5D) AS BIGINT))"))
@@ -732,7 +737,7 @@ object Similarity2 {
         .select(col("tsum"), posexplode(col("q")).as(Seq("pos", "qx")))
         .groupBy((col("pos") + 1).cast("long").as("dim"))
         .agg(sum(expr("CAST(tsum * qx AS DECIMAL(38,0))"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).cast("string").as("s"))
     },
       Some("""WITH e AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -743,7 +748,7 @@ object Similarity2 {
              |    list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS tsum FROM qv),
              |u AS (SELECT j, CAST(tsum * q[CAST(j AS INTEGER)] AS DECIMAL(38,0)) AS term
              |  FROM t, unnest(range(1, 65)) AS r(j))
-             |SELECT CAST(j AS BIGINT) AS dim, CAST(sum(term) AS DECIMAL(38,0)) AS s
+             |SELECT CAST(j AS BIGINT) AS dim, CAST(CAST(sum(term) AS DECIMAL(38,0)) AS VARCHAR) AS s
              |FROM u GROUP BY j""".stripMargin))
   )
 }

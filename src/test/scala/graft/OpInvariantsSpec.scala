@@ -196,10 +196,29 @@ class OpInvariantsSpec extends SparkSpec {
       val n = Tables.t(spark, sf, "embeddings").count()
       assert(out.count() == 4 * n, "every vector keeps exactly k=4 neighbors")
       assert(out.filter(col("vec_id") === col("n_id")).count() == 0)
-      // B0 ⊆ candidates ⇒ the refined rank-1 cos can never be worse than
-      // the best ring neighbor; spot-pin via the weakest possible bound
       assert(out.filter(col("cos") < -1.0000001 || col("cos") > 1.0000001)
         .count() == 0)
+      // B0 ⊆ candidates ⇒ the refined rank-1 cos can never be worse than
+      // the best DIRECTED ring neighbor — recompute the ring init's best
+      // cosine per vec_id and assert pointwise dominance (not just |cos|≤1)
+      graft.functions.F.register(spark)
+      val nrm = Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+      val ringBest = nrm
+        .select(col("vec_id").as("a"), explode(expr("array(1L, 2L, 3L, 4L)")).as("j"))
+        .withColumn("b", (col("a") + col("j")) % lit(n))
+        .join(nrm.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na")), "a")
+        .join(nrm.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb")), "b")
+        .withColumn("rcos",
+          expr("dot_product(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .groupBy(col("a").as("vec_id")).agg(max("rcos").as("ring_best"))
+      val worse = out.filter(col("rk") === 1)
+        .join(ringBest, "vec_id")
+        .filter(col("cos") < col("ring_best") - lit(1e-9))
+      assert(worse.count() == 0,
+        "refined rank-1 cosine must dominate the ring init's best neighbor")
       val dup = out.groupBy("vec_id", "n_id").agg(count(lit(1)).as("c"))
         .filter(col("c") > 1)
       assert(dup.count() == 0, "neighbor lists contain no duplicate edges")

@@ -11,10 +11,30 @@ class QueriesSpec extends SparkSpec {
     "dd_embed_cosine", "q_join_anti", "q_subquery_in", "q_agg_having", "q_except",
     "dd_edit_verify") // follows dd_minhash_lsh's candidate set
 
+  /** SURVEY §6 rule, made lintable: no DecimalType output columns. Decimal
+    * physical encodings differ across engines (Spark fixed-len-byte-array vs
+    * DuckDB decimal128) and break the driver's hash even when values match —
+    * exactly what sank emb_pca_power in round 8. Exact DECIMAL accumulation
+    * inside a plan is fine; the FINAL projection must be long/double/string. */
+  private def decimalPaths(dt: org.apache.spark.sql.types.DataType, at: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType     => Seq(at)
+      case s: StructType      => s.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$at.${f.name}"))
+      case a: ArrayType       => decimalPaths(a.elementType, s"$at[]")
+      case m: MapType         => decimalPaths(m.keyType, s"$at<key>") ++ decimalPaths(m.valueType, s"$at<val>")
+      case _                  => Nil
+    }
+  }
+
   SparkEntry.allDefs.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sf)
       assert(df.schema.fields.nonEmpty, "schema must be non-empty")
+      val dec = df.schema.fields.toSeq.flatMap(f => decimalPaths(f.dataType, f.name))
+      assert(dec.isEmpty,
+        s"${q.name} outputs DecimalType columns $dec — SURVEY §6 forbids decimal " +
+          "outputs (hash-unstable across engines); cast the final column to STRING or DOUBLE")
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
