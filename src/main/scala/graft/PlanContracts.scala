@@ -290,6 +290,27 @@ object PlanContracts {
           "(one corpus shuffle), not a groupBy+join back",
         p => !p.finalSection.contains("SortMergeJoin") &&
           !p.finalSection.contains("ShuffledHashJoin"))),
+    "ta_pipeline_curate" -> Seq(
+      noCartesian,
+      codegen("char_shingles"),
+      Contract(
+        "both DSIR feature distributions join as DECLARED one-row broadcasts " +
+          "(BroadcastNestedLoopJoin, as in standalone ta_dsir; AQE folds them " +
+          "into materialized stages, so they print only in the full dump)",
+        p => "BroadcastNestedLoopJoin".r.findAllIn(p.full).length >= 2),
+      Contract(
+        "the per-source mixing-weight table joins as a DECLARED broadcast " +
+          "hash join; the dedup id-joins (keep set, pair-index anti join) " +
+          "must NOT broadcast at scale — they stay partitioned (SMJ)",
+        p => p.finalSection.contains("BroadcastHashJoin")
+          && p.finalSection.contains("SortMergeJoin")),
+      Contract(
+        "corpus-wide keyed shuffles are BOUNDED: the whole 8-stage pipeline " +
+          "moves the corpus through at most 12 hash exchanges in the final " +
+          "plan (manifest window on source, dedup id-joins, containment " +
+          "groupBy, DSIR gram histograms, packing window, survivor-count " +
+          "agg; 10 at sf0.001) — a per-stage corpus re-read would multiply this",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 12)),
     "emb_centroid_gate" -> Seq(
       noCartesian,
       Contract(

@@ -377,76 +377,260 @@ object Curation2 {
     // (no cross-row float accumulation — the only sums are integer bucket
     // counts), so the corpus is scanned twice (histogram + score) and
     // nothing else moves. Target proxy: the 'src0' source slice.
-    GraftQuery("ta_dsir", (s, d) => {
-      val B = 64
-      // the bucketed-gram table feeds THREE consumers (raw histogram,
-      // target histogram, scoring pass) — materialize it once; the md5
-      // bucketing itself is the native codegen'd md5_buckets (the same
-      // HOF-chain formulation ran interpreted at 26.6 s on the sf0.1
-      // gram stream — 18% of the whole bench)
+    GraftQuery("ta_dsir", (s, d) =>
+      dsirScores(s, d).select("doc_id", "n_grams", "w"),
+      Some(s"""WITH $dsirSqlCtes
+             |SELECT doc_id, n_grams, w FROM sc""".stripMargin)),
+
+    // 180. the CURATION CAPSTONE — one declarative plan chaining the whole
+    // post-crawl curation stack in production order (the way dd_pipeline
+    // composes the dedup family): Gopher rule gate → per-source quality-
+    // percentile prune → exact-dedup keep set + near-dup anti-join against
+    // the shared MinHash pair index → benchmark decontamination (relative
+    // 8-gram containment: the n_hits>=5 absolute gate of dd_decontaminate
+    // flags ~100% of any same-domain corpus — a drop filter needs the
+    // CONTAINMENT fraction, threshold 0.5 with background p99≈0.41) →
+    // DSIR importance weights (corpus-wide distributions, shared memo) →
+    // temperature mixing weights over the SURVIVORS → 256-token sequence
+    // packing → deterministic 80/10/10 split. Output: the curated-manifest
+    // row a training loader consumes (doc, weights, bin, split).
+    //
+    // Scale shape: the corpus is scanned THREE times (manifest projection,
+    // 8-gram restrict join, DSIR — whose gram pass is the shared memo) and
+    // never carries text through a shuffle: the rule gate + quality window
+    // move a 4-column manifest keyed by source; dedup joins are
+    // id-vs-id; the bench shingle set, both DSIR distributions, and the
+    // mixing-weight row are broadcasts; packing windows per source. Every
+    // corpus-order-sensitive number is integer-derived; the five output
+    // doubles are fixed-shape divisions/folds both engines reproduce
+    // bit-exactly.
+    GraftQuery("ta_pipeline_curate", (s, d) => {
       graft.functions.F.register(s)
-      val gb = OpCache.memo(s, "dsirbks|" + d)(
-        Tables.widened(s, d, "documents")
-          .withColumn("toks", expr(toksExpr))
-          .withColumn("grams", expr(
-            "concat(toks, CASE WHEN size(toks) < 2 THEN cast(array() as array<string>) " +
-              "ELSE transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))) END)"))
-          .withColumn("bks", expr(s"md5_buckets(grams, $B)"))
-          .select("doc_id", "source", "bks")
-          .persist())
-      def hist(df: DataFrame) = df
-        .select(explode(col("bks")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"),
-          sum("c").as("tot"))
-        .select(expr(
-          s"transform(sequence(0, ${B - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
-          .as("arr"), col("tot"))
-      val raw = hist(gb).select(col("arr").as("rarr"), col("tot").as("rtot"))
-      val tgt = hist(gb.filter(col("source") === "src0"))
-        .select(col("arr").as("tarr"), col("tot").as("ttot"))
-      gb.crossJoin(broadcast(raw)).crossJoin(broadcast(tgt))
-        .select(col("doc_id"),
-          expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
-          expr(
-            "aggregate(bks, CAST(1.0 AS DOUBLE), (a, b) -> a * " +
-              "((CAST(element_at(tarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE)) " +
-              "/ (CAST(element_at(rarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE))))")
-            .as("w"))
+      val base = docs(s, d)
+      // 1. Gopher rule gate + quality (one map-only projection, slim manifest)
+      val manifest = base
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", expr("size(toks)").cast("long"))
+        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_sym",
+          (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+            + ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"))
+        .withColumn("n_alpha",
+          expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
+        .filter(col("n_toks") >= 50 && col("n_toks") <= 100000
+          && lit(3) * col("n_toks") <= col("sum_len")
+          && col("sum_len") <= lit(10) * col("n_toks")
+          && lit(10) * col("n_sym") <= col("n_toks")
+          && lit(5) * col("n_alpha") >= lit(4) * col("n_toks")
+          && col("n_stop") >= 2)
+        .withColumn("quality",
+          lit(0.4) * (col("n_uniq") / col("n_toks"))
+            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(col("sum_len") / col("n_toks") / lit(10.0), lit(1.0)))
+        .select("doc_id", "source", "n_toks", "quality")
+      // 2. per-source quality prune (top half; one slim window shuffle)
+      val pruned = manifest
+        .withColumn("prr", percent_rank().over(Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+        .filter(col("prr") <= 0.5)
+        .drop("prr")
+      // 3. exact-dedup keep set + near-dup anti-join (the indexed shape of
+      // dd_pipeline_indexed: the pair index amortizes across runs)
+      val keepIds = base.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val dupIb = Similarity.minhashPairs(s, d)
+        .select(col("ib").as("doc_id")).distinct()
+      val dd = pruned.join(keepIds, Seq("doc_id"))
+        .join(dupIb, Seq("doc_id"), "left_anti")
+      // 4. decontamination by relative 8-gram containment vs the broadcast
+      // benchmark shingle set; shingling is restricted to the survivors
+      val bench = base.filter(col("doc_id") % 97 === 0)
+        .select(explode(expr("char_shingles(text, 8)")).as("sg")).distinct()
+      val hits = base.join(dd.select("doc_id"), Seq("doc_id"))
+        .withColumn("sh", expr("char_shingles(text, 8)"))
+        .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)"))
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("sg"))
+        .join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hits"))
+      val clean = OpCache.track(s, dd
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("contain",
+          coalesce(col("n_hits").cast("double") / col("n_sh"), lit(0.0)))
+        .filter(col("contain") < 0.5)
+        .select("doc_id", "source", "n_toks", "quality", "contain")
+        .persist())
+      // 5. DSIR weights (corpus-wide distributions — the shared memo)
+      val dsir = dsirScores(s, d).select(col("doc_id"), col("w").as("dsir_w"))
+      // 6. temperature mixing weights over the survivors (τ = 2)
+      val perSrc = clean.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = perSrc.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(source, n_docs))), " +
+          "x -> sqrt(CAST(x.n_docs AS DOUBLE))), CAST(0 AS DOUBLE), (a, w) -> a + w)")
+        .as("z"))
+      val mix = perSrc.crossJoin(broadcast(z))
+        .select(col("source"),
+          (sqrt(col("n_docs").cast("double")) / col("z")).as("src_weight"))
+      // 7. 256-token sequence packing per source + 8. deterministic split
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      clean
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_toks")).over(w), lit(0L)) / 256L))
+        .join(dsir, Seq("doc_id"))
+        .join(broadcast(mix), Seq("source"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("source"), lit(":"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("doc_id", "source", "n_toks", "quality", "contain",
+          "dsir_w", "src_weight", "bin", "split")
     },
-      Some {
-        val hex8 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), " +
-          "i -> CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
-          "(a, x) -> a * 16 + x)"
-        s"""WITH t0 AS (SELECT doc_id, source,
-           |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           |  FROM documents),
-           |g0 AS (SELECT doc_id, source,
-           |    list_concat(toks,
-           |      CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-           |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) END) AS grams
-           |  FROM t0),
-           |gb AS (SELECT doc_id, source,
-           |    list_transform(grams, g -> ($hex8 % 64)) AS bks FROM g0),
-           |rawm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
-           |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
-           |    FROM (SELECT unnest(bks) AS b FROM gb) GROUP BY b)),
-           |tgtm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
-           |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
-           |    FROM (SELECT unnest(bks) AS b FROM gb WHERE source = 'src0') GROUP BY b)),
-           |dist AS (SELECT
-           |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM rawm) AS rarr,
-           |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM tgtm) AS tarr,
-           |    (SELECT tot FROM rawm) AS rtot,
-           |    (SELECT tot FROM tgtm) AS ttot),
-           |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
-           |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(bks,
-           |      b -> (CAST(tarr[b + 1] + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE))
-           |         / (CAST(rarr[b + 1] + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE)))),
-           |      (a, x) -> a * x) AS w
-           |  FROM gb, dist)
-           |SELECT doc_id, n_grams, w FROM sc""".stripMargin
-      })
+      Some(s"""${Similarity.minhashPairsSql},
+             |gt AS (SELECT doc_id, source, text,
+             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             |  FROM documents),
+             |gm AS (SELECT doc_id, source,
+             |    CAST(len(toks) AS BIGINT) AS n_toks,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+             |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+             |    CAST(len(list_filter(toks,
+             |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+             |  FROM gt),
+             |gop AS (SELECT doc_id, source, n_toks, n_uniq, sum_len FROM gm
+             |  WHERE n_toks >= 50 AND n_toks <= 100000
+             |    AND 3 * n_toks <= sum_len AND sum_len <= 10 * n_toks
+             |    AND 10 * n_sym <= n_toks
+             |    AND 5 * n_alpha >= 4 * n_toks
+             |    AND n_stop >= 2),
+             |qq AS (SELECT doc_id, source, n_toks,
+             |    0.4 * (n_uniq / n_toks) + 0.3 * least(n_toks / 200.0, 1.0)
+             |      + 0.3 * least(sum_len / n_toks / 10.0, 1.0) AS quality
+             |  FROM gop),
+             |prq AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+             |    ORDER BY quality DESC, doc_id) AS prr FROM qq),
+             |pruned AS (SELECT doc_id, source, n_toks, quality FROM prq WHERE prr <= 0.5),
+             |keepx AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |dupx AS (SELECT DISTINCT ib AS doc_id FROM p),
+             |ddx AS (SELECT pruned.* FROM pruned JOIN keepx USING (doc_id)
+             |  ANTI JOIN dupx USING (doc_id)),
+             |shd AS (SELECT d2.doc_id, list_distinct(list_transform(
+             |    range(1, length(d2.text) - 6), i -> substr(d2.text, i, 8))) AS sh
+             |  FROM documents d2),
+             |bsx AS (SELECT DISTINCT unnest(sh) AS sg FROM shd WHERE doc_id % 97 = 0),
+             |trx AS (SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_sh, unnest(s.sh) AS sg
+             |  FROM shd s JOIN ddx USING (doc_id)),
+             |hx AS (SELECT doc_id, any_value(n_sh) AS n_sh, CAST(COUNT(*) AS BIGINT) AS n_hits
+             |  FROM trx JOIN bsx USING (sg) GROUP BY doc_id),
+             |clean AS (SELECT ddx.*,
+             |    COALESCE(CAST(hx.n_hits AS DOUBLE) / hx.n_sh, CAST(0 AS DOUBLE)) AS contain
+             |  FROM ddx LEFT JOIN hx USING (doc_id)
+             |  WHERE COALESCE(CAST(hx.n_hits AS DOUBLE) / hx.n_sh, CAST(0 AS DOUBLE)) < 0.5),
+             |$dsirSqlCtes,
+             |mixn AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+             |mz AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)), (a, w) -> a + w) AS z
+             |  FROM mixn),
+             |mw AS (SELECT source, sqrt(CAST(n_docs AS DOUBLE)) / mz.z AS src_weight
+             |  FROM mixn CROSS JOIN mz),
+             |packed AS (SELECT c.doc_id, c.source, c.n_toks, c.quality, c.contain,
+             |    COALESCE(SUM(c.n_toks) OVER (PARTITION BY c.source ORDER BY c.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM clean c),
+             |fin AS (SELECT pk.doc_id, pk.source, pk.n_toks, pk.quality, pk.contain,
+             |    sc.w AS dsir_w, mw.src_weight,
+             |    CAST(FLOOR(prior / 256) AS BIGINT) AS bin,
+             |    ${Relational.duckHex8("md5(pk.source || ':' || CAST(pk.doc_id AS VARCHAR))", 1)} % 100 AS bucket
+             |  FROM packed pk JOIN sc USING (doc_id) JOIN mw USING (source))
+             |SELECT doc_id, source, n_toks, quality, contain, dsir_w, src_weight, bin,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM fin""".stripMargin))
   )
+
+  /** Shared DSIR scoring chain (ta_dsir + ta_pipeline_curate): per-doc
+    * importance weight from two broadcast 64-bucket hashed-gram
+    * distributions. Returns (doc_id, n_grams, w). The bucketed-gram table
+    * feeds THREE consumers (raw histogram, target histogram, scoring
+    * pass) — materialized once under a shared memo key; the md5 bucketing
+    * is the native codegen'd md5_buckets (the HOF-chain formulation ran
+    * interpreted at 26.6 s on the sf0.1 gram stream). */
+  private[operators] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    graft.functions.F.register(s)
+    val gb = OpCache.memo(s, "dsirbks|" + d)(
+      Tables.widened(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(
+          "concat(toks, CASE WHEN size(toks) < 2 THEN cast(array() as array<string>) " +
+            "ELSE transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))) END)"))
+        .withColumn("bks", expr(s"md5_buckets(grams, $B)"))
+        .select("doc_id", "source", "bks")
+        .persist())
+    def hist(df: DataFrame) = df
+      .select(explode(col("bks")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"),
+        sum("c").as("tot"))
+      .select(expr(
+        s"transform(sequence(0, ${B - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
+        .as("arr"), col("tot"))
+    val raw = hist(gb).select(col("arr").as("rarr"), col("tot").as("rtot"))
+    val tgt = hist(gb.filter(col("source") === "src0"))
+      .select(col("arr").as("tarr"), col("tot").as("ttot"))
+    gb.crossJoin(broadcast(raw)).crossJoin(broadcast(tgt))
+      .select(col("doc_id"),
+        expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
+        expr(
+          "aggregate(bks, CAST(1.0 AS DOUBLE), (a, b) -> a * " +
+            "((CAST(element_at(tarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE)) " +
+            "/ (CAST(element_at(rarr, CAST(b AS INT) + 1) + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE))))")
+          .as("w"))
+  }
+
+  /** DuckDB mirror of dsirScores; CTE chain (no WITH prefix) ending with
+    * `sc(doc_id, n_grams, w)`. (lazy: referenced from `defs`, which
+    * initializes first.) */
+  private[operators] lazy val dsirSqlCtes: String = {
+    val hex8 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), " +
+      "i -> CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      "(a, x) -> a * 16 + x)"
+    s"""t0 AS (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, source,
+       |    list_concat(toks,
+       |      CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+       |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) END) AS grams
+       |  FROM t0),
+       |gb AS (SELECT doc_id, source,
+       |    list_transform(grams, g -> ($hex8 % 64)) AS bks FROM g0),
+       |rawm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
+       |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT unnest(bks) AS b FROM gb) GROUP BY b)),
+       |tgtm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
+       |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT unnest(bks) AS b FROM gb WHERE source = 'src0') GROUP BY b)),
+       |dist AS (SELECT
+       |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM rawm) AS rarr,
+       |    (SELECT list_transform(range(0, 64), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM tgtm) AS tarr,
+       |    (SELECT tot FROM rawm) AS rtot,
+       |    (SELECT tot FROM tgtm) AS ttot),
+       |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
+       |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_transform(bks,
+       |      b -> (CAST(tarr[b + 1] + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE))
+       |         / (CAST(rarr[b + 1] + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE)))),
+       |      (a, x) -> a * x) AS w
+       |  FROM gb, dist)""".stripMargin
+  }
 }
