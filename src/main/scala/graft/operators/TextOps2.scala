@@ -107,6 +107,83 @@ object TextOps2 {
              |       ELSE 0.0 END AS dup_frac
              |FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN dd USING (doc_id)""".stripMargin)),
 
+    // duplicated-span REMOVAL — dd_span's signal promoted to the operator
+    // of Lee et al. 2022 (exact-substring dedup): keep the corpus-wide
+    // FIRST occurrence of every duplicated word-8-gram span (first by
+    // (doc_id, position) — the deterministic canonical), remove every
+    // token covered by any OTHER occurrence, reassemble the survivors in
+    // order (the ta_line_dedup pattern; ta_pii_scrub does the same for PII
+    // spans). Three bounded corpus shuffles at any scale: the per-span
+    // occurrence window (one shuffle on the 16-byte span hash; slim
+    // (doc_id, pos) rows — a boilerplate mega-span skews one partition of
+    // 3-column rows, AQE splits it), the covered-position distinct
+    // (output-proportional: only duplicated occurrences explode their 8
+    // positions), and the per-doc reassembly groupBy. Never all-pairs,
+    // never a doc×doc join — dedup cost follows DUPLICATION mass, not
+    // corpus size squared.
+    GraftQuery("dd_span_scrub", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.widened(s, d, "documents")
+        .withColumn("toks", expr(toksExpr))
+      val spans = base.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> md5(concat_ws(' ', slice(toks, i, 8))))"))
+          .as(Seq("p0", "sp")))
+        .withColumn("p", col("p0").cast("long") + 1).drop("p0")
+      val wS = Window.partitionBy(col("sp"))
+      val rem = spans
+        .withColumn("n_occ", count(lit(1)).over(wS))
+        .withColumn("rn",
+          row_number().over(wS.orderBy(col("doc_id"), col("p"))))
+        .filter(col("n_occ") >= 2 && col("rn") >= 2)
+        .select("doc_id", "p")
+      val cov = rem
+        .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("p"))
+        .distinct()
+      val kept = base
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .withColumn("p", col("p0").cast("long") + 1).drop("p0")
+        .join(cov, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id").agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+            " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      base.select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |  FROM documents),
+             |spx AS (SELECT doc_id,
+             |    unnest(range(1, len(toks) - 6)) AS p,
+             |    unnest(list_transform(range(1, len(toks) - 6),
+             |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sp
+             |  FROM t WHERE len(toks) >= 8),
+             |occ AS (SELECT doc_id, p, sp,
+             |    COUNT(*) OVER (PARTITION BY sp) AS n_occ,
+             |    ROW_NUMBER() OVER (PARTITION BY sp ORDER BY doc_id, p) AS rn
+             |  FROM spx),
+             |rem AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2 AND rn >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS p FROM rem),
+             |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+             |    unnest(toks) AS tok FROM t),
+             |kept AS (SELECT tok.doc_id, tok.p, tok.tok
+             |  FROM tok ANTI JOIN cov USING (doc_id, p)),
+             |re AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list(tok ORDER BY p), ' '), '') AS clean_text,
+             |    CAST(COUNT(*) AS BIGINT) AS n_kept
+             |  FROM kept GROUP BY doc_id),
+             |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+             |SELECT nt.doc_id, nt.n_toks,
+             |  nt.n_toks - COALESCE(re.n_kept, 0) AS n_removed,
+             |  COALESCE(re.clean_text, '') AS clean_text
+             |FROM nt LEFT JOIN re USING (doc_id)""".stripMargin)),
+
     // Simpson-index diversity (sum of squared frequencies / n²) at char and
     // token granularity — the repetitiveness signal quality filters use
     // where Shannon entropy would appear, chosen because it is EXACT: all
