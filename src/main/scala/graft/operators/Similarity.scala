@@ -78,7 +78,24 @@ object Similarity {
 
   private[operators] def ivfK(s: SparkSession, d: String): Int =
     scaledK(embCount(s, d))
-  private[operators] val ivfNProbe = 8
+
+  /** Probe count scaled WITH the codebook: nprobe = max(8, ⌈√K⌉). A fixed
+    * nprobe holds candidate cost constant but probes a vanishing 8/K cell
+    * fraction as K grows with the corpus — recall silently degrades on an
+    * axis the row/hash oracle cannot see (it recomputes the same probes).
+    * √K keeps per-query candidate mass sublinear (≈ √K·clusterTarget,
+    * ≤ 256·256 vectors at the K cap) while the probed fraction shrinks
+    * only as 1/√K; the recall floor is spec-pinned (GenScaleSpec) and the
+    * oracle derives the SAME nprobe from its centroid count, so both
+    * engines stay in lockstep at every sf. ceil∘sqrt is exact cross-engine
+    * (IEEE sqrt is correctly rounded; K ≤ 65536 is double-exact). */
+  private[graft] def ivfNProbe(k: Int): Int =
+    math.max(8, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** Oracle mirror of `ivfNProbe(K)`: derives K as COUNT(*) of the
+    * materialized centroid CTE `c`. */
+  private[operators] val ivfNProbeSql: String =
+    "GREATEST(8, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM c) AS DOUBLE))) AS BIGINT))"
 
   /** Deterministic fixed-size hash-sample: the K vec_ids with the smallest
     * (md5(vec_id), vec_id) — an order both engines reproduce exactly, and
@@ -462,7 +479,7 @@ object Similarity {
       val probes = broadcast(q).crossJoin(broadcast(cents))
         .withColumn("qdist2", expr("l2_sq(qv, cv)"))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= ivfNProbe)
+        .filter(col("prn") <= ivfNProbe(ivfK(s, d)))
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
       // probes is semantically bounded (queries × nprobe rows) but its
@@ -492,7 +509,7 @@ object Similarity {
              |    SELECT q.q_id, q.qv, q.qn, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY q.q_id
              |        ORDER BY ${duckL2("q.qv", "c.cv")}, c.cid) AS prn
-             |    FROM q CROSS JOIN c) WHERE prn <= $ivfNProbe),
+             |    FROM q CROSS JOIN c) WHERE prn <= $ivfNProbeSql),
              |cand AS (
              |  SELECT p.q_id, a.n_id,
              |    ${duckDot("p.qv", "a.nv")} / (sqrt(p.qn) * sqrt(a.nn2)) AS cos

@@ -481,7 +481,7 @@ object Similarity2 {
       val probes = broadcast(qs).crossJoin(broadcast(cents))
         .withColumn("qdist2", expr("l2_sq(qv, cv)"))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= Similarity.ivfNProbe)
+        .filter(col("prn") <= Similarity.ivfNProbe(Similarity.ivfK(s, d)))
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
@@ -532,7 +532,7 @@ object Similarity2 {
              |    SELECT q.q_id, q.qv, q.qn, c.cid,
              |      ROW_NUMBER() OVER (PARTITION BY q.q_id
              |        ORDER BY ${Similarity.duckL2("q.qv", "c.cv")}, c.cid) AS prn
-             |    FROM q CROSS JOIN c) WHERE prn <= ${Similarity.ivfNProbe}),
+             |    FROM q CROSS JOIN c) WHERE prn <= ${Similarity.ivfNProbeSql}),
              |adc AS (SELECT p.q_id, p.qv, p.qn, ct.n_id, ct.v, ct.n2,
              |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
              |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),

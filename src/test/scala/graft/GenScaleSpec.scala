@@ -204,6 +204,96 @@ class GenScaleSpec extends SparkSpec {
       s"pairwise work grew ${growth}× at 2× data ($p1 → $p2) — not linear")
   }
 
+  test("IVF probe scaling: nprobe tracks √K; ground-truth recall@5 holds across the knee") {
+    import graft.operators.{Similarity, Similarity2}
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.F.register(spark)
+    // the knob algebra: floor 8 below the √K knee (K = 64), √K beyond,
+    // bounded candidate mass at the K cap (256 probes · ~256 vectors/cell)
+    assert(Similarity.ivfNProbe(32) == 8, "clamped corpora keep the r8 probe count")
+    assert(Similarity.ivfNProbe(64) == 8, "knee of the probe scaling")
+    assert(Similarity.ivfNProbe(65) == 9, "first step past the knee")
+    assert(Similarity.ivfNProbe(3125) == 56, "sf1-scale codebook")
+    assert(Similarity.ivfNProbe(65536) == 256, "probe count bounded at the K cap")
+
+    // Tile the embedding corpus in memory (GenScale's rotation + disjoint
+    // ids) to cross the K clamp, run the REAL centroid/assignment/probe
+    // chain at each scale's (K, nprobe), and measure recall@5 against the
+    // exact brute-force top-5 — the axis the row/hash oracle cannot see
+    // because it recomputes the same probes. The floor pins that √K
+    // probing holds recall as the probed cell FRACTION shrinks.
+    val base0 = Tables.t(spark, sf, "embeddings")
+    def recallAt(reps: Int, probeOverride: Int = 0): (Int, Int, Double) = {
+      val tiled = (0 until reps).map { r =>
+        (if (r == 0) base0 else base0.withColumn("embedding", expr(
+          s"transform(sequence(0, 63), j -> element_at(embedding, ((j + $r) % 64) + 1))")))
+          .withColumn("vec_id", col("vec_id") + lit(r * 2000L))
+      }.reduce(_ unionAll _)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", expr("dot_product(v, v)"))
+        .persist()
+      val n = tiled.count()
+      val k = Similarity.scaledK(n)
+      val nprobe = if (probeOverride > 0) probeOverride else Similarity.ivfNProbe(k)
+      info(s"recallAt($reps): n=$n k=$k nprobe=$nprobe")
+      val cents = Similarity.centroids(tiled, k)
+      val cb = Similarity2.centroidArrays(cents)
+      val assign = tiled.crossJoin(broadcast(cb))
+        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+        .select(col("vec_id").as("n_id"), col("cell"),
+          col("v").as("nv"), col("n2").as("nn2"))
+      val q = tiled.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdist2").asc, col("cid").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("qdist2", expr("l2_sq(qv, cv)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= nprobe)
+        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id").asc)
+      def top5(cand: org.apache.spark.sql.DataFrame) = cand
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr("dot_product(qv, nv)") / (sqrt(col("qn")) * sqrt(col("nn2"))))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val ivf = top5(probes.join(assign, "cell"))
+      val truth = top5(q.crossJoin(tiled.select(col("vec_id").as("n_id"),
+        col("v").as("nv"), col("n2").as("nn2"))))
+      val nt = truth.count()
+      val hit = ivf.join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      tiled.unpersist()
+      (k, nprobe, hit.toDouble / nt)
+    }
+    val (k1, p1, r1) = recallAt(1)  // N=500 → K=32 (clamped), nprobe=8
+    val (k2, p2, r2) = recallAt(40) // N=20000 → K=78 (unclamped), nprobe=9
+    assert(k1 == 32 && p1 == 8, s"base scale knobs drifted: K=$k1 nprobe=$p1")
+    assert(k2 == 78 && p2 == 9, s"40× scale knobs drifted: K=$k2 nprobe=$p2")
+    // This tiled corpus is IVF's WORST case: replicas are coordinate
+    // rotations, so a query's true neighbors scatter across cells and
+    // recall tracks the probed cell FRACTION (measured curve at K=78:
+    // nprobe 9→0.40, 12→0.53, 18→0.58, 27→0.70, 39→0.93). The pinned
+    // floors are the measured values minus margin — they make the
+    // recall axis VISIBLE (r8's fixed nprobe=8 was silently below them),
+    // not a claim that √K holds recall constant: holding recall on
+    // adversarial data needs nprobe ∝ K (linear candidate mass), which
+    // ann_topk already provides at fraction 1. SURVEY §5 documents the
+    // curve and the binding point.
+    assert(r1 >= 0.55, s"base-scale IVF recall@5 $r1 under the 0.55 floor")
+    assert(r2 >= 0.35, s"40×-scale IVF recall@5 $r2 under the 0.35 floor")
+    // sanity: the index itself is sound — probing half the cells recovers
+    // ≥ 0.9, so the degradation above is the probe-fraction tradeoff, not
+    // a broken assignment/candidate chain
+    val (_, _, rHalf) = recallAt(40, probeOverride = 39)
+    assert(rHalf >= 0.9,
+      s"recall@5 at nprobe=K/2 is $rHalf — the candidate chain is broken, " +
+        "not merely under-probed")
+  }
+
   test("two-level quantizer: clamps compose; fine split keeps pairwise linear") {
     import graft.operators.{Similarity, Similarity2}
     // coarse level: broadcastable at any N, population target 65536
