@@ -224,4 +224,56 @@ class OpInvariantsSpec extends SparkSpec {
       assert(dup.count() == 0, "neighbor lists contain no duplicate edges")
     } finally { out.unpersist(); () }
   }
+
+  test("ta_pipeline_curate: stages compose monotonically; weights are a distribution") {
+    val out = run("ta_pipeline_curate").cache()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      val n = out.count()
+      assert(n > 0 && n < docs.count(),
+        "the pipeline must keep some docs and drop some")
+      assert(out.select("doc_id").distinct().count() == n, "one row per doc")
+      // survivors passed the standalone Gopher gate (stage 1 is the same
+      // predicate set — composition must not resurrect a rejected doc)
+      val gop = run("ta_gopher_rules").filter(col("keep")).select("doc_id")
+      assert(out.join(gop, Seq("doc_id"), "left_anti").count() == 0,
+        "a doc rejected by the standalone Gopher gate survived the pipeline")
+      // dedup held: no survivor is a near-dup pair's dropped side
+      val dupIb = run("dd_minhash_lsh")
+        .select(col("ib").as("doc_id")).distinct()
+      assert(out.join(dupIb, Seq("doc_id"), "left_semi").count() == 0,
+        "a near-dup 'later' doc survived the anti-join")
+      // per-source mixing weights form a distribution (Σ over sources = 1)
+      val wsum = out.select("source", "src_weight").distinct()
+        .agg(sum("src_weight")).head.getDouble(0)
+      assert(math.abs(wsum - 1.0) < 1e-9, s"src_weight mass $wsum must be 1")
+      assert(out.filter(col("contain") < 0.0 || col("contain") >= 0.5).count() == 0,
+        "contain must lie in [0, 0.5) after the decontamination gate")
+      assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("dd_span_scrub: every doc survives; removal matches the dd_span signal") {
+    val out = run("dd_span_scrub").cache()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      assert(out.count() == docs.count(), "scrubbing annotates every doc")
+      assert(out.filter(col("n_removed") < 0 || col("n_removed") > col("n_toks"))
+        .count() == 0)
+      // the reassembled text's token count is exactly n_toks - n_removed
+      val bad = out.filter(
+        expr("CAST(size(filter(split(clean_text, ' '), t -> t <> '')) AS BIGINT)")
+          =!= col("n_toks") - col("n_removed"))
+      assert(bad.count() == 0, "clean_text token count must equal n_toks - n_removed")
+      // consistency with the signal operator: a doc with zero duplicated
+      // spans loses zero tokens
+      val clean0 = run("dd_span").filter(col("n_dup_spans") === 0).select("doc_id")
+      assert(out.filter(col("n_removed") > 0)
+        .join(clean0, Seq("doc_id"), "left_semi").count() == 0,
+        "a doc with no duplicated spans lost tokens")
+      // and the operator is observable on this corpus: something was removed
+      assert(out.agg(sum("n_removed")).head.getLong(0) > 0,
+        "the corpus plants near-dup docs — scrubbing must remove something")
+    } finally { out.unpersist(); () }
+  }
 }
