@@ -290,6 +290,20 @@ object PlanContracts {
           "(one corpus shuffle), not a groupBy+join back",
         p => !p.finalSection.contains("SortMergeJoin") &&
           !p.finalSection.contains("ShuffledHashJoin"))),
+    "dd_span_scrub" -> Seq(
+      noCartesian,
+      absent("windowspecdefinition(doc_id",
+        "occurrence windows partition by the span hash, never per doc — a " +
+          "per-doc window would serialize each doc's whole span stream"),
+      Contract(
+        "both occurrence windows (count, row_number) share ONE span-hash " +
+          "exchange — no double shuffle for the two analytics",
+        p => """Exchange hashpartitioning\(sp#""".r
+          .findAllIn(p.finalSection).length == 1),
+      Contract(
+        "corpus shuffles bounded: ≤ 6 hash exchanges end-to-end (span " +
+          "window, coverage distinct, anti join, reassembly, final join)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 6)),
     "ta_pipeline_curate" -> Seq(
       noCartesian,
       codegen("char_shingles"),

@@ -515,6 +515,23 @@ class GenScaleSpec extends SparkSpec {
     assert(farPop == far / (Similarity2.coarseTarget.toLong * 256L))
   }
 
+  test("dd_span_scrub: removal mass scales linearly across replicas") {
+    // GenScale replicas are per-replica character bijections, so a
+    // replica's internal duplicated-span structure replicates verbatim and
+    // cross-replica span collisions are (near-)impossible — total removed
+    // tokens must ~double at 2× data. A super-linear growth here would
+    // mean the canonical-occurrence rule is leaking removals across
+    // replicas (the quadratic failure mode of global dedup).
+    val base = SparkEntry.queries("dd_span_scrub")(spark, sf)
+      .agg(sum("n_removed")).head.getLong(0)
+    val tiled = SparkEntry.queries("dd_span_scrub")(spark, out)
+      .agg(sum("n_removed")).head.getLong(0)
+    assert(base > 0, "the base corpus plants duplicated spans")
+    val growth = tiled.toDouble / base
+    assert(growth >= 1.8 && growth <= 2.3,
+      s"removed-token mass grew ${growth}× at 2× data ($base → $tiled) — not linear")
+  }
+
   test("containment prefix-filter candidates grow linearly across replicas") {
     import operators.TextOps2
     // Replica texts are char-translated + rotated, so word-8-gram spans
