@@ -38,6 +38,7 @@ object Bench {
     operators.Similarity.warmVecs(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
+    operators.Curation2.warmBpe(spark, sfDir)
     streaming.Streams.warmStaging(spark, sfDir)
 
     // A failed entry is recorded by NAME and excluded from timings — a

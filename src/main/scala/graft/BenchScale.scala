@@ -66,6 +66,7 @@ object BenchScale {
     operators.Similarity.warmVecs(spark, sfDir)
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
+    operators.Curation2.warmBpe(spark, sfDir)
     streaming.Streams.warmStaging(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
