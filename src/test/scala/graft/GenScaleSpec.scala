@@ -515,6 +515,27 @@ class GenScaleSpec extends SparkSpec {
     assert(farPop == far / (Similarity2.coarseTarget.toLong * 256L))
   }
 
+  test("capstone decontamination bench set is FIXED-SIZE across corpus scale") {
+    // the r9 sf1 regression class: a corpus-proportional bench stand-in
+    // (doc_id % 97 alone) grows its 8-gram union with the corpus until
+    // background containment crosses the 0.5 gate and the pipeline
+    // empties. The bounded set (ids < 600) must not grow with replicas,
+    // and the capstone must stay non-empty at 2× data.
+    graft.functions.F.register(spark)
+    def benchGrams(dir: String): Long =
+      Tables.t(spark, dir, "documents")
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < 600)
+        .select(explode(expr("char_shingles(text, 8)")).as("sg"))
+        .distinct().count()
+    val b1 = benchGrams(sf)
+    val b2 = benchGrams(out)
+    assert(b1 == b2,
+      s"bench shingle set grew with the corpus ($b1 → $b2) — the " +
+        "decontamination gate is corpus-proportional again")
+    assert(SparkEntry.queries("ta_pipeline_curate")(spark, out).count() > 0,
+      "the capstone emptied at 2× data")
+  }
+
   test("dd_span_scrub: removal mass scales linearly across replicas") {
     // GenScale replicas are per-replica character bijections, so a
     // replica's internal duplicated-span structure replicates verbatim and

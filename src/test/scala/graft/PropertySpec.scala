@@ -84,6 +84,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_stats indexes by codepoint: matches the SQL formulation on non-BMP text") {
+    assert(registered)
+    // Spark's length()/substring() count CODEPOINTS (UTF8String), exactly
+    // like DuckDB's — so this in-plan reference formulation IS the oracle
+    // semantics. A UTF-16-indexed native implementation (the pre-r9 bug)
+    // diverges on any supplementary character: 20 pizza emoji are 20
+    // codepoints but 40 UTF-16 units, shifting every gram boundary.
+    val hExpr = "transform(sequence(1, length(s) - 7), " +
+      "i -> CAST(conv(substring(md5(substring(s, i, 8)), 1, 8), 16, 10) AS BIGINT))"
+    val picksExpr = "array_distinct(transform(sequence(1, size(h) - 3), wi -> " +
+      "aggregate(sequence(wi + 1, wi + 3), " +
+      "element_at(h, wi) * 100000L + CAST(wi AS BIGINT), " +
+      "(acc, j) -> IF(element_at(h, j) <= acc DIV 100000L, " +
+      "element_at(h, j) * 100000L + CAST(j AS BIGINT), acc))))"
+    val samples = Seq(
+      "the quick 🍕 brown 🎸 fox jumps over the 🚀 lazy dog",
+      "🍕🎸🚀" * 6,
+      "plain ascii text with no supplementary characters at all here")
+    samples.foreach { s0 =>
+      val row = Seq(Tuple1(s0)).toDF("s")
+        .withColumn("h", expr(hExpr))
+        .withColumn("picks", expr(picksExpr))
+        .select(expr("winnow_stats(s)").as("st"),
+          expr("CAST(size(h) - 3 AS BIGINT)").as("ref_windows"),
+          expr("CAST(size(picks) AS BIGINT)").as("ref_fp"),
+          expr("aggregate(picks, 0L, (a, x) -> a + x)").as("ref_sum"))
+        .head
+      val st = row.getStruct(0)
+      assert(st.getAs[Long]("n_windows") == row.getAs[Long]("ref_windows"),
+        s"n_windows diverged on '$s0'")
+      assert(st.getAs[Long]("n_fp") == row.getAs[Long]("ref_fp"),
+        s"n_fp diverged on '$s0'")
+      assert(st.getAs[Long]("fp_sum") == row.getAs[Long]("ref_sum"),
+        s"fp_sum diverged on '$s0'")
+    }
+  }
+
   test("top_bigram_stats equals the naive count on random token lists") {
     assert(registered)
     val toksGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "xyz"))
