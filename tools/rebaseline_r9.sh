@@ -48,6 +48,12 @@ python3 tools/mk_bench_sf1.py /tmp/bs01_pooled.json /tmp/bs1_pooled.json BENCH_s
 python3 tools/mk_bench_sf10.py /tmp/bs01_pooled.json /tmp/bs10_pooled.json BENCH_sf10.json
 python3 tools/mk_bench_all.py BENCH_ALL.json sf0.1=/tmp/bs01_pooled.json sf1=/tmp/bs1_pooled.json sf10=/tmp/bs10_pooled.json
 
+echo "=== scale emptiness smoke (the silently-empty-at-scale class) ==="
+SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
+  sbt -batch "runMain graft.RowSmoke $SF1 SMOKE_sf1.json"
+SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
+  sbt -batch "runMain graft.RowSmoke $SF10 SMOKE_sf10.json"
+
 echo "=== plan audits (small stats + real sf1 stats) ==="
 sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.001 PLANS_r09.md"
 sbt -batch "runMain graft.PlanAudit $SF1 PLANS_r09_sf1.md"
