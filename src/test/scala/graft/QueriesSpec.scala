@@ -6,10 +6,9 @@ package graft
   * these specs guard plan-level regressions in `sbt test`.) */
 class QueriesSpec extends SparkSpec {
 
-  /** Queries that legitimately may return zero rows at sf0.001. */
-  private val mayBeEmpty = Set("dd_minhash_lsh", "ann_lsh", "dd_ngram_jaccard",
-    "dd_embed_cosine", "q_join_anti", "q_subquery_in", "q_agg_having", "q_except",
-    "dd_edit_verify") // follows dd_minhash_lsh's candidate set
+  /** Queries that legitimately may return zero rows at sf0.001 — the
+    * single definition shared with the scale-tile smoke (RowSmoke). */
+  private val mayBeEmpty = RowSmoke.mayBeEmpty
 
   /** SURVEY §6 rule, made lintable: no DecimalType output columns. Decimal
     * physical encodings differ across engines (Spark fixed-len-byte-array vs
