@@ -88,9 +88,14 @@ object Bench {
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a
-    // downstream json.loads-per-line parse may type-check the field.
-    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    // downstream json.loads-per-line parse may type-check the field. The
+    // strict numeric pattern (no trailing dot, no bare "sf01." shapes)
+    // and the escaped string fallback keep the line valid JSON for ANY
+    // dir name — an invalid line would reintroduce parsed=null.
+    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)$".r
+      .findFirstMatchIn(sfDir.stripSuffix("/"))
+      .map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonList(failed)},"sf":$sfJson}"""
     // Emit the compact line BEFORE teardown and again LAST after
     // spark.stop(): the duplicate guards both failure modes — shutdown

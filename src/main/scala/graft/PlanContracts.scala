@@ -296,8 +296,9 @@ object PlanContracts {
         "occurrence windows partition by the span hash, never per doc — a " +
           "per-doc window would serialize each doc's whole span stream"),
       Contract(
-        "both occurrence windows (count, row_number) share ONE span-hash " +
-          "exchange — no double shuffle for the two analytics",
+        "the occurrence ranking costs exactly ONE span-hash exchange " +
+          "(rn >= 2 alone identifies removable occurrences — no second " +
+          "count-over-partition window)",
         p => """Exchange hashpartitioning\(sp#""".r
           .findAllIn(p.finalSection).length == 1),
       Contract(

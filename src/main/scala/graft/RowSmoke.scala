@@ -36,9 +36,14 @@ object RowSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // table-subset dirs (the sf10 tile) only carry some tables: skip
-    // entries whose inputs are absent rather than reporting them broken
+    // table-subset dirs (the sf10 tile) only carry some tables: entries
+    // whose inputs are absent throw, and on a subset dir that is a SKIP,
+    // not a failure. Subset-ness is decided from the FILESYSTEM (any
+    // standard table missing), not by sniffing error-message wording —
+    // a Spark upgrade that rewords the missing-path error must not turn
+    // legitimately-skipped entries into a failed smoke.
     def has(t: String) = new java.io.File(s"$sfDir/$t.parquet").exists()
+    val subsetDir = Tables.all.exists(t => !has(t))
     val counts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>
@@ -49,8 +54,8 @@ object RowSmoke {
     val emptyBad = counts.collect {
       case (n, Right(0L)) if !mayBeEmpty(n) => n
     }
-    val errored = counts.collect { case (n, Left(m)) if !m.contains("PATH_NOT_FOUND")
-      && !m.contains("Path does not exist") => n }
+    val errored = if (subsetDir) Nil
+      else counts.collect { case (n, Left(_)) => n }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val body = counts.map {
       case (n, Right(c)) => s"${q(n)}: $c"

@@ -519,6 +519,12 @@ object CdcChunks {
   private val Mask = 64L
 
   def compute(text: UTF8String): ArrayData = {
+    // UNIT CONTRACT: this kernel folds UTF-8 BYTES while its DuckDB
+    // oracle mixes units (range over strlen = bytes, ord(substr) =
+    // codepoints) — the two coincide exactly on single-byte (ASCII)
+    // text, which TablesSpec pins for the generator corpus. A
+    // multi-byte corpus needs the oracle rewritten byte-level before
+    // this expression's results are comparable cross-engine.
     val bytes = text.getBytes
     val n = bytes.length
     val bounds = scala.collection.mutable.ArrayBuffer[Int]()
@@ -923,10 +929,20 @@ object HashOps {
 
   def charShingles(str: UTF8String, n: Int): ArrayData = {
     val s = str.toString
+    // shingle boundaries by CODEPOINT (identical cost on ASCII): SQL
+    // substr/substring count codepoints on both engines, so UTF-16 unit
+    // indexing would split surrogates and shift every gram on non-BMP
+    // text — the same divergence class fixed in winnowStats (r9)
+    val ncp = s.codePointCount(0, s.length)
+    val off = new Array[Int](ncp + 1)
+    var ci = 0
+    var si = 0
+    while (ci < ncp) { off(ci) = si; si = s.offsetByCodePoints(si, 1); ci += 1 }
+    off(ncp) = s.length
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    val last = s.length - n
-    while (i <= last) { seen.add(s.substring(i, i + n)); i += 1 }
+    val last = ncp - n
+    while (i <= last) { seen.add(s.substring(off(i), off(i + n))); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -974,14 +990,20 @@ object HashOps {
     * matches length()/replace() arithmetic on the corpus's ASCII text. */
   def simpsonStats(text: UTF8String): InternalRow = {
     val s = text.toString
-    val charCounts = new java.util.HashMap[Character, Int]()
+    // characters = CODEPOINTS (the SQL split-on-'' / length() unit on
+    // both engines): charAt-per-UTF-16-unit would count a supplementary
+    // character as two surrogate "chars" and inflate n_chars/char_sumsq
+    val charCounts = new java.util.HashMap[Integer, Int]()
     val tokCounts = new java.util.HashMap[String, Int]()
     var nToks = 0L
+    var nChars = 0L
     var i = 0
     val len = s.length
     while (i < len) {
-      charCounts.merge(s.charAt(i), 1, (a, b) => a + b)
-      i += 1
+      val cp = s.codePointAt(i)
+      charCounts.merge(cp, 1, (a, b) => a + b)
+      nChars += 1
+      i += Character.charCount(cp)
     }
     i = 0
     while (i < len) {
@@ -999,7 +1021,7 @@ object HashOps {
     var tokSq = 0L
     val ti = tokCounts.values().iterator()
     while (ti.hasNext) { val c = ti.next().toLong; tokSq += c * c }
-    InternalRow(charSq, tokSq, len.toLong, nToks)
+    InternalRow(charSq, tokSq, nChars, nToks)
   }
 
   /** Space-tokenizes like filter(split(text, ' '), t -> t <> '') — empty

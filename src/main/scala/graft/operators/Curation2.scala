@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,60 @@ object Curation2 {
        |${(0 until 5).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** Gopher rule metrics, ONE definition for ta_gopher_rules and the
+    * capstone's stage 1 (four drifting copies — Spark + SQL × two
+    * entries — would silently break the composition invariant "the
+    * pipeline must not resurrect a rejected doc"). Adds toks, n_words,
+    * n_uniq, sum_len, n_sym, n_alpha, n_stop; Catalyst prunes whatever a
+    * consumer doesn't reference. */
+  private def gopherMetrics(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr(toksExpr))
+    .withColumn("n_words", expr("size(toks)").cast("long"))
+    .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
+    .withColumn("sum_len",
+      expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+    .withColumn("n_sym",
+      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+        + ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"))
+    .withColumn("n_alpha",
+      expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
+    .withColumn("n_stop",
+      expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
+
+  /** The conjunction of all five Gopher rules over gopherMetrics columns. */
+  private def gopherKeep: Column =
+    col("n_words") >= 50 && col("n_words") <= 100000 &&
+      lit(3) * col("n_words") <= col("sum_len") &&
+      col("sum_len") <= lit(10) * col("n_words") &&
+      lit(10) * col("n_sym") <= col("n_words") &&
+      lit(5) * col("n_alpha") >= lit(4) * col("n_words") &&
+      col("n_stop") >= 2
+
+  /** DuckDB mirror of gopherMetrics: CTE chain (no WITH prefix) ending
+    * with `gm(doc_id, source, n_words, n_uniq, sum_len, n_sym, n_alpha,
+    * n_stop)`. */
+  private lazy val gopherSqlCtes: String =
+    """gt AS (SELECT doc_id, source, text,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |gm AS (SELECT doc_id, source,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(toks,
+      |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+      |  FROM gt)""".stripMargin
+
+  /** DuckDB mirror of gopherKeep. */
+  private val gopherKeepSql: String =
+    "n_words >= 50 AND n_words <= 100000 " +
+      "AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words " +
+      "AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words " +
+      "AND n_stop >= 2"
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 169. Gopher quality rules (Rae et al. 2021, published thresholds):
@@ -124,18 +178,7 @@ object Curation2 {
     // Pure per-row projection — at 100 TB this is a map-only pass that
     // fuses into the parquet scan (no shuffle, no state).
     GraftQuery("ta_gopher_rules", (s, d) =>
-      docs(s, d)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_words", expr("size(toks)").cast("long"))
-        .withColumn("sum_len",
-          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-        .withColumn("n_sym",
-          (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
-            + ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"))
-        .withColumn("n_alpha",
-          expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
-        .withColumn("n_stop",
-          expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
+      gopherMetrics(docs(s, d))
         .select(
           col("doc_id"), col("n_words"),
           (col("n_words") >= 50 && col("n_words") <= 100000).as("f_count"),
@@ -147,30 +190,15 @@ object Curation2 {
         .withColumn("keep",
           col("f_count") && col("f_meanlen") && col("f_symbol")
             && col("f_alpha") && col("f_stop")),
-      Some("""WITH t AS (SELECT doc_id, text,
-             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
-             |m AS (SELECT doc_id,
-             |    CAST(len(toks) AS BIGINT) AS n_words,
-             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
-             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-             |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
-             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-             |    CAST(len(list_filter(toks,
-             |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
-             |  FROM t)
+      Some(s"""WITH $gopherSqlCtes
              |SELECT doc_id, n_words,
              |  n_words >= 50 AND n_words <= 100000 AS f_count,
              |  3 * n_words <= sum_len AND sum_len <= 10 * n_words AS f_meanlen,
              |  10 * n_sym <= n_words AS f_symbol,
              |  5 * n_alpha >= 4 * n_words AS f_alpha,
              |  n_stop >= 2 AS f_stop,
-             |  (n_words >= 50 AND n_words <= 100000)
-             |    AND (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
-             |    AND (10 * n_sym <= n_words)
-             |    AND (5 * n_alpha >= 4 * n_words)
-             |    AND (n_stop >= 2) AS keep
-             |FROM m""".stripMargin)),
+             |  ($gopherKeepSql) AS keep
+             |FROM gm""".stripMargin)),
 
     // 170. quality-percentile pruning (the DCLM/FineWeb selection shape):
     // score every doc with the ta_quality formula (identical fixed-order
@@ -422,31 +450,17 @@ object Curation2 {
     GraftQuery("ta_pipeline_curate", (s, d) => {
       graft.functions.F.register(s)
       val base = docs(s, d)
-      // 1. Gopher rule gate + quality (one map-only projection, slim manifest)
-      val manifest = base
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_toks", expr("size(toks)").cast("long"))
-        .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
-        .withColumn("sum_len",
-          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-        .withColumn("n_sym",
-          (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
-            + ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long"))
-        .withColumn("n_alpha",
-          expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("long"))
-        .withColumn("n_stop",
-          expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
-        .filter(col("n_toks") >= 50 && col("n_toks") <= 100000
-          && lit(3) * col("n_toks") <= col("sum_len")
-          && col("sum_len") <= lit(10) * col("n_toks")
-          && lit(10) * col("n_sym") <= col("n_toks")
-          && lit(5) * col("n_alpha") >= lit(4) * col("n_toks")
-          && col("n_stop") >= 2)
+      // 1. Gopher rule gate + quality (one map-only projection, slim
+      // manifest) — the SAME gopherMetrics/gopherKeep definitions as the
+      // standalone ta_gopher_rules entry, by construction
+      val manifest = gopherMetrics(base)
+        .filter(gopherKeep)
         .withColumn("quality",
-          lit(0.4) * (col("n_uniq") / col("n_toks"))
-            + lit(0.3) * least(col("n_toks") / lit(200.0), lit(1.0))
-            + lit(0.3) * least(col("sum_len") / col("n_toks") / lit(10.0), lit(1.0)))
-        .select("doc_id", "source", "n_toks", "quality")
+          lit(0.4) * (col("n_uniq") / col("n_words"))
+            + lit(0.3) * least(col("n_words") / lit(200.0), lit(1.0))
+            + lit(0.3) * least(col("sum_len") / col("n_words") / lit(10.0), lit(1.0)))
+        .select(col("doc_id"), col("source"),
+          col("n_words").as("n_toks"), col("quality"))
       // 2. per-source quality prune (top half; one slim window shuffle)
       val pruned = manifest
         .withColumn("prr", percent_rank().over(Window.partitionBy(col("source"))
@@ -514,28 +528,12 @@ object Curation2 {
           "dsir_w", "src_weight", "bin", "split")
     },
       Some(s"""${Similarity.minhashPairsSql},
-             |gt AS (SELECT doc_id, source, text,
-             |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-             |  FROM documents),
-             |gm AS (SELECT doc_id, source,
-             |    CAST(len(toks) AS BIGINT) AS n_toks,
-             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
-             |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-             |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
-             |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
-             |    CAST(len(list_filter(toks,
-             |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
-             |  FROM gt),
-             |gop AS (SELECT doc_id, source, n_toks, n_uniq, sum_len FROM gm
-             |  WHERE n_toks >= 50 AND n_toks <= 100000
-             |    AND 3 * n_toks <= sum_len AND sum_len <= 10 * n_toks
-             |    AND 10 * n_sym <= n_toks
-             |    AND 5 * n_alpha >= 4 * n_toks
-             |    AND n_stop >= 2),
-             |qq AS (SELECT doc_id, source, n_toks,
-             |    0.4 * (n_uniq / n_toks) + 0.3 * least(n_toks / 200.0, 1.0)
-             |      + 0.3 * least(sum_len / n_toks / 10.0, 1.0) AS quality
+             |$gopherSqlCtes,
+             |gop AS (SELECT doc_id, source, n_words, n_uniq, sum_len FROM gm
+             |  WHERE $gopherKeepSql),
+             |qq AS (SELECT doc_id, source, n_words AS n_toks,
+             |    0.4 * (n_uniq / n_words) + 0.3 * least(n_words / 200.0, 1.0)
+             |      + 0.3 * least(sum_len / n_words / 10.0, 1.0) AS quality
              |  FROM gop),
              |prq AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY source
              |    ORDER BY quality DESC, doc_id) AS prr FROM qq),

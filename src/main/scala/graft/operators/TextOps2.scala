@@ -131,12 +131,13 @@ object TextOps2 {
             "i -> md5(concat_ws(' ', slice(toks, i, 8))))"))
           .as(Seq("p0", "sp")))
         .withColumn("p", col("p0").cast("long") + 1).drop("p0")
-      val wS = Window.partitionBy(col("sp"))
+      // rn >= 2 alone identifies removable occurrences (a row_number of 2
+      // already proves the span occurs at least twice) — no second
+      // count-over-partition window on the hottest exchange
       val rem = spans
-        .withColumn("n_occ", count(lit(1)).over(wS))
-        .withColumn("rn",
-          row_number().over(wS.orderBy(col("doc_id"), col("p"))))
-        .filter(col("n_occ") >= 2 && col("rn") >= 2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("sp")).orderBy(col("doc_id"), col("p"))))
+        .filter(col("rn") >= 2)
         .select("doc_id", "p")
       val cov = rem
         .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("p"))
@@ -164,11 +165,10 @@ object TextOps2 {
              |    unnest(list_transform(range(1, len(toks) - 6),
              |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sp
              |  FROM t WHERE len(toks) >= 8),
-             |occ AS (SELECT doc_id, p, sp,
-             |    COUNT(*) OVER (PARTITION BY sp) AS n_occ,
+             |occ AS (SELECT doc_id, p,
              |    ROW_NUMBER() OVER (PARTITION BY sp ORDER BY doc_id, p) AS rn
              |  FROM spx),
-             |rem AS (SELECT doc_id, p FROM occ WHERE n_occ >= 2 AND rn >= 2),
+             |rem AS (SELECT doc_id, p FROM occ WHERE rn >= 2),
              |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS p FROM rem),
              |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
              |    unnest(toks) AS tok FROM t),

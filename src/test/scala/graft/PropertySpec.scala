@@ -82,6 +82,36 @@ class PropertySpec extends SparkSpec {
         assert(fast == ref, s"input='$s'")
       }
     }
+    // non-BMP pin (the generator corpus is ASCII and can't provide it):
+    // Spark substring counts codepoints, so UTF-16-unit shingling would
+    // split surrogates and shift every gram on supplementary characters
+    Seq("ab🍕cd🎸ef🚀gh", "🍕🎸🚀🍕🎸🚀", "mixed 🍕 text 🎸 here").foreach { s0 =>
+      val df = Seq(Tuple1(s0)).toDF("s")
+      val fast = df.select(expr("char_shingles(s, 3)")).head.getSeq[String](0)
+      val ref = df.select(expr(
+        "array_distinct(transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)))"))
+        .head.getSeq[String](0)
+      assert(fast == ref, s"non-BMP input='$s0'")
+    }
+  }
+
+  test("simpson_stats counts codepoints, not UTF-16 units (non-BMP pin)") {
+    assert(registered)
+    // n_chars and the char histogram must use the SQL character unit
+    // (codepoints — split(s, '') keeps surrogate pairs together); a
+    // charAt-per-unit implementation counts an emoji as two half-chars
+    Seq("🍕🍕a bb 🍕", "🎸 x 🎸 x 🚀", "plain ascii words").foreach { s0 =>
+      val row = Seq(Tuple1(s0)).toDF("s").select(
+        expr("simpson_stats(s)").as("st"),
+        expr("CAST(length(s) AS BIGINT)").as("ncp"),
+        expr("CAST(aggregate(transform(array_distinct(filter(split(s, ''), x -> x <> '')), " +
+          "ch -> CAST(size(filter(split(s, ''), x -> x = ch)) AS BIGINT)), " +
+          "0L, (a, c) -> a + c * c) AS BIGINT)").as("csq")).head
+      assert(row.getStruct(0).getAs[Long]("n_chars") == row.getAs[Long]("ncp"),
+        s"n_chars diverged on '$s0'")
+      assert(row.getStruct(0).getAs[Long]("char_sumsq") == row.getAs[Long]("csq"),
+        s"char_sumsq diverged on '$s0'")
+    }
   }
 
   test("winnow_stats indexes by codepoint: matches the SQL formulation on non-BMP text") {

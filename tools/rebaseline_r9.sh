@@ -13,10 +13,21 @@ SF1=/tmp/sf1_r8b
 SF10=/tmp/sf10_r8b
 
 echo "=== tile sf1 (10x) and sf10 (100x, table subset) ==="
-# a tile older than the base corpus is from a previous driver regen — rebuild
-for t in $SF1 $SF10; do
-  if [ -d $t ] && [ $t/documents.parquet -ot $SF01/documents.parquet ]; then
-    echo "tile $t predates $SF01 — rebuilding"; rm -rf $t
+# a tile older than the base corpus is from a previous driver regen, and a
+# tile missing any expected table is a partial write from an interrupted
+# GenScale — rebuild both (a partial tile would pass [ -d ] and silently
+# fold wrong minima into BENCH_*.json)
+expect_tables() { # $1 = tile dir, $2.. = table names
+  local t=$1; shift
+  for n in "$@"; do [ -e "$t/$n.parquet" ] || return 1; done
+}
+FULL="region nation customer supplier part orders lineitem events documents embeddings"
+SUBSET="documents embeddings events lineitem"
+for spec in "$SF1:$FULL" "$SF10:$SUBSET"; do
+  t=${spec%%:*}; tabs=${spec#*:}
+  if [ -d $t ] && { [ $t/documents.parquet -ot $SF01/documents.parquet ] \
+      || ! expect_tables $t $tabs; }; then
+    echo "tile $t stale or partial — rebuilding"; rm -rf $t
   fi
 done
 [ -d $SF1 ] || sbt -batch "runMain graft.GenScale $SF01 $SF1 10"
