@@ -302,9 +302,16 @@ object PlanContracts {
         p => """Exchange hashpartitioning\(sp#""".r
           .findAllIn(p.finalSection).length == 1),
       Contract(
-        "corpus shuffles bounded: ≤ 6 hash exchanges end-to-end (span " +
-          "window, coverage distinct, anti join, reassembly, final join)",
-        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 6)),
+        "reassembly is DUPLICATION-proportional: the corpus token array is " +
+          "never exploded (the only posexplode is the span shingle; kept " +
+          "tokens are picked by expression from the per-doc removal set) " +
+          "and there is no per-doc regroup of exploded tokens",
+        p => "posexplode".r.findAllIn(p.finalSection).length == 1
+          && !p.finalSection.contains("collect_list(struct(p")),
+      Contract(
+        "corpus shuffles bounded: ≤ 5 hash exchanges end-to-end (span " +
+          "window, per-doc removal-set agg, removal join)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 5)),
     "ta_pipeline_curate" -> Seq(
       noCartesian,
       codegen("char_shingles"),

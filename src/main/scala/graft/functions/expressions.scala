@@ -492,13 +492,19 @@ case class BloomFlagCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Content-defined chunking: md5 hex of each chunk of an ASCII text,
-  * boundaries where the 16-byte rolling polynomial hash
-  * fold((acc·257 + byte) mod 2^20) over the trailing window ≡ 0 (mod 64),
-  * end-of-text always a boundary. One O(16·n) pass per row — the
-  * interpreted HOF formulation was O(16·n²) (positional substring seeks)
-  * and went quadratic on long docs. Arithmetic identical to the oracle's
-  * per-position fold. */
+/** Content-defined chunking: md5 hex of each chunk of a text, boundaries
+  * where the 16-CODEPOINT rolling polynomial hash
+  * fold((acc·257 + codepoint) mod 2^20) over the trailing window ≡ 0
+  * (mod 64), end-of-text always a boundary. Codepoints are the unit on
+  * BOTH engines: the DuckDB oracle folds ord(substr(text, k, 1)) over
+  * range(16, length(text)+1) — DuckDB ord/substr/length are all
+  * codepoint-indexed — and chunk identity is md5 of the UTF-8 bytes of
+  * the codepoint substring, which both engines compute identically
+  * (PropertySpec pins the non-BMP case; the pre-r10 kernel folded raw
+  * UTF-8 bytes and only coincided with the oracle on ASCII text).
+  * One O(16·n) pass per row — the interpreted HOF formulation was
+  * O(16·n²) (positional substring seeks) and went quadratic on long
+  * docs. Arithmetic identical to the oracle's per-position fold. */
 case class CdcChunks(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "cdc_chunks"
@@ -519,25 +525,44 @@ object CdcChunks {
   private val Mask = 64L
 
   def compute(text: UTF8String): ArrayData = {
-    // UNIT CONTRACT: this kernel folds UTF-8 BYTES while its DuckDB
-    // oracle mixes units (range over strlen = bytes, ord(substr) =
-    // codepoints) — the two coincide exactly on single-byte (ASCII)
-    // text, which TablesSpec pins for the generator corpus. A
-    // multi-byte corpus needs the oracle rewritten byte-level before
-    // this expression's results are comparable cross-engine.
     val bytes = text.getBytes
-    val n = bytes.length
+    val nb = bytes.length
+    // one UTF-8 decode pass: codepoint values (the fold's unit) plus the
+    // byte offset where each codepoint starts (so chunk md5 can hash the
+    // original bytes without re-encoding substrings)
+    val cps = new Array[Int](nb)
+    val offs = new Array[Int](nb + 1)
+    var ncp = 0
+    var bi = 0
+    while (bi < nb) {
+      offs(ncp) = bi
+      val b0 = bytes(bi) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var k = 1
+      while (k < len) { cp = (cp << 6) | (bytes(bi + k) & 0x3f); k += 1 }
+      cps(ncp) = cp
+      ncp += 1
+      bi += len
+    }
+    offs(ncp) = nb
+    // boundary positions in CODEPOINT units, exactly the oracle's
+    // range(16, length(text)+1) per-position fold
     val bounds = scala.collection.mutable.ArrayBuffer[Int]()
     var i = W
-    while (i <= n) {
-      // same fold as the oracle: left-to-right over the trailing 16 bytes
+    while (i <= ncp) {
+      // same fold as the oracle: left-to-right over the trailing 16 codepoints
       var acc = 0L
       var k = i - W
-      while (k < i) { acc = (acc * 257 + (bytes(k) & 0xff)) % M; k += 1 }
+      while (k < i) { acc = (acc * 257 + cps(k)) % M; k += 1 }
       if (acc % Mask == 0) bounds += i
       i += 1
     }
-    if (bounds.isEmpty || bounds.last != n) bounds += n
+    if (bounds.isEmpty || bounds.last != ncp) bounds += ncp
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Any](bounds.length)
     var j = 0
@@ -545,7 +570,7 @@ object CdcChunks {
     while (j < bounds.length) {
       val hi = bounds(j)
       md.reset()
-      md.update(bytes, lo, hi - lo)
+      md.update(bytes, offs(lo), offs(hi) - offs(lo))
       val hex = md.digest().map(b => f"$b%02x").mkString
       out(j) = UTF8String.fromString(hex)
       lo = hi

@@ -113,14 +113,19 @@ object TextOps2 {
     // (doc_id, position) — the deterministic canonical), remove every
     // token covered by any OTHER occurrence, reassemble the survivors in
     // order (the ta_line_dedup pattern; ta_pii_scrub does the same for PII
-    // spans). Three bounded corpus shuffles at any scale: the per-span
-    // occurrence window (one shuffle on the 16-byte span hash; slim
-    // (doc_id, pos) rows — a boilerplate mega-span skews one partition of
-    // 3-column rows, AQE splits it), the covered-position distinct
-    // (output-proportional: only duplicated occurrences explode their 8
-    // positions), and the per-doc reassembly groupBy. Never all-pairs,
-    // never a doc×doc join — dedup cost follows DUPLICATION mass, not
-    // corpus size squared.
+    // spans). Every stage after the span window is DUPLICATION-
+    // proportional, not corpus-proportional: the per-span occurrence
+    // window (one shuffle on the 16-byte span hash; slim (doc_id, pos)
+    // rows — a boilerplate mega-span skews one partition of 3-column
+    // rows, AQE splits it), the covered-position distinct + per-doc
+    // position-set agg (only duplicated occurrences explode their 8
+    // positions), and ONE corpus join against that per-doc removal set —
+    // reassembly is a pure expression (array_except of kept positions,
+    // O(1) element_at picks), so the corpus text is never token-exploded,
+    // never regrouped, and crosses at most the one removal join (which
+    // AQE broadcasts when duplication is sparse). Never all-pairs, never
+    // a doc×doc join — dedup cost follows DUPLICATION mass, not corpus
+    // size squared.
     GraftQuery("dd_span_scrub", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.widened(s, d, "documents")
@@ -139,23 +144,25 @@ object TextOps2 {
           Window.partitionBy(col("sp")).orderBy(col("doc_id"), col("p"))))
         .filter(col("rn") >= 2)
         .select("doc_id", "p")
-      val cov = rem
+      // per-doc sorted removal-position set — rows ∝ docs WITH removals
+      val remAgg = rem
         .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("p"))
-        .distinct()
-      val kept = base
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
-        .withColumn("p", col("p0").cast("long") + 1).drop("p0")
-        .join(cov, Seq("doc_id", "p"), "left_anti")
-        .groupBy("doc_id").agg(
-          array_join(expr(
-            "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
-            " ").as("clean_text"),
-          count(lit(1)).as("n_kept"))
-      base.select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"),
-          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .groupBy("doc_id")
+        .agg(expr("array_sort(collect_set(p))").as("rm"))
+      // reassembly without a token explode: kept positions = 1..n minus
+      // rm (array_except keeps first-arg order, hash-set lookup), tokens
+      // picked by O(1) element_at — untouched docs (rm IS NULL, the
+      // overwhelming majority) pass through with their original tokens
+      base.join(remAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+          expr("CASE WHEN rm IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(size(rm) AS BIGINT) END").as("n_removed"),
+          expr("CASE WHEN rm IS NULL THEN array_join(toks, ' ') " +
+            "ELSE array_join(transform(" +
+            "array_except(sequence(1L, CAST(size(toks) AS BIGINT)), rm), " +
+            "i -> element_at(toks, CAST(i AS INT))), ' ') END").as("clean_text"))
+        .select(col("doc_id"), col("n_toks"), col("n_removed"), col("clean_text"))
     },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -271,11 +278,14 @@ object TextOps2 {
              |GROUP BY doc_id""".stripMargin)),
 
     // content-defined chunk dedup (the rsync/CDC primitive): chunk
-    // boundaries fall where a 16-byte rolling polynomial hash hits
+    // boundaries fall where a 16-codepoint rolling polynomial hash hits
     // h % 64 == 0, so boundaries move WITH content — an insertion early in
     // a doc shifts every fixed-window shingle but only local CDC chunks,
     // which is why chunk-level dedup survives edits that break offset-based
-    // schemes. Exact integer arithmetic ((acc·257 + byte) mod 2^20), chunk
+    // schemes. Codepoints are the unit on both engines (DuckDB
+    // ord/substr/length are codepoint-indexed; the kernel decodes UTF-8
+    // once and folds codepoint values — non-BMP parity pinned in
+    // PropertySpec). Exact integer arithmetic ((acc·257 + cp) mod 2^20), chunk
     // identity by md5, one global chunk-frequency shuffle; per-doc output
     // is the dup-chunk profile (the dd_span analog with content-defined
     // boundaries).
@@ -298,15 +308,15 @@ object TextOps2 {
           coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
     },
       Some("""WITH b0 AS (SELECT doc_id, text,
-             |    list_filter(range(16, strlen(text) + 1), i ->
+             |    list_filter(range(16, length(text) + 1), i ->
              |      list_reduce(list_prepend(CAST(0 AS BIGINT),
              |        list_transform(range(i - 15, i + 1), k ->
              |          CAST(ord(substr(text, CAST(k AS INTEGER), 1)) AS BIGINT))),
              |        (acc, x) -> (acc * 257 + x) % 1048576) % 64 = 0) AS b0
              |  FROM documents),
              |b AS (SELECT doc_id, text,
-             |    CASE WHEN len(b0) > 0 AND b0[CAST(len(b0) AS INTEGER)] = strlen(text)
-             |         THEN b0 ELSE list_concat(b0, [CAST(strlen(text) AS BIGINT)]) END
+             |    CASE WHEN len(b0) > 0 AND b0[CAST(len(b0) AS INTEGER)] = length(text)
+             |         THEN b0 ELSE list_concat(b0, [CAST(length(text) AS BIGINT)]) END
              |      AS bnds
              |  FROM b0),
              |c AS (SELECT doc_id, unnest(list_transform(range(1, len(bnds) + 1), j ->

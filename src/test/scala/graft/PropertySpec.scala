@@ -151,6 +151,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunks folds codepoints, not UTF-8 bytes (non-BMP pin)") {
+    assert(registered)
+    // Independent reference for the DuckDB oracle's semantics: boundary
+    // at codepoint position i (16 ≤ i ≤ length) where the left-to-right
+    // fold (acc·257 + cp) mod 2^20 over the trailing 16 CODEPOINTS is
+    // ≡ 0 (mod 64); chunk identity = md5 of the UTF-8 bytes of the
+    // codepoint substring. A byte-folding kernel (the pre-r10 bug)
+    // shifts every boundary on any multi-byte character.
+    def ref(s0: String): Seq[String] = {
+      val cps = s0.codePoints().toArray
+      val bounds = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- 16 to cps.length) {
+        var acc = 0L
+        ((i - 16) until i).foreach { k => acc = (acc * 257 + cps(k)) % 1048576L }
+        if (acc % 64 == 0) bounds += i
+      }
+      if (bounds.isEmpty || bounds.last != cps.length) bounds += cps.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var lo = 0
+      bounds.toSeq.map { hi =>
+        val chunk = new String(cps, lo, hi - lo)
+        lo = hi
+        md.reset()
+        md.digest(chunk.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    }
+    val sGen = Gen.listOfN(120, Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "ü"),          // 2-byte UTF-8
+      1 -> Gen.oneOf("中", "文", "語"),        // 3-byte UTF-8
+      1 -> Gen.oneOf("🍕", "🎸", "🚀"))).map(_.mkString) // 4-byte, non-BMP
+    forAll(sGen, 15) { s0 =>
+      val got = Seq(Tuple1(s0)).toDF("s")
+        .select(expr("cdc_chunks(s)")).head.getSeq[String](0)
+      assert(got == ref(s0), s"cdc_chunks diverged on '$s0'")
+    }
+    // plus fixed cases: all-supplementary, short (< window), empty
+    Seq("🍕🎸🚀" * 8, "短い", "").foreach { s0 =>
+      val got = Seq(Tuple1(s0)).toDF("s")
+        .select(expr("cdc_chunks(s)")).head.getSeq[String](0)
+      assert(got == ref(s0), s"cdc_chunks diverged on '$s0'")
+    }
+  }
+
   test("top_bigram_stats equals the naive count on random token lists") {
     assert(registered)
     val toksGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "xyz"))

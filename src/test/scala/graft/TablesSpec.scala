@@ -67,19 +67,4 @@ class TablesSpec extends SparkSpec {
     assert(a === micros.sorted)
   }
 
-  test("generator corpus text is single-byte (ASCII): the CDC byte/char unit contract") {
-    // cdc_chunks folds UTF-8 BYTES while its DuckDB oracle mixes units
-    // (strlen = bytes, ord(substr) = codepoints) — the two coincide only
-    // on single-byte text (documented at CdcChunks.compute). Pin the
-    // data assumption so a driver regen that introduces multi-byte text
-    // fails HERE with a named cause instead of as a dd_chunk_dedup hash
-    // mismatch. (The codepoint-indexed kernels — winnow_stats,
-    // char_shingles, simpson_stats — are correct on any text and don't
-    // need this.)
-    val nonAscii = Tables.t(spark, sf, "documents")
-      .filter(length(col("text")) =!= octet_length(col("text"))).count()
-    assert(nonAscii == 0,
-      s"$nonAscii docs contain multi-byte text — rewrite dd_chunk_dedup's " +
-        "oracle byte-level before trusting its cross-engine hash")
-  }
 }
