@@ -84,7 +84,8 @@ object Bench {
       "st_late_data", "st_recovery", "st_session_window",
       "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_line_dedup",
       "ta_tfidf", "ta_pack_sequences",
-      "ta_pipeline_curate", "dd_span_scrub", "ta_dsir", "ta_bpe_apply",
+      "ta_pipeline_curate", "ta_pipeline_scrub", "dd_span_scrub",
+      "ta_dsir", "ta_bpe_apply",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a
@@ -92,7 +93,7 @@ object Bench {
     // strict numeric pattern (no trailing dot, no bare "sf01." shapes)
     // and the escaped string fallback keep the line valid JSON for ANY
     // dir name — an invalid line would reintroduce parsed=null.
-    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)$".r
+    val sfJson = "sf((?:0|[1-9][0-9]*)(?:\\.[0-9]+)?)$".r
       .findFirstMatchIn(sfDir.stripSuffix("/"))
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")

@@ -312,6 +312,31 @@ object PlanContracts {
         "corpus shuffles bounded: ≤ 5 hash exchanges end-to-end (span " +
           "window, per-doc removal-set agg, removal join)",
         p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 5)),
+    "ta_pipeline_scrub" -> Seq(
+      noCartesian,
+      Contract(
+        "corpus TEXT never crosses a shuffle in any of the three rewriting " +
+          "stages: every Generate in the final plan is a hashed-key " +
+          "posexplode (4-word segment md5s, word-8-gram span md5s; the " +
+          "segment explode prints twice — freq + semi-join branches) or a " +
+          "removal-sequence explode — never a Generate of raw tokens, and " +
+          "no per-doc regroup of exploded text",
+        p => "posexplode".r.findAllIn(p.finalSection).length <= 4
+          && !p.full.contains("Generate posexplode(toks")
+          && !p.full.contains("Generate explode(toks")
+          && !p.full.contains("collect_list(struct(p")
+          && !p.full.contains("collect_list(struct(pos")),
+      Contract(
+        "the line-deduped intermediate corpus is materialized ONCE " +
+          "(persisted partition-local) and both span-stage branches read " +
+          "the cached copy, not a recomputed lineage",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "corpus-wide keyed shuffles are BOUNDED: the 3-stage rewrite moves " +
+          "the corpus through at most 8 hash exchanges in the final plan " +
+          "(segment freq + semi-join + removal agg + removal join; span " +
+          "window + removal agg + removal join)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 8)),
     "ta_pipeline_curate" -> Seq(
       noCartesian,
       codegen("char_shingles"),

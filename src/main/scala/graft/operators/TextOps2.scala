@@ -59,6 +59,118 @@ object TextOps2 {
       .select("ia", "ib").distinct()
   }
 
+  // ---- shared REWRITING-stage definitions -------------------------------
+  // Single-sourced between the standalone entries (ta_pii_scrub,
+  // ta_line_dedup, dd_span_scrub) and the composed text-rewriting capstone
+  // (ta_pipeline_scrub) — the Curation2 Gopher/DSIR discipline: one
+  // definition, no drifting copies. All three rewriting stages share one
+  // scale posture: the corpus TEXT never crosses a shuffle. Only hashed
+  // keys (segment/span md5) and (doc_id, position) pairs shuffle; each
+  // stage reduces to a per-doc sorted removal-position set (rows ∝ docs
+  // WITH removals — duplication-proportional) and the text is rebuilt by
+  // a pure expression behind one removal join.
+
+  /** PII regexes (redaction order matters: emails contain digits). */
+  private[graft] val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val piiIpv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private[graft] val piiDigits = "\\d{13,16}"
+
+  /** The synthetic corpus carries no PII, so each doc gets a deterministic
+    * planted suffix (derived from doc_id identically in both engines). */
+  private[graft] def piiPlanted: org.apache.spark.sql.Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" card 4111111111111111"))
+
+  private[graft] def piiCount(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (size(regexp_extract_all(raw, lit(piiEmail), lit(0))).cast("long")
+      + size(regexp_extract_all(raw, lit(piiIpv4), lit(0)))
+      + size(regexp_extract_all(raw, lit(piiDigits), lit(0))))
+
+  /** typed Column API (not expr()): regex backslashes must reach the
+    * engine verbatim, not pass through SQL-literal unescaping */
+  private[graft] def piiScrub(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(raw,
+      piiEmail, "[EMAIL]"), piiIpv4, "[IP]"), piiDigits, "[NUM]")
+
+  /** Oracle-side fragments for the same three definitions. */
+  private[graft] val piiPlantSql =
+    "text || ' contact user' || doc_id || '@example.com or 10.' " +
+      "|| (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) " +
+      "|| ' card 4111111111111111'"
+  private[graft] def piiCountSql(raw: String): String =
+    s"""CAST(len(regexp_extract_all($raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+       |    + len(regexp_extract_all($raw, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))
+       |    + len(regexp_extract_all($raw, '\\d{13,16}')) AS BIGINT)""".stripMargin
+  private[graft] def piiScrubSql(raw: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($raw,
+       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+       |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g'),
+       |    '\\d{13,16}', '[NUM]', 'g')""".stripMargin
+
+  /** Line-dedup stage (C4/RefinedWeb boilerplate removal over fixed 4-word
+    * segments): per-doc sorted indices of segments occurring in ≥ 3
+    * distinct docs. Input needs (doc_id, toks); segments shuffle as md5
+    * hashes only. */
+  private[graft] def segRemovedPos(tk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val segs = tk.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST((size(toks) - 1) / 4 AS INT)), " +
+          "j -> md5(array_join(slice(toks, 4 * j + 1, 4), ' ')))"))
+        .as(Seq("pos", "sg")))
+    val dup = segs.groupBy("sg").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 3).select("sg")
+    segs.join(dup, Seq("sg"), "left_semi")
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_list(CAST(pos AS BIGINT)))").as("rml"))
+  }
+
+  /** Rebuild after line dedup: kept segment indices = 0..nseg-1 minus rml
+    * (array_except keeps order, hash-set lookup), segments re-derived by
+    * O(1) slices; rml IS NULL (the common case) passes the doc through. */
+  private[graft] val segCleanExpr =
+    "CASE WHEN rml IS NULL THEN array_join(toks, ' ') " +
+      "ELSE array_join(transform(" +
+      "array_except(sequence(0L, CAST((size(toks) - 1) DIV 4 AS BIGINT)), rml), " +
+      "j -> array_join(slice(toks, CAST(4 * j AS INT) + 1, 4), ' ')), ' ') END"
+  private[graft] val segRemovedCountExpr =
+    "CASE WHEN rml IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(size(rml) AS BIGINT) END"
+
+  /** Span-scrub stage (Lee et al. 2022 exact-substring dedup): per-doc
+    * sorted token positions covered by a NON-FIRST occurrence of a
+    * duplicated word-8-gram (first by (doc_id, position) — the
+    * deterministic canonical). One shuffle on the 16-byte span hash;
+    * rn ≥ 2 alone identifies removable occurrences (a row_number of 2
+    * already proves the span occurs at least twice — no second
+    * count-over-partition window on the hottest exchange). */
+  private[graft] def spanRemovedPos(tk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tk.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> md5(concat_ws(' ', slice(toks, i, 8))))"))
+        .as(Seq("p0", "sp")))
+      .withColumn("p", col("p0").cast("long") + 1).drop("p0")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sp")).orderBy(col("doc_id"), col("p"))))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("p"))
+      .groupBy("doc_id")
+      .agg(expr("array_sort(collect_set(p))").as("rm"))
+  }
+
+  /** Rebuild after span scrub: kept positions = 1..n minus rm, tokens
+    * picked by O(1) element_at. */
+  private[graft] val spanCleanExpr =
+    "CASE WHEN rm IS NULL THEN array_join(toks, ' ') " +
+      "ELSE array_join(transform(" +
+      "array_except(sequence(1L, CAST(size(toks) AS BIGINT)), rm), " +
+      "i -> element_at(toks, CAST(i AS INT))), ' ') END"
+  private[graft] val spanRemovedCountExpr =
+    "CASE WHEN rm IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(size(rm) AS BIGINT) END"
+
   val defs: Seq[GraftQuery] = Seq(
 
     // duplicated-span signal (word-8-gram analog of exact-substring dedup,
@@ -127,42 +239,15 @@ object TextOps2 {
     // a doc×doc join — dedup cost follows DUPLICATION mass, not corpus
     // size squared.
     GraftQuery("dd_span_scrub", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val base = Tables.widened(s, d, "documents")
         .withColumn("toks", expr(toksExpr))
-      val spans = base.filter(size(col("toks")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(toks) - 7), " +
-            "i -> md5(concat_ws(' ', slice(toks, i, 8))))"))
-          .as(Seq("p0", "sp")))
-        .withColumn("p", col("p0").cast("long") + 1).drop("p0")
-      // rn >= 2 alone identifies removable occurrences (a row_number of 2
-      // already proves the span occurs at least twice) — no second
-      // count-over-partition window on the hottest exchange
-      val rem = spans
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("sp")).orderBy(col("doc_id"), col("p"))))
-        .filter(col("rn") >= 2)
-        .select("doc_id", "p")
-      // per-doc sorted removal-position set — rows ∝ docs WITH removals
-      val remAgg = rem
-        .select(col("doc_id"), explode(expr("sequence(p, p + 7)")).as("p"))
-        .groupBy("doc_id")
-        .agg(expr("array_sort(collect_set(p))").as("rm"))
-      // reassembly without a token explode: kept positions = 1..n minus
-      // rm (array_except keeps first-arg order, hash-set lookup), tokens
-      // picked by O(1) element_at — untouched docs (rm IS NULL, the
-      // overwhelming majority) pass through with their original tokens
-      base.join(remAgg, Seq("doc_id"), "left")
+      // reassembly without a token explode: untouched docs (rm IS NULL,
+      // the overwhelming majority) pass through with their original tokens
+      base.join(spanRemovedPos(base), Seq("doc_id"), "left")
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-          expr("CASE WHEN rm IS NULL THEN CAST(0 AS BIGINT) " +
-            "ELSE CAST(size(rm) AS BIGINT) END").as("n_removed"),
-          expr("CASE WHEN rm IS NULL THEN array_join(toks, ' ') " +
-            "ELSE array_join(transform(" +
-            "array_except(sequence(1L, CAST(size(toks) AS BIGINT)), rm), " +
-            "i -> element_at(toks, CAST(i AS INT))), ' ') END").as("clean_text"))
-        .select(col("doc_id"), col("n_toks"), col("n_removed"), col("clean_text"))
+          expr(spanRemovedCountExpr).as("n_removed"),
+          expr(spanCleanExpr).as("clean_text"))
     },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -235,30 +320,22 @@ object TextOps2 {
     // corpus-level line dedup (C4/RefinedWeb boilerplate removal): drop any
     // "line" occurring in >= 3 distinct docs, keep the rest in order. The
     // synthetic docs are single-line, so fixed 4-word segments stand in for
-    // lines (same plan shape: explode → global frequency → re-join →
-    // ordered reassembly). Scale: two shuffles — segment-frequency agg
-    // (map-side combined) and the per-doc regroup; the frequency join is
-    // on the exploded segment key, never all-pairs, and reassembly sorts
-    // WITHIN each doc's collected list, not globally.
+    // lines. Scale (the shared rewriting-stage shape): segments shuffle as
+    // md5 HASHES only — frequency agg (map-side combined), semi-join to the
+    // duplicated-hash set, per-doc removal-index agg (rows ∝ docs with
+    // removals) — and the text is rebuilt by expression behind one removal
+    // join; never all-pairs, no per-doc regroup of raw segments.
     GraftQuery("ta_line_dedup", (s, d) => {
       // zero-token guard on BOTH engines: without it the Spark side's
       // sequence(0, CAST((size-1)/4 AS INT)) emits one empty segment for
       // an empty doc while the oracle's range(0, (len+3)//4) emits none
-      val segs = Tables.widened(s, d, "documents")
+      val tk = Tables.widened(s, d, "documents")
         .withColumn("toks", expr(toksExpr))
         .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, CAST((size(toks) - 1) / 4 AS INT)), " +
-            "j -> array_join(slice(toks, 4 * j + 1, 4), ' '))"))
-          .as(Seq("pos", "seg")))
-      val freq = segs.groupBy("seg").agg(countDistinct("doc_id").as("nd"))
-      segs.join(freq, "seg")
-        .groupBy("doc_id")
-        .agg(
-          array_join(expr(
-            "transform(array_sort(collect_list(IF(nd < 3, struct(pos, seg), NULL))), x -> x.seg)"),
-            " ").as("clean_text"),
-          sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_removed"))
+      tk.join(segRemovedPos(tk), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr(segCleanExpr).as("clean_text"),
+          expr(segRemovedCountExpr).as("n_removed"))
     },
       Some("""WITH t AS (SELECT doc_id,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -597,38 +674,17 @@ object TextOps2 {
     // the scrubbed text must hash-match. Redaction order matters (emails
     // contain digits): email → IPv4 → digit runs. Pure projection.
     GraftQuery("ta_pii_scrub", (s, d) => {
-      val withPii = concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
-        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
-        lit(" card 4111111111111111"))
-      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val ipv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
-      val digits = "\\d{13,16}"
-      // typed Column API (not expr()): regex backslashes must reach the
-      // engine verbatim, not pass through SQL-literal unescaping
       docs(s, d)
-        .withColumn("raw", withPii)
+        .withColumn("raw", piiPlanted)
         .select(col("doc_id"),
-          (size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long")
-            + size(regexp_extract_all(col("raw"), lit(ipv4), lit(0)))
-            + size(regexp_extract_all(col("raw"), lit(digits), lit(0)))).as("n_pii"),
-          regexp_replace(regexp_replace(regexp_replace(col("raw"),
-            email, "[EMAIL]"), ipv4, "[IP]"), digits, "[NUM]").as("scrubbed"))
+          piiCount(col("raw")).as("n_pii"),
+          piiScrub(col("raw")).as("scrubbed"))
     },
-      Some("""WITH r AS (SELECT doc_id,
-             |    text || ' contact user' || doc_id || '@example.com or 10.'
-             |      || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
-             |      || ' card 4111111111111111' AS raw
+      Some(s"""WITH r AS (SELECT doc_id, $piiPlantSql AS raw
              |  FROM documents)
              |SELECT doc_id,
-             |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
-             |    + len(regexp_extract_all(raw, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
-             |    + len(regexp_extract_all(raw, '\d{13,16}')) AS BIGINT) AS n_pii,
-             |  regexp_replace(regexp_replace(regexp_replace(raw,
-             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-             |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
-             |    '\d{13,16}', '[NUM]', 'g') AS scrubbed
+             |  ${piiCountSql("raw")} AS n_pii,
+             |  ${piiScrubSql("raw")} AS scrubbed
              |FROM r""".stripMargin)),
 
     // 165. asymmetric CONTAINMENT join (C(A,B) = |A∩B| / |A| over word
@@ -743,6 +799,98 @@ object TextOps2 {
              |  CAST(len(h) - 3 AS BIGINT) AS n_windows,
              |  CAST(len(fp) AS BIGINT) AS n_fp,
              |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // 182. the text-REWRITING capstone: what a pipeline actually
+    // materializes before tokenization, as ONE declarative plan —
+    // PII scrub → corpus-level line dedup → duplicated-span scrub →
+    // final clean corpus with per-doc removal accounting (the manifest
+    // capstone ta_pipeline_curate composes the SELECTION stack; this
+    // composes the stack that REWRITES text). Every stage is the shared
+    // definition its standalone entry uses (piiScrub / segRemovedPos /
+    // spanRemovedPos — the Curation2 Gopher/DSIR single-source
+    // discipline), and the composition is where scrubbing pays twice:
+    // redaction normalizes per-doc-unique PII into IDENTICAL placeholder
+    // tokens, which the dedup stages then catch as the boilerplate it
+    // just became. Scale posture (the whole point of the shared shape):
+    // corpus TEXT never crosses a shuffle in ANY stage — only md5 keys
+    // and (doc_id, position) pairs shuffle, each stage reduces to a
+    // duplication-proportional per-doc removal set, and text is rebuilt
+    // by expression behind one removal join per stage. The line-deduped
+    // intermediate (the one corpus-sized artifact both span-stage
+    // branches read) is persisted partition-local, exactly what a real
+    // pipeline would materialize between passes.
+    GraftQuery("ta_pipeline_scrub", (s, d) => {
+      // persisted: the scrub stage's output feeds three branches (segment
+      // explode, duplicated-segment set, removal join) — cache the regex
+      // pass once instead of re-scrubbing the corpus per branch
+      val tk1 = OpCache.track(s, docs(s, d)
+        .withColumn("raw", piiPlanted)
+        .select(col("doc_id"),
+          piiCount(col("raw")).as("n_pii"),
+          piiScrub(col("raw")).as("t1"))
+        .withColumn("toks", expr("filter(split(t1, ' '), t -> t <> '')"))
+        .persist())
+      val s2 = tk1.join(segRemovedPos(tk1), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pii"),
+          expr(segRemovedCountExpr).as("n_seg_removed"),
+          expr(segCleanExpr).as("t2"))
+      val tk2 = OpCache.track(s, s2
+        .withColumn("toks", expr("filter(split(t2, ' '), t -> t <> '')"))
+        .persist())
+      tk2.join(spanRemovedPos(tk2), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pii"), col("n_seg_removed"),
+          expr(spanRemovedCountExpr).as("n_span_removed"),
+          (expr("CAST(size(toks) AS BIGINT)")
+            - expr(spanRemovedCountExpr)).as("n_toks_final"),
+          expr(spanCleanExpr).as("clean_text"))
+    },
+      Some(s"""WITH r AS (SELECT doc_id, $piiPlantSql AS raw
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |  ${piiCountSql("raw")} AS n_pii,
+             |  ${piiScrubSql("raw")} AS t1
+             |  FROM r),
+             |tk1 AS MATERIALIZED (SELECT doc_id, n_pii,
+             |    list_filter(string_split(t1, ' '), x -> x <> '') AS toks
+             |  FROM s1),
+             |seg AS (SELECT doc_id, unnest(range(0, (len(toks) + 3) // 4)) AS pos,
+             |    unnest(list_transform(range(0, (len(toks) + 3) // 4),
+             |      j -> array_to_string(list_slice(toks, 4 * j + 1, 4 * j + 4), ' '))) AS seg
+             |  FROM tk1 WHERE len(toks) > 0),
+             |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY seg),
+             |l2 AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list(seg ORDER BY pos) FILTER (WHERE nd < 3), ' '),
+             |      '') AS t2,
+             |    CAST(COUNT(*) FILTER (WHERE nd >= 3) AS BIGINT) AS n_seg_removed
+             |  FROM seg JOIN freq USING (seg) GROUP BY doc_id),
+             |tk2 AS MATERIALIZED (SELECT tk1.doc_id, tk1.n_pii,
+             |    COALESCE(l2.n_seg_removed, 0) AS n_seg_removed,
+             |    list_filter(string_split(COALESCE(l2.t2, ''), ' '), x -> x <> '') AS toks
+             |  FROM tk1 LEFT JOIN l2 USING (doc_id)),
+             |spx AS (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS p,
+             |    unnest(list_transform(range(1, len(toks) - 6),
+             |      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sp
+             |  FROM tk2 WHERE len(toks) >= 8),
+             |occ AS (SELECT doc_id, p,
+             |    ROW_NUMBER() OVER (PARTITION BY sp ORDER BY doc_id, p) AS rn
+             |  FROM spx),
+             |rem AS (SELECT doc_id, p FROM occ WHERE rn >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS p FROM rem),
+             |ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_span_removed
+             |  FROM cov GROUP BY doc_id),
+             |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+             |    unnest(toks) AS tok FROM tk2),
+             |kept AS (SELECT tok.doc_id, tok.p, tok.tok
+             |  FROM tok ANTI JOIN cov USING (doc_id, p)),
+             |re AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list(tok ORDER BY p), ' '), '') AS clean_text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT tk2.doc_id, tk2.n_pii, tk2.n_seg_removed,
+             |  COALESCE(ncov.n_span_removed, 0) AS n_span_removed,
+             |  CAST(len(tk2.toks) AS BIGINT) - COALESCE(ncov.n_span_removed, 0)
+             |    AS n_toks_final,
+             |  COALESCE(re.clean_text, '') AS clean_text
+             |FROM tk2 LEFT JOIN ncov USING (doc_id) LEFT JOIN re USING (doc_id)""".stripMargin))
   )
 }

@@ -276,4 +276,32 @@ class OpInvariantsSpec extends SparkSpec {
         "the corpus plants near-dup docs — scrubbing must remove something")
     } finally { out.unpersist(); () }
   }
+
+  test("ta_pipeline_scrub: every doc survives; stages match their standalone ops") {
+    val out = run("ta_pipeline_scrub").cache()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      assert(out.count() == docs.count(), "rewriting annotates every doc")
+      assert(out.select("doc_id").distinct().count() == docs.count(), "one row per doc")
+      // stage-1 composition consistency: n_pii is exactly the standalone
+      // ta_pii_scrub count (shared definition — must not drift)
+      val solo = run("ta_pii_scrub").select(col("doc_id"), col("n_pii").as("solo_pii"))
+      assert(out.join(solo, "doc_id")
+        .filter(col("n_pii") =!= col("solo_pii")).count() == 0,
+        "capstone stage-1 n_pii diverged from standalone ta_pii_scrub")
+      // accounting identity: the final text's token count IS n_toks_final
+      val bad = out.filter(
+        expr("CAST(size(filter(split(clean_text, ' '), t -> t <> '')) AS BIGINT)")
+          =!= col("n_toks_final"))
+      assert(bad.count() == 0, "clean_text token count must equal n_toks_final")
+      assert(out.filter(col("n_seg_removed") < 0 || col("n_span_removed") < 0
+        || col("n_toks_final") < 0).count() == 0)
+      // every stage is OBSERVABLE on this corpus: the scrub normalizes
+      // per-doc-unique PII into identical placeholder tokens, which the
+      // dedup stages then remove as the boilerplate it just became
+      val sums = out.agg(sum("n_pii"), sum("n_seg_removed"), sum("n_span_removed")).head
+      assert(sums.getLong(0) > 0 && sums.getLong(1) > 0 && sums.getLong(2) > 0,
+        s"all three rewriting stages must fire on this corpus: $sums")
+    } finally { out.unpersist(); () }
+  }
 }
