@@ -85,7 +85,7 @@ object Bench {
       "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_line_dedup",
       "ta_tfidf", "ta_pack_sequences",
       "ta_pipeline_curate", "ta_pipeline_scrub", "dd_span_scrub",
-      "ta_dsir", "ta_bpe_apply",
+      "ta_dsir", "ta_quality_classifier", "ta_bpe_apply",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a

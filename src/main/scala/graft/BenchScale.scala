@@ -76,6 +76,10 @@ object BenchScale {
     // silently-corrupted min_total invalidates every scaling conclusion
     // downstream (tools/pool_mins.py refuses failed entries). NonFatal
     // only: an OOM should kill the run, not be recorded as a data point.
+    // FIRST iteration kept alongside min: OpCache memos and entry-local
+    // persists make later iterations reflect the warmest run, so the min
+    // is the AMORTIZED cost and the first successful iteration is the
+    // cold cost — both are real, and BENCH_ALL carries both.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (0 until iters).flatMap { _ =>
@@ -87,20 +91,22 @@ object BenchScale {
           System.err.println(s"[bench-scale] $name FAILED: ${e.getMessage}")
           None
         }
-      }.sorted
+      }
       System.err.println(f"[bench-scale] $name: ${times.mkString("s, ")}s")
-      if (times.isEmpty) (name, None, None)
-      else (name, Some(times.head), Some(times(times.length / 2)))
+      val sorted = times.sorted
+      if (sorted.isEmpty) (name, None, None, None)
+      else (name, Some(sorted.head), Some(sorted(sorted.length / 2)),
+        Some(times.head))
     }
     def jnum(v: Option[Double]): String = v.fold("null")(x => f"$x%.3f")
-    def jmap(f: ((String, Option[Double], Option[Double])) => Option[Double]): String =
+    def jmap(f: ((String, Option[Double], Option[Double], Option[Double])) => Option[Double]): String =
       results.map { r => "\"" + r._1 + "\":" + jnum(f(r)) }.mkString("{", ",", "}")
     val failed = results.filter(_._2.isEmpty).map(_._1)
     val minTotal = results.flatMap(_._2).sum
     val medTotal = results.flatMap(_._3).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"min_total","value":$minTotal%.3f,"median_total":$medTotal%.3f,"unit":"sec","iters":$iters,"n_queries":${results.size},"failed":$failedJson,"queries_min":${jmap(_._2)},"queries_median":${jmap(_._3)},"sf":"$sfDir"}"""
+      f"""{"metric":"min_total","value":$minTotal%.3f,"median_total":$medTotal%.3f,"unit":"sec","iters":$iters,"n_queries":${results.size},"failed":$failedJson,"queries_min":${jmap(_._2)},"queries_median":${jmap(_._3)},"queries_first":${jmap(_._4)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -358,6 +358,22 @@ object PlanContracts {
           "groupBy, DSIR gram histograms, packing window, survivor-count " +
           "agg; 10 at sf0.001) — a per-stage corpus re-read would multiply this",
         p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 12)),
+    "ta_quality_classifier" -> Seq(
+      noCartesian,
+      // (no codegen(md5_buckets) pin: the expression evaluates inside the
+      // shared feature-store CACHE BUILD — columnar cache materialization
+      // sits outside whole-stage codegen by design; the expression's own
+      // codegen is pinned via ta_dsir/PropertySpec)
+      Contract(
+        "the weight vector joins the corpus as a DECLARED one-row broadcast " +
+          "(BroadcastNestedLoopJoin — survives big stats)",
+        p => p.full.contains("BroadcastNestedLoopJoin")),
+      Contract(
+        "the corpus side is MAP-ONLY: every hash exchange in the plan " +
+          "belongs to the bounded labeled-slice histograms (explode of the " +
+          "fixed-size slice + two 64-row aggs), never to the scoring pass — " +
+          "≤ 2 hash exchanges total and no corpus-keyed shuffle",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 2)),
     "emb_centroid_gate" -> Seq(
       noCartesian,
       Contract(

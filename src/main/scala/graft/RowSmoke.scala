@@ -38,12 +38,15 @@ object RowSmoke {
     spark.sparkContext.setLogLevel("WARN")
     // table-subset dirs (the sf10 tile) only carry some tables: entries
     // whose inputs are absent throw, and on a subset dir that is a SKIP,
-    // not a failure. Subset-ness is decided from the FILESYSTEM (any
-    // standard table missing), not by sniffing error-message wording —
-    // a Spark upgrade that rewords the missing-path error must not turn
-    // legitimately-skipped entries into a failed smoke.
+    // not a failure. The skip decision is PER ENTRY: an error is a skip
+    // only when its message references a table that is actually missing
+    // on disk (the thrown path names the parquet) — a genuine runtime
+    // regression in an entry whose tables ARE present must still fail
+    // the smoke, even on a subset tile. Missing-ness is decided from the
+    // FILESYSTEM; a Spark upgrade that rewords the missing-path error
+    // fails LOUD (entry lands in errored) rather than silently skipping.
     def has(t: String) = new java.io.File(s"$sfDir/$t.parquet").exists()
-    val subsetDir = Tables.all.exists(t => !has(t))
+    val missing = Tables.all.filterNot(has)
     val counts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>
@@ -54,9 +57,22 @@ object RowSmoke {
     val emptyBad = counts.collect {
       case (n, Right(0L)) if !mayBeEmpty(n) => n
     }
-    val errored = if (subsetDir) Nil
-      else counts.collect { case (n, Left(_)) => n }
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errored = counts.collect {
+      case (n, Left(m))
+        if !missing.exists(t => m.contains(t + ".parquet")) => n
+    }
+    // JSON string escape incl. ALL control chars (Spark exception
+    // messages routinely carry newlines/tabs — an unescaped one would
+    // make the whole smoke artifact unparseable)
+    def q(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val body = counts.map {
       case (n, Right(c)) => s"${q(n)}: $c"
       case (n, Left(m)) => s"${q(n)}: ${q("ERR: " + m)}"

@@ -27,24 +27,45 @@ object Curation2 {
 
   private val toksExpr = "filter(split(text, ' '), t -> t <> '')"
 
-  /** The declarative 5-iteration BPE chain shared by ta_bpe_learn (the
-    * merge table) and ta_bpe_apply (the final vocabulary symbol table).
-    * Per iteration: pair counts (explode → partial-agg), argmax pair as a
-    * distributed TakeOrdered(1), ONE broadcast row back, greedy
-    * left-to-right merge as a per-word array fold. No collect, no driver
-    * loop over data; the per-iteration working set is the VOCABULARY
-    * (persisted once — the corpus is read exactly once, for the word
-    * count). Returns (merges: it/l/r/cnt, syms5: word/freq/syms). */
+  /** BPE batch size: merges learned per iteration (M), from a top-2M
+    * candidate pool (K). The capacity knob on the VOCABULARY axis
+    * (SURVEY §5): the plan chain is O(iterations) deep, so a target
+    * vocabulary of V merges costs V/M iterations of plan depth — at
+    * M = 1 (the classic algorithm) a 30k-merge tokenizer would need a
+    * 30k-stage plan; batching is the published scale path (one frequency
+    * count amortizes across every merge in the batch). */
+  private[graft] val bpeBatch = 8
+  private[graft] val bpeCand = 16
+  private[graft] val bpeIters = 5
+
+  /** The declarative BATCHED BPE chain shared by ta_bpe_learn (the merge
+    * table) and ta_bpe_apply (the final vocabulary symbol table). Per
+    * iteration: pair counts (explode → partial-agg), top-K candidate pool
+    * as a distributed TakeOrdered(K), then up to M NON-CONFLICTING merges
+    * chosen by PARALLEL GREEDY — keep a candidate iff no higher-ranked
+    * candidate shares a symbol with it (deterministic, declarative: a
+    * ≤K-row self-anti-join, no sequential driver scan). Disjoint symbol
+    * sets make the one-pass left-to-right fold order-independent: a batch
+    * member can never consume another member's symbol, and a freshly
+    * merged symbol is new — no member matches it. One broadcast row
+    * carries the batch back; no collect, no driver loop over data; the
+    * per-iteration working set is the VOCABULARY (persisted once — the
+    * corpus is read exactly once, for the word count).
+    * Returns (merges: it/rk/l/r/cnt, syms5: word/freq/syms). */
   private def bpeChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val words = OpCache.memo(s, "bpewords|" + d)(
       docs(s, d)
         .select(explode(expr(toksExpr)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .persist())
+    // the batch arrives as one broadcast row mb: array<struct<l,r>>
     val mergeFold =
       "aggregate(syms, cast(array() as array<string>), (out, x) -> " +
-        "IF(size(out) > 0 AND element_at(out, size(out)) = ml AND x = mr, " +
-        "concat(slice(out, 1, size(out) - 1), array(concat(ml, mr))), " +
+        "IF(size(out) > 0 AND exists(mb, p -> " +
+        "p.l = element_at(out, size(out)) AND p.r = x), " +
+        "concat(slice(out, 1, size(out) - 1), " +
+        "array(concat(element_at(out, size(out)), x))), " +
         "concat(out, array(x))))"
     val pairsExpr =
       "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
@@ -52,18 +73,30 @@ object Curation2 {
         "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
     var syms = words.withColumn("syms", expr("split(word, '')"))
     var merges: DataFrame = null
-    for (i <- 0 until 5) {
-      val best = syms
+    for (i <- 0 until bpeIters) {
+      // single-partition windows are fine here: both rank over ≤ K rows
+      val cand = syms
         .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-      val row = best.select(lit(i.toLong).as("it"), col("l"), col("r"), col("cnt"))
-      merges = if (merges == null) row else merges.unionAll(row)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(bpeCand)
+        .withColumn("rk0", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l"), col("r"))))
+      val kept = cand.as("a")
+        .join(cand.as("b"),
+          col("b.rk0") < col("a.rk0") && (col("b.l") === col("a.l")
+            || col("b.l") === col("a.r") || col("b.r") === col("a.l")
+            || col("b.r") === col("a.r")), "left_anti")
+        .orderBy(col("rk0")).limit(bpeBatch)
+        .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long"))
+      val rows = kept.select(lit(i.toLong).as("it"), col("rk"),
+        col("l"), col("r"), col("cnt"))
+      merges = if (merges == null) rows else merges.unionAll(rows)
       syms = syms
-        .crossJoin(broadcast(best.select(col("l").as("ml"), col("r").as("mr"))))
+        .crossJoin(broadcast(kept.agg(
+          expr("collect_list(struct(l, r))").as("mb"))))
         .withColumn("syms", expr(mergeFold))
-        .drop("ml", "mr")
+        .drop("mb")
     }
     (merges, syms)
   }
@@ -83,23 +116,39 @@ object Curation2 {
     bpeSyms(s, d).write.format("noop").mode("overwrite").save(); ()
   }
 
-  /** DuckDB mirror of bpeChain: the 5 iterations unrolled as MATERIALIZED
+  /** DuckDB mirror of bpeChain: the iterations unrolled as MATERIALIZED
     * recursive CTEs (the merge fold is a per-word positional recursion;
-    * MATERIALIZED stops DuckDB inline-re-evaluating the chain). Ends with
-    * `b0..b4` (merge rows) and `s5` (final vocabulary syms). */
+    * MATERIALIZED stops DuckDB inline-re-evaluating the chain). Per
+    * iteration: c$i = top-K candidate pool with rank, b$i = the
+    * parallel-greedy batch (NOT EXISTS a higher-ranked symbol-sharing
+    * candidate, re-ranked 1..m), then the per-word fold merges against
+    * batch MEMBERSHIP — carried as ONE list of [l, r] pairs read by an
+    * UNCORRELATED scalar subquery + list_contains, NOT a correlated
+    * EXISTS: DuckDB 1.0 mis-evaluates a correlated EXISTS against a
+    * derived CTE inside a recursive part (word-INITIAL merges silently
+    * skip — reproduced and pinned during round 10). Ends with `b0..b4`
+    * (merge rows) and `s5` (final vocabulary syms). */
   private val bpeSqlChain: String = {
     def iter(i: Int) =
       s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
          |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr
          |    FROM s$i) t GROUP BY pr.l, pr.r),
-         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT l, r, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk0
+         |  FROM p$i ORDER BY cnt DESC, l, r LIMIT $bpeCand),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY rk0) AS BIGINT) AS rk
+         |  FROM c$i a WHERE NOT EXISTS (SELECT 1 FROM c$i b WHERE b.rk0 < a.rk0
+         |    AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))
+         |  ORDER BY rk0 LIMIT $bpeBatch),
+         |mb$i AS MATERIALIZED (SELECT list([l, r]) AS mb FROM b$i),
          |rec$i (word, freq, j, out) AS (
          |  SELECT word, freq, 1, CAST([] AS VARCHAR[]) FROM s$i
          |  UNION ALL
          |  SELECT rec$i.word, rec$i.freq, j + 1,
-         |    CASE WHEN len(out) > 0 AND out[len(out)] = (SELECT l FROM b$i)
-         |           AND s.syms[j] = (SELECT r FROM b$i)
+         |    CASE WHEN len(out) > 0 AND list_contains((SELECT mb FROM mb$i),
+         |        [out[len(out)], s.syms[j]])
          |      THEN list_append(out[1:len(out)-1], out[len(out)] || s.syms[j])
          |      ELSE list_append(out, s.syms[j]) END
          |  FROM rec$i JOIN s$i s USING (word) WHERE j <= len(s.syms)),
@@ -110,7 +159,7 @@ object Curation2 {
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
        |    FROM documents) GROUP BY tok),
        |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM words),
-       |${(0 until 5).map(iter).mkString(",\n")}""".stripMargin
+       |${(0 until bpeIters).map(iter).mkString(",\n")}""".stripMargin
   }
 
   /** Gopher rule metrics, ONE definition for ta_gopher_rules and the
@@ -324,11 +373,11 @@ object Curation2 {
     GraftQuery("ta_bpe_learn", (s, d) => bpeChain(s, d)._1,
       Some(s"""$bpeSqlChain
              |SELECT * FROM (
-             |  SELECT CAST(0 AS BIGINT) AS it, l, r, cnt FROM b0
-             |  UNION ALL SELECT 1, l, r, cnt FROM b1
-             |  UNION ALL SELECT 2, l, r, cnt FROM b2
-             |  UNION ALL SELECT 3, l, r, cnt FROM b3
-             |  UNION ALL SELECT 4, l, r, cnt FROM b4) ORDER BY it""".stripMargin)),
+             |  SELECT CAST(0 AS BIGINT) AS it, rk, l, r, cnt FROM b0
+             |  UNION ALL SELECT 1, rk, l, r, cnt FROM b1
+             |  UNION ALL SELECT 2, rk, l, r, cnt FROM b2
+             |  UNION ALL SELECT 3, rk, l, r, cnt FROM b3
+             |  UNION ALL SELECT 4, rk, l, r, cnt FROM b4) ORDER BY it, rk""".stripMargin)),
 
     // 178. apply the learned BPE merges back to the corpus — the encode
     // side of ta_bpe_learn, reporting per-doc compression: each word's
@@ -424,6 +473,64 @@ object Curation2 {
       dsirScores(s, d).select("doc_id", "n_grams", "w"),
       Some(s"""WITH $dsirSqlCtes
              |SELECT doc_id, n_grams, w FROM sc""".stripMargin)),
+
+    // 183. fastText-SHAPE quality classifier (Joulin et al. 2016; the
+    // selector DCLM-style pipelines run next to Gopher/DSIR): a hashed
+    // bag-of-n-grams LINEAR scorer — features are the SAME unigram+bigram
+    // md5-bucket stream as DSIR (one feature-store pass, shared memo),
+    // weights learned in ONE CLOSED-FORM pass from a labeled slice, and
+    // scoring is a map-only broadcast dot product. The weights are the
+    // class-frequency difference in EXACT integer arithmetic,
+    // w_b = pos_b·NEG − neg_b·POS (the log-odds' sign structure without
+    // the libm log whose last ulp differs across engines — SURVEY §6),
+    // so score = Σ_g w_bucket(g) is a BIGINT both engines reproduce
+    // bit-for-bit, and Σ_b w_b ≡ 0 by construction (spec-pinned).
+    // The labeled slice is FIXED-SIZE (doc_id < 4000 — labeled sets are
+    // curated by humans and do not grow with the crawl; the r9 capstone
+    // lesson), which also bounds |w_b| ≤ POS·NEG at ANY corpus size.
+    // Scale shape: slice histograms are bounded-input aggregations; the
+    // corpus side crosses ONE declared one-row broadcast (the weight
+    // vector) and never shuffles.
+    GraftQuery("ta_quality_classifier", (s, d) => {
+      val gb = dsirBuckets(s, d)
+      val lab = gb.filter(col("doc_id") < 4000)
+      val pos = bucketHist(lab.filter(col("source") === "src0"))
+        .select(col("arr").as("parr"), col("tot").as("ptot"))
+      val neg = bucketHist(lab.filter(col("source") =!= "src0"))
+        .select(col("arr").as("narr"), col("tot").as("ntot"))
+      val wrow = pos.crossJoin(broadcast(neg)).select(expr(
+        s"transform(sequence(1, $dsirB), i -> " +
+          "element_at(parr, i) * ntot - element_at(narr, i) * ptot)").as("warr"))
+      gb.crossJoin(broadcast(wrow))
+        .select(col("doc_id"),
+          expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
+          expr("aggregate(bks, CAST(0 AS BIGINT), " +
+            "(a, b) -> a + element_at(warr, CAST(b AS INT) + 1))").as("score"))
+        .withColumn("keep", col("score") > 0)
+    },
+      Some(s"""WITH $dsirGbCtes,
+             |lab AS (SELECT * FROM gb WHERE doc_id < 4000),
+             |pm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
+             |    CAST(sum(c) AS BIGINT) AS tot
+             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+             |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source = 'src0') GROUP BY b)),
+             |nm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
+             |    CAST(sum(c) AS BIGINT) AS tot
+             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+             |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source <> 'src0') GROUP BY b)),
+             |wd AS (SELECT
+             |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM pm) AS parr,
+             |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM nm) AS narr,
+             |    (SELECT tot FROM pm) AS ptot,
+             |    (SELECT tot FROM nm) AS ntot),
+             |w AS (SELECT list_transform(range(1, ${dsirB + 1}), i ->
+             |    parr[CAST(i AS INTEGER)] * ntot - narr[CAST(i AS INTEGER)] * ptot) AS warr
+             |  FROM wd),
+             |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(bks,
+             |      b -> warr[CAST(b + 1 AS INTEGER)])), (a, x) -> a + x) AS score
+             |  FROM gb, w)
+             |SELECT doc_id, n_grams, score, score > 0 AS keep FROM sc""".stripMargin)),
 
     // 180. the CURATION CAPSTONE — one declarative plan chaining the whole
     // post-crawl curation stack in production order (the way dd_pipeline
@@ -584,29 +691,45 @@ object Curation2 {
     * pass) — materialized once under a shared memo key; the md5 bucketing
     * is the native codegen'd md5_buckets (the HOF-chain formulation ran
     * interpreted at 26.6 s on the sf0.1 gram stream). */
-  private[operators] def dsirScores(s: SparkSession, d: String): DataFrame = {
-    val B = 64
+  // `final` + literal = compile-time constant, safe to reference from
+  // `defs` above regardless of object-initialization order (a plain val
+  // here reads 0 during defs init — the scalac warning is the guard)
+  private[operators] final val dsirB = 64
+
+  /** The hashed-n-gram FEATURE STORE (doc_id, source, bks: array of
+    * unigram+bigram md5-bucket ids), memoized per (session, dir) — ONE
+    * feature-extraction pass shared by DSIR (importance weights) and the
+    * quality classifier (linear scorer): the production feature-store
+    * pattern, and the reason the classifier's marginal cost is one
+    * map-only scoring pass. */
+  private[graft] def dsirBuckets(s: SparkSession, d: String): DataFrame = {
     graft.functions.F.register(s)
-    val gb = OpCache.memo(s, "dsirbks|" + d)(
+    OpCache.memo(s, "dsirbks|" + d)(
       Tables.widened(s, d, "documents")
         .withColumn("toks", expr(toksExpr))
         .withColumn("grams", expr(
           "concat(toks, CASE WHEN size(toks) < 2 THEN cast(array() as array<string>) " +
             "ELSE transform(sequence(1, size(toks) - 1), " +
             "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))) END)"))
-        .withColumn("bks", expr(s"md5_buckets(grams, $B)"))
+        .withColumn("bks", expr(s"md5_buckets(grams, $dsirB)"))
         .select("doc_id", "source", "bks")
         .persist())
-    def hist(df: DataFrame) = df
-      .select(explode(col("bks")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c"))
-      .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"),
-        sum("c").as("tot"))
-      .select(expr(
-        s"transform(sequence(0, ${B - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
-        .as("arr"), col("tot"))
-    val raw = hist(gb).select(col("arr").as("rarr"), col("tot").as("rtot"))
-    val tgt = hist(gb.filter(col("source") === "src0"))
+  }
+
+  /** Dense B-bucket histogram of a bks frame as ONE row (arr, tot). */
+  private def bucketHist(df: DataFrame): DataFrame = df
+    .select(explode(col("bks")).as("b"))
+    .groupBy("b").agg(count(lit(1)).as("c"))
+    .agg(map_from_entries(sort_array(collect_list(struct(col("b"), col("c"))))).as("m"),
+      sum("c").as("tot"))
+    .select(expr(
+      s"transform(sequence(0, ${dsirB - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
+      .as("arr"), col("tot"))
+
+  private[operators] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val gb = dsirBuckets(s, d)
+    val raw = bucketHist(gb).select(col("arr").as("rarr"), col("tot").as("rtot"))
+    val tgt = bucketHist(gb.filter(col("source") === "src0"))
       .select(col("arr").as("tarr"), col("tot").as("ttot"))
     gb.crossJoin(broadcast(raw)).crossJoin(broadcast(tgt))
       .select(col("doc_id"),
@@ -618,10 +741,11 @@ object Curation2 {
           .as("w"))
   }
 
-  /** DuckDB mirror of dsirScores; CTE chain (no WITH prefix) ending with
-    * `sc(doc_id, n_grams, w)`. (lazy: referenced from `defs`, which
-    * initializes first.) */
-  private[operators] lazy val dsirSqlCtes: String = {
+  /** DuckDB mirror of dsirBuckets: the shared feature-store CTE prefix
+    * (no WITH), ending with `gb(doc_id, source, bks)` — DSIR and the
+    * quality classifier both extend it, as their Spark sides share the
+    * memoized frame. */
+  private[operators] lazy val dsirGbCtes: String = {
     val hex8 = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9), " +
       "i -> CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
       "(a, x) -> a * 16 + x)"
@@ -634,7 +758,14 @@ object Curation2 {
        |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) END) AS grams
        |  FROM t0),
        |gb AS (SELECT doc_id, source,
-       |    list_transform(grams, g -> ($hex8 % 64)) AS bks FROM g0),
+       |    list_transform(grams, g -> ($hex8 % $dsirB)) AS bks FROM g0)""".stripMargin
+  }
+
+  /** DuckDB mirror of dsirScores; CTE chain (no WITH prefix) ending with
+    * `sc(doc_id, n_grams, w)`. (lazy: referenced from `defs`, which
+    * initializes first.) */
+  private[operators] lazy val dsirSqlCtes: String = {
+    s"""$dsirGbCtes,
        |rawm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m, sum(c) AS tot
        |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
        |    FROM (SELECT unnest(bks) AS b FROM gb) GROUP BY b)),

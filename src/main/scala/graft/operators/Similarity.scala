@@ -89,13 +89,36 @@ object Similarity {
     * oracle derives the SAME nprobe from its centroid count, so both
     * engines stay in lockstep at every sf. ceil∘sqrt is exact cross-engine
     * (IEEE sqrt is correctly rounded; K ≤ 65536 is double-exact). */
-  private[graft] def ivfNProbe(k: Int): Int =
+  private[graft] def defaultNProbe(k: Int): Int =
     math.max(8, math.ceil(math.sqrt(k.toDouble)).toInt)
 
+  /** The recall-SLA override (SURVEY §5: holding constant recall on
+    * adversarial data needs nprobe ∝ K, which the √K default does not
+    * give — a deployment with an SLA sets its own probe count). Read from
+    * the JVM system property `spark.graft.ann.nprobe` (or env
+    * `SPARK_GRAFT_ANN_NPROBE`) ONCE, when this module initializes: both
+    * the Spark entries and their DuckDB oracle SQL derive from this one
+    * value, so an override can never split the two engines — lockstep is
+    * structural, not coincidental. */
+  private[graft] def nProbeOverrideNow: Option[Int] =
+    sys.props.get("spark.graft.ann.nprobe")
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_NPROBE"))
+      .map(_.trim.toInt).filter(_ > 0)
+  private[graft] lazy val nProbeOverride: Option[Int] = nProbeOverrideNow
+
+  /** The production choice, parameterized so GenScaleSpec can exercise an
+    * overridden value through the same code path the entries use. */
+  private[graft] def nProbeFor(ov: Option[Int], k: Int): Int =
+    ov.getOrElse(defaultNProbe(k))
+  private[graft] def nProbeSqlFor(ov: Option[Int]): String =
+    ov.map(v => s"CAST($v AS BIGINT)").getOrElse(
+      "GREATEST(8, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM c) AS DOUBLE))) AS BIGINT))")
+
+  private[graft] def ivfNProbe(k: Int): Int = nProbeFor(nProbeOverride, k)
+
   /** Oracle mirror of `ivfNProbe(K)`: derives K as COUNT(*) of the
-    * materialized centroid CTE `c`. */
-  private[operators] val ivfNProbeSql: String =
-    "GREATEST(8, CAST(ceil(sqrt(CAST((SELECT COUNT(*) FROM c) AS DOUBLE))) AS BIGINT))"
+    * materialized centroid CTE `c` (or the override literal). */
+  private[operators] lazy val ivfNProbeSql: String = nProbeSqlFor(nProbeOverride)
 
   /** Deterministic fixed-size hash-sample: the K vec_ids with the smallest
     * (md5(vec_id), vec_id) — an order both engines reproduce exactly, and

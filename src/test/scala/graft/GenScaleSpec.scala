@@ -292,6 +292,31 @@ class GenScaleSpec extends SparkSpec {
     assert(rHalf >= 0.9,
       s"recall@5 at nprobe=K/2 is $rHalf — the candidate chain is broken, " +
         "not merely under-probed")
+
+    // the recall-SLA override (spark.graft.ann.nprobe): exercises the
+    // SAME nProbeFor/nProbeSqlFor pair the entries and oracles derive
+    // from, so an override provably stays oracle-lockstep — the Spark
+    // side picks the literal and the oracle SQL emits the SAME literal
+    // (no centroid-count derivation to diverge from). recallAt(40, 39)
+    // above IS the overridden probe chain end-to-end: nprobe=39 where
+    // the default would pick 9, recall 0.40 → ≥0.9 — the knob's purpose.
+    val prev = sys.props.get("spark.graft.ann.nprobe")
+    try {
+      sys.props("spark.graft.ann.nprobe") = "39"
+      assert(Similarity.nProbeOverrideNow.contains(39),
+        "the system-property knob must parse")
+      assert(Similarity.nProbeFor(Similarity.nProbeOverrideNow, 78) == 39,
+        "an override replaces the √K default on the entry side")
+      assert(Similarity.nProbeSqlFor(Similarity.nProbeOverrideNow)
+        == "CAST(39 AS BIGINT)",
+        "the oracle SQL must emit the identical override literal")
+    } finally {
+      prev.fold { sys.props.remove("spark.graft.ann.nprobe"); () } { v =>
+        sys.props("spark.graft.ann.nprobe") = v; ()
+      }
+    }
+    assert(Similarity.nProbeFor(None, 78) == Similarity.defaultNProbe(78),
+      "no override → the corpus-scaled default")
   }
 
   test("two-level quantizer: clamps compose; fine split keeps pairwise linear") {

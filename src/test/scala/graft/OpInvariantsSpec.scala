@@ -165,17 +165,35 @@ class OpInvariantsSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
-  test("ta_bpe_learn: 5 distinct merges with non-increasing counts") {
-    val rows = run("ta_bpe_learn").orderBy("it").collect()
-    assert(rows.length == 5)
-    val cnts = rows.map(_.getAs[Long]("cnt"))
-    // merging (l,r) can only shrink existing pair counts, and any NEW pair
-    // containing the merged symbol occurs at most cnt(l,r) times — so the
-    // argmax sequence is non-increasing
-    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
-      s"merge counts must be non-increasing: ${cnts.toSeq}")
+  test("ta_bpe_learn: batched merges — non-conflicting, ranked, never re-learned") {
+    val rows = run("ta_bpe_learn").orderBy("it", "rk").collect()
+    // 5 iterations × up to 8 merges; at least the rank-1 merge per iteration
+    assert(rows.length >= 5 && rows.length <= 40, s"got ${rows.length} merges")
+    val byIter = rows.groupBy(_.getAs[Long]("it"))
+    assert(byIter.keySet == Set(0L, 1L, 2L, 3L, 4L), "every iteration learns")
+    byIter.foreach { case (it, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to g.length).toSeq,
+        s"iteration $it ranks must be contiguous 1..m")
+      // within an iteration: ranked by count (desc), and the batch is
+      // CONFLICT-FREE — no symbol appears in two of its pairs (the
+      // property that makes the one-pass fold order-independent)
+      val cnts = sorted.map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"iteration $it counts must be non-increasing by rank: ${cnts.toSeq}")
+      val symUses = sorted.flatMap(r =>
+        Seq(r.getAs[String]("l"), r.getAs[String]("r")))
+      assert(symUses.distinct.length == symUses.length,
+        s"iteration $it batch must have pairwise-disjoint symbols: ${symUses.toSeq}")
+    }
+    // across iterations: merging can only shrink existing pair counts, and
+    // any NEW pair containing a merged symbol occurs at most cnt(batch max)
+    // times — so the per-iteration MAX sequence is non-increasing
+    val maxes = (0L to 4L).map(it => byIter(it).map(_.getAs[Long]("cnt")).max)
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => a >= b },
+      s"per-iteration max counts must be non-increasing: $maxes")
     val pairs = rows.map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
-    assert(pairs.distinct.length == 5, "the same pair cannot be re-learned")
+    assert(pairs.distinct.length == pairs.length, "the same pair cannot be re-learned")
   }
 
   test("ta_bpe_apply: every word encodes to [1, wlen] tokens; merges only compress") {
@@ -274,6 +292,39 @@ class OpInvariantsSpec extends SparkSpec {
       // and the operator is observable on this corpus: something was removed
       assert(out.agg(sum("n_removed")).head.getLong(0) > 0,
         "the corpus plants near-dup docs — scrubbing must remove something")
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_quality_classifier: exact-integer linear scorer over the DSIR feature store") {
+    val out = run("ta_quality_classifier").cache()
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      assert(out.count() == docs.count(), "every doc is scored")
+      assert(out.filter(col("keep") =!= (col("score") > 0)).count() == 0,
+        "keep must be exactly score > 0")
+      // the closed-form weights satisfy Σ_b w_b = Σ_b (pos_b·NEG − neg_b·POS)
+      // = POS·NEG − NEG·POS ≡ 0 — so a doc whose grams cover the buckets
+      // with the CLASS-AVERAGE profile scores 0, and the all-bucket sum
+      // degenerates exactly; verify through the same shared definitions
+      import graft.operators.Curation2
+      val gb = Curation2.dsirBuckets(spark, sf)
+      val lab = gb.filter(col("doc_id") < 4000)
+      def tot(src: Boolean) = lab
+        .filter(if (src) col("source") === "src0" else col("source") =!= "src0")
+        .select(explode(col("bks")).as("b")).groupBy("b")
+        .agg(count(lit(1)).as("c"))
+      val p = tot(true).agg(sum("c")).head.getLong(0)
+      val n = tot(false).agg(sum("c")).head.getLong(0)
+      val wsum = tot(true).select(col("b"), (col("c") * n).as("w"))
+        .unionAll(tot(false).select(col("b"), (-col("c") * p).as("w")))
+        .agg(sum("w")).head.getLong(0)
+      assert(wsum == 0L, s"Σ_b w_b must be exactly 0, got $wsum")
+      // n_grams accounting matches the feature store
+      val ng = gb.select(col("doc_id"), expr("CAST(size(bks) AS BIGINT)").as("g2"))
+      assert(out.join(ng, "doc_id").filter(col("n_grams") =!= col("g2")).count() == 0,
+        "n_grams must equal the shared feature-store gram count")
+      // a zero-gram doc scores exactly 0 and is dropped (score > 0 is strict)
+      assert(out.filter(col("n_grams") === 0 && col("score") =!= 0).count() == 0)
     } finally { out.unpersist(); () }
   }
 

@@ -20,6 +20,7 @@ for arg in sys.argv[2:]:
     scales[name] = json.load(open(path))
 
 entries = {}
+firsts = {}
 failed = {}
 for scale, doc in scales.items():
     mins = doc["queries_min"]
@@ -27,6 +28,8 @@ for scale, doc in scales.items():
                            [k for k, v in mins.items() if v is None])
     for k, v in mins.items():
         entries.setdefault(k, {})[scale] = v
+    for k, v in doc.get("queries_first", {}).items():
+        firsts.setdefault(k, {})[scale] = v
 
 rows = {}
 for k in sorted(entries):
@@ -38,6 +41,10 @@ for k in sorted(entries):
             row["r10"] = round(row["sf1"] / base, 2)
         if row.get("sf10"):
             row["r100"] = round(row["sf10"] / base, 2)
+    # cold (first-iteration) cost next to the amortized min: entry-local
+    # persists + min-pooling otherwise hide what an un-warmed run pays
+    for s, v in firsts.get(k, {}).items():
+        row[s + "_first"] = v
     rows[k] = row
 
 totals = {}
@@ -52,7 +59,10 @@ doc = {
         "replica-distinct dedup/ANN structure). null = entry not run at "
         "that scale (sf10 runs the scale-critical subset only); a FAILED "
         "entry appears in failed[<scale>], never as a timing. Linear "
-        "scaling would put r10 at 10 and r100 at 100; smaller is better."),
+        "scaling would put r10 at 10 and r100 at 100; smaller is better. "
+        "<scale>_first = cold cost (best first-iteration wall across "
+        "pooled runs) next to the amortized pooled min — OpCache memos "
+        "and entry-local persists make the two differ by design."),
     "config": {s: scales[s].get("config", scales[s].get("sf", ""))
                for s in scales},
     "pooled_runs": {s: scales[s].get("pooled_runs", 1) for s in scales},

@@ -14,14 +14,21 @@ for p, r in zip(sys.argv[2:], runs):
 keys = set(runs[0]["queries_min"])
 for r in runs[1:]:
     keys &= set(r["queries_min"])
-pooled_min, pooled_med = {}, {}
+pooled_min, pooled_med, pooled_first = {}, {}, {}
 for k in sorted(keys):
     best = min(runs, key=lambda r: r["queries_min"][k])
     pooled_min[k] = best["queries_min"][k]
     pooled_med[k] = best["queries_median"][k]
+    # cold cost: min over runs of each run's FIRST iteration (the least-
+    # noise estimate of the un-warmed cost; older files lack the field)
+    firsts = [r["queries_first"][k] for r in runs if "queries_first" in r]
+    if firsts:
+        pooled_first[k] = min(firsts)
 doc = dict(runs[0])
 doc["queries_min"] = pooled_min
 doc["queries_median"] = pooled_med
+if pooled_first:
+    doc["queries_first"] = pooled_first
 doc["value"] = round(sum(pooled_min.values()), 3)
 doc["pooled_runs"] = len(runs)
 json.dump(doc, open(out, "w"))

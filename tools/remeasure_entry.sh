@@ -6,23 +6,27 @@
 #
 # Usage: tools/remeasure_entry.sh '^dd_span_scrub$'
 # Requires: the rebaseline's pooled files (/tmp/bs01_pooled.json etc.) and
-# scale tiles (/tmp/sf1_r8b, /tmp/sf10_r8b) from the same code round.
+# scale tiles (${SF1TILE:-/tmp/sf1_r10}, ${SF10TILE:-/tmp/sf10_r10}) from the same code round.
 # Run with NO other sbt/spark process alive.
 set -e
 cd /root/repo
 REG=${1:?usage: remeasure_entry.sh '<nameRegex>'}
 TAG=$(echo "$REG" | tr -cd 'a-z0-9_')
+# TAG is lossy (two regexes can collapse to one TAG), and a previous
+# invocation that died mid-run under set -e can leave per-run files the
+# brace-expansion pool step would silently re-splice — always start clean
+rm -f /tmp/${TAG}01_*.json /tmp/${TAG}1_*.json /tmp/${TAG}10_*.json
 
 for i in 1 2 3; do
   sbt -batch "runMain graft.BenchScale /root/testdata/sf0.1 2 /tmp/${TAG}01_$i.json \"$REG\""
 done
 for i in 1 2; do
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
-    sbt -batch "runMain graft.BenchScale /tmp/sf1_r8b 2 /tmp/${TAG}1_$i.json \"$REG\""
+    sbt -batch "runMain graft.BenchScale ${SF1TILE:-/tmp/sf1_r10} 2 /tmp/${TAG}1_$i.json \"$REG\""
 done
 for i in 1 2 3; do
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
-    sbt -batch "runMain graft.BenchScale /tmp/sf10_r8b 2 /tmp/${TAG}10_$i.json \"$REG\""
+    sbt -batch "runMain graft.BenchScale ${SF10TILE:-/tmp/sf10_r10} 2 /tmp/${TAG}10_$i.json \"$REG\""
 done
 python3 tools/pool_mins.py /tmp/${TAG}01_pooled.json /tmp/${TAG}01_{1,2,3}.json
 python3 tools/pool_mins.py /tmp/${TAG}1_pooled.json /tmp/${TAG}1_{1,2}.json

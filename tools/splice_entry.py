@@ -15,6 +15,8 @@ for k, v in donor["queries_min"].items():
     old = target["queries_min"].get(k)
     target["queries_min"][k] = v
     target["queries_median"][k] = donor["queries_median"][k]
+    if "queries_first" in donor and k in donor["queries_first"]:
+        target.setdefault("queries_first", {})[k] = donor["queries_first"][k]
     print(f"{target_path}: {k} {old} -> {v}")
 target["value"] = round(sum(target["queries_min"].values()), 3)
 json.dump(target, open(target_path, "w"))
