@@ -84,7 +84,8 @@ object Bench {
       "st_late_data", "st_recovery", "st_session_window",
       "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_line_dedup",
       "ta_tfidf", "ta_pack_sequences",
-      "ta_pipeline_curate", "ta_pipeline_scrub", "dd_span_scrub",
+      "ta_pipeline_curate", "ta_pipeline_scrub", "mm_pipeline_curate",
+      "dd_span_scrub",
       "ta_dsir", "ta_quality_classifier", "ta_bpe_apply",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))

@@ -383,7 +383,32 @@ object PlanContracts {
       absent("Exchange hashpartitioning",
         "no keyed shuffle anywhere: the corpus side is a map-only " +
           "cosine+threshold pass (the 8-row probe agg is a SinglePartition " +
-          "exchange, not a corpus shuffle)")))
+          "exchange, not a corpus shuffle)")),
+    "mm_pipeline_curate" -> Seq(
+      noCartesian,
+      Contract(
+        "variant-gen + feature decode run in ONE partition-batched pass " +
+          "over the gated scan — a single MapPartitions in the final plan; " +
+          "payload bytes are consumed map-side and never cross a shuffle " +
+          "(only the slim 12-column feature manifest moves)",
+        p => "MapPartitions".r.findAllIn(p.finalSection).length == 1),
+      Contract(
+        "the metadata gate is FUSED INTO the parquet scan " +
+          "(prune-before-decode: ungated media never reach the decoder)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("DataFilters") && l.contains("lang")
+            && l.contains("n_chars"))),
+      Contract(
+        "dedup drop/meta sets join id-vs-id as PARTITIONED joins (SMJ) — " +
+          "they are duplication-proportional manifests, never a corpus " +
+          "broadcast at scale",
+        p => p.finalSection.contains("SortMergeJoin")),
+      Contract(
+        "corpus-keyed shuffles are BOUNDED: the whole capstone moves the " +
+          "manifest through at most 10 hash exchanges in the final plan " +
+          "(anti/meta id-joins + the per-source shard window + the " +
+          "cluster-derivation aggregations)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 10)))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

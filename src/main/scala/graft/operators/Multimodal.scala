@@ -49,6 +49,26 @@ object Multimodal {
     f
   }
 
+  /** Planted re-encode ground truth, SINGLE-SOURCED between the phash
+    * index (phashFps) and the curation capstone (mm_pipeline_curate):
+    * every 7th payload also appears as a length-preserving lossy
+    * "re-encode" (+1 on every 11th byte — the aligned value perturbation
+    * a lossy re-compress produces), living in the NEGATIVE id namespace
+    * (disjoint from genuine doc_ids, always ≥ 0, at every corpus size —
+    * a fixed positive offset collides once real ids reach it). */
+  private[graft] def hasVariant(id: Long): Boolean = id % 7 == 0
+  private[graft] def variantId(id: Long): Long = -(id + 1L)
+  private[graft] def reencode(payload: Array[Byte]): Array[Byte] = {
+    val v = new Array[Byte](payload.length)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      v(i) = (if (i % 11 == 0) b + 1 else b).toByte
+      i += 1
+    }
+    v
+  }
+
   /** CORPUS-SCALED band width w (bits per band; fingerprint = 4·w bits,
     * one byte block per bit): the smallest w in [16, 32] with
     * 2^w ≥ 256 · N_docs — the integer form of w = log2(N) + 8, the same
@@ -160,6 +180,13 @@ object Multimodal {
       s"i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS DOUBLE), 0.0) " +
       s"/ (255.0 * strlen(text)) AS f$k"
 
+  /** DuckDB: exact byte-bucket feature k over a `bytes` BIGINT list +
+    * length `n` (the variant-aware twin of duckF: variants' perturbed
+    * byte lists exist only as lists, not as table text). */
+  private def duckFB(k: Int): String =
+    s"COALESCE(CAST(list_sum(list_transform(list_filter(range(0, n), i -> i % 8 = $k), " +
+      s"i -> bytes[CAST(i + 1 AS INTEGER)])) AS DOUBLE), 0.0) / (255.0 * n) AS f$k"
+
   /** Shared phash near-dup pair pipeline (feeds mm_phash and
     * mm_phash_cluster): fingerprints (originals + planted re-encode
     * variants), 4 corpus-scaled w-bit hamming bands for candidates,
@@ -197,19 +224,10 @@ object Multimodal {
             val b = phashStub(payload, w)
             PhashRow(id, b(0), b(1), b(2), b(3))
           }
-          if (m.doc_id % 7 == 0) {
-            val variant = new Array[Byte](m.payload.length)
-            var i = 0
-            while (i < m.payload.length) {
-              val b = m.payload(i) & 0xff
-              variant(i) = (if (i % 11 == 0) b + 1 else b).toByte
-              i += 1
-            }
-            // planted variants live in the NEGATIVE id namespace: disjoint
-            // from genuine doc_ids (always >= 0) at every corpus size — a
-            // fixed positive offset collides once real ids reach it
-            Iterator(row(m.doc_id, m.payload), row(-(m.doc_id + 1L), variant))
-          } else Iterator(row(m.doc_id, m.payload))
+          if (hasVariant(m.doc_id))
+            Iterator(row(m.doc_id, m.payload),
+              row(variantId(m.doc_id), reencode(m.payload)))
+          else Iterator(row(m.doc_id, m.payload))
         }
       }.toDF().persist()
       ph.count()
@@ -589,6 +607,103 @@ object Multimodal {
              |    range(16 * j, least(16 * j + 16, strlen(text))),
              |    i -> ord(substr(text, CAST(i + 1 AS INTEGER), 1)))) AS DOUBLE)
              |    / least(16, strlen(text) - 16 * j) AS pool_avg
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // 52i / SURVEY #184. the MEDIA CURATION CAPSTONE — one declarative
+    // plan chaining the media preprocessing stack in production order
+    // (the multimodal twin of ta_pipeline_curate): the crawl's media
+    // stream is originals ∪ planted re-encoded copies (the SHARED
+    // hasVariant/reencode rule the phash index plants, so the dedup
+    // stage has real work at every sf) → near-dup collapse over the
+    // SHARED collapsed phash edge graph (canonical = the original:
+    // min non-negative member, else min — re-encoded copies drop, the
+    // original survives carrying n_members) → metadata gate fused into
+    // the parquet scan (prune-before-decode: ungated media and their
+    // copies never reach the decoder) → variant-gen + feature decode in
+    // ONE partition-batched pass (payload bytes never cross a shuffle;
+    // only the slim 12-column feature manifest moves) → per-source
+    // size-balanced shard manifest with cluster accounting — the
+    // webdataset-style training manifest a loader consumes.
+    // Reference analog: test.sql's end-to-end UX over a plugin table.
+    //
+    // Scale shape: the gated corpus is scanned ONCE for decode; the
+    // dedup drop/meta sets are id-only manifests joined id-vs-id
+    // (duplication-proportional — here the planted ~N/7 re-encode mass —
+    // so they stay partitioned SMJ, never a corpus broadcast); the shard
+    // window shuffles the slim manifest per source. The phash edge graph
+    // is the standing memoized index every mm_phash* consumer shares.
+    GraftQuery("mm_pipeline_curate", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // A. near-dup clusters over the shared index: canonical = original
+      val labels = Components.minLabel(s, phashEdges(s, d)) // (id, label)
+      val realc = labels.groupBy("label")
+        .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
+          .as("canon"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+      val drop = labels.join(realc, "label")
+        .filter(col("id") =!= col("canon"))
+        .select(col("id").as("doc_id"))
+      val meta = realc.select(col("canon").as("doc_id"), col("n_members"))
+      // B. gate fused to the scan; variant-gen + decode in ONE map pass
+      val feat = Tables.t(s, d, "documents")
+        .filter(col("lang") === "en" && col("n_chars") >= 200L)
+        .select(col("doc_id"), col("source"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, src, payload) =>
+            def row(i: Long, p: Array[Byte]) = {
+              val f = decodeStub(p)
+              (i, src, p.length.toLong,
+                f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+            }
+            if (hasVariant(id))
+              Iterator(row(id, payload), row(variantId(id), reencode(payload)))
+            else Iterator(row(id, payload))
+          }
+        }.toDF("doc_id", "source", "n_bytes",
+          "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+      // C. dedup + accounting (slim id joins) + per-source shard window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      feat.join(drop, Seq("doc_id"), "left_anti")
+        .join(meta, Seq("doc_id"), "left")
+        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+        .withColumn("shard_id",
+          floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / 4096L))
+    },
+      Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM pairs
+             |      UNION ALL SELECT ib, ia FROM pairs),
+             |reach(n2, m2) AS (
+             |  SELECT a, a FROM e GROUP BY a
+             |  UNION
+             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
+             |cc AS (SELECT n2 AS id, MIN(m2) AS label FROM reach GROUP BY n2),
+             |realc AS (SELECT label,
+             |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
+             |    CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM cc GROUP BY label HAVING COUNT(*) >= 2),
+             |dropx AS (SELECT id AS doc_id FROM cc JOIN realc USING (label)
+             |  WHERE id <> canon),
+             |meta AS (SELECT canon AS doc_id, n_members FROM realc),
+             |gated AS (SELECT am.doc_id, dx.source, am.n, am.bytes FROM am
+             |  JOIN documents dx
+             |    ON dx.doc_id = CASE WHEN am.doc_id >= 0 THEN am.doc_id
+             |                        ELSE -am.doc_id - 1 END
+             |  WHERE dx.lang = 'en' AND dx.n_chars >= 200),
+             |surv AS (SELECT g.* FROM gated g ANTI JOIN dropx USING (doc_id)),
+             |feats AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n_bytes,
+             |  ${(0 until 8).map(duckFB).mkString(",\n  ")}
+             |  FROM surv)
+             |SELECT f.doc_id, f.source, f.n_bytes, f.f0, f.f1, f.f2, f.f3,
+             |  f.f4, f.f5, f.f6, f.f7,
+             |  CAST(COALESCE(m.n_members, 1) AS BIGINT) AS n_members,
+             |  CAST(FLOOR(COALESCE(SUM(f.n_bytes) OVER (PARTITION BY f.source
+             |    ORDER BY f.doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+             |    AS BIGINT) AS shard_id
+             |FROM feats f LEFT JOIN meta m USING (doc_id)""".stripMargin))
   )
 }
