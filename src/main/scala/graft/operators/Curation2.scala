@@ -59,6 +59,24 @@ object Curation2 {
         .select(explode(expr(toksExpr)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .persist())
+    // Lineage cut per iteration (the Components.scala snap discipline).
+    // Without it, iteration i's plan embeds iteration i-1's chain TWICE —
+    // once via kept (built from syms(i-1)) and once via the syms update
+    // that crossJoins kept back in — i.e. 2^iters copies of the base plan;
+    // Catalyst analysis + re-execution of those copies dominated the data
+    // cost at every scale (sf1 ≈ sf10 wall time). Each snapshot is
+    // vocabulary-sized (syms) or ≤ bpeBatch rows (kept); materialize the
+    // successor FIRST, then release the predecessor it reads.
+    var liveSyms: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def snap(df: DataFrame, vocabAxis: Boolean): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      if (vocabAxis) {
+        if (liveSyms != null) liveSyms.unpersist(false)
+        liveSyms = rdd
+      } else OpCache.trackHook(s, () => rdd.unpersist(false))
+      s.createDataFrame(rdd, df.schema)
+    }
     // the batch arrives as one broadcast row mb: array<struct<l,r>>
     val mergeFold =
       "aggregate(syms, cast(array() as array<string>), (out, x) -> " +
@@ -82,22 +100,27 @@ object Curation2 {
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(bpeCand)
         .withColumn("rk0", row_number().over(
           Window.orderBy(col("cnt").desc, col("l"), col("r"))))
-      val kept = cand.as("a")
+      val kept = snap(cand.as("a")
         .join(cand.as("b"),
           col("b.rk0") < col("a.rk0") && (col("b.l") === col("a.l")
             || col("b.l") === col("a.r") || col("b.r") === col("a.l")
             || col("b.r") === col("a.r")), "left_anti")
         .orderBy(col("rk0")).limit(bpeBatch)
-        .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long")),
+        vocabAxis = false)
       val rows = kept.select(lit(i.toLong).as("it"), col("rk"),
         col("l"), col("r"), col("cnt"))
       merges = if (merges == null) rows else merges.unionAll(rows)
-      syms = syms
+      syms = snap(syms
         .crossJoin(broadcast(kept.agg(
           expr("collect_list(struct(l, r))").as("mb"))))
         .withColumn("syms", expr(mergeFold))
-        .drop("mb")
+        .drop("mb"), vocabAxis = true)
     }
+    // the final vocabulary snapshot stays pinned — bpeSyms memoizes the
+    // DataFrame over it; OpCache.release frees it with the other memos
+    val finalSyms = liveSyms
+    if (finalSyms != null) OpCache.trackHook(s, () => finalSyms.unpersist(false))
     (merges, syms)
   }
 
