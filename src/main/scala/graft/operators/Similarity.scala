@@ -141,6 +141,106 @@ object Similarity {
        |    FROM n)
        |  WHERE krn <= GREATEST($kMin, LEAST($kMax, kn // $clusterTarget))""".stripMargin
 
+  /** Brute-force exact cosine top-5 for the broadcast query set — the
+    * ground-truth side of every ANN evaluation. Single-sourced: ann_topk
+    * returns it directly and emb_recall_eval joins it against the IVF
+    * answer; the oracle chain (exactTopkSqlCtes) composes the same way. */
+  private[operators] def exactTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    F.register(s)
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v"), col("n2")),
+        col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** IVF top-5 (corpus-scaled K, √K-or-override nprobe) as a reusable
+    * chain — see the ann_ivf entry for the full plan commentary. */
+  private[operators] def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    F.register(s)
+    val base = vecs(s, d)
+    val cents = centroids(base, ivfK(s, d))
+    val cbRow = cents.agg(
+      expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
+      expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
+    // build: map-only nearest-centroid assignment (ties → lowest cid,
+    // identical to the oracle's ORDER BY dist, cid)
+    val assign = base.crossJoin(broadcast(cbRow))
+      .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+      .select(col("vec_id").as("n_id"), col("cell"),
+        col("v").as("nv"), col("n2").as("nn2"))
+    // search: probe the nprobe nearest cells per query, exact top-5 inside
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("qdist2", expr("l2_sq(qv, cv)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= ivfNProbe(ivfK(s, d)))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    // probes is semantically bounded (queries × nprobe rows) but its
+    // static size estimate is inflated by the upstream crossJoins: at
+    // sf1 stats the planner flips this join to SortMergeJoin and
+    // shuffles the corpus-sized assignment by cell. Declare the bound.
+    broadcast(probes).join(assign, "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("dot_product(qv, nv)") / (sqrt(col("qn")) * sqrt(col("nn2"))))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** Shared vector-feature CTEs (`e`, `n`, `q`) every ANN oracle builds
+    * on; the chains below use non-colliding names (xp/xr exact,
+    * c/asg/probes/cand/ir IVF) so one WITH can hold both. */
+  private[operators] val baseVecSqlCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8)""".stripMargin
+
+  /** Exact chain: ends in xr(q_id, n_id, cos, rk). */
+  private[operators] val exactTopkSqlCtes: String =
+    s"""xp AS (SELECT q_id, b.vec_id AS n_id,
+       |    ${duckDot("qv", "b.v")} / (sqrt(qn) * sqrt(b.n2)) AS cos
+       |  FROM q JOIN n b ON b.vec_id <> q_id),
+       |xr AS (SELECT q_id, n_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM xp)""".stripMargin
+
+  /** IVF chain: ends in ir(q_id, n_id, cos, rk). */
+  private[operators] def ivfTopkSqlCtes: String =
+    s"""c AS ($centroidsSql),
+       |asg AS (
+       |  SELECT vec_id AS n_id, cid AS cell, v AS nv, n2 AS nn2 FROM (
+       |    SELECT n.vec_id, c.cid, n.v, n.n2,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${duckL2("n.v", "c.cv")}, c.cid) AS arn
+       |    FROM n CROSS JOIN c) WHERE arn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qn, cid AS cell FROM (
+       |    SELECT q.q_id, q.qv, q.qn, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckL2("q.qv", "c.cv")}, c.cid) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= $ivfNProbeSql),
+       |cand AS (
+       |  SELECT p.q_id, a.n_id,
+       |    ${duckDot("p.qv", "a.nv")} / (sqrt(p.qn) * sqrt(a.nn2)) AS cos
+       |  FROM probes p JOIN asg a ON p.cell = a.cell
+       |  WHERE a.n_id <> p.q_id),
+       |ir AS (SELECT q_id, n_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM cand)""".stripMargin
+
   /** Shared LSH banding candidate generator over a (id, sig:
     * array<long>(64)) signature table: `bands` bands of `rows` consecutive
     * signature positions. Pairs sharing any intact band become candidates;
@@ -334,33 +434,44 @@ object Similarity {
              |SELECT label, ia, ib, cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
     // 46. brute-force cosine top-k (k=5) for a broadcast query set — the
-    // exact baseline every ANN variant is measured against.
-    GraftQuery("ann_topk", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = vecs(s, d)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id").asc)
-      broadcast(q).join(e.select(col("vec_id").as("n_id"), col("v"), col("n2")),
-          col("n_id") =!= col("q_id"))
-        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_id", "rk", "n_id", "cos")
+    // exact baseline every ANN variant is measured against. Chain is
+    // single-sourced (exactTopk) with emb_recall_eval's ground-truth side.
+    GraftQuery("ann_topk", (s, d) => exactTopk(s, d),
+      Some(s"""WITH $baseVecSqlCtes,
+             |$exactTopkSqlCtes
+             |SELECT q_id, rk, n_id, cos FROM xr WHERE rk <= 5""".stripMargin)),
+
+    // 46c. ANN EVALUATION: recall@5 of the IVF index against the exact
+    // brute-force answer, per query — the measurement loop every ANN
+    // deployment runs before trusting an index (the GenScaleSpec recall
+    // floor, expressed as a first-class operator a user can run on their
+    // own corpus). Both sides are the SHARED chains (exactTopk / ivfTopk
+    // — the same DataFrames ann_topk and ann_ivf return), joined on
+    // (q_id, n_id); queries with no agreement survive via the left join
+    // from the query set. Integer hit counts; recall = n_hit/5 in one
+    // fixed-shape division both engines evaluate identically.
+    GraftQuery("emb_recall_eval", (s, d) => {
+      val hits = exactTopk(s, d).select("q_id", "n_id")
+        .join(ivfTopk(s, d).select("q_id", "n_id"), Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      vecs(s, d).filter(col("vec_id") < 8).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h"), lit(0L)).cast("long").as("n_hit"),
+          (coalesce(col("h"), lit(0L)).cast("double") /
+            lit(5).cast("double")).as("recall_at_5"))
     },
-      Some(s"""WITH e AS (SELECT vec_id, label,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
-             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
-             |p AS (SELECT q_id, b.vec_id AS n_id,
-             |    ${duckDot("qv", "b.v")} / (sqrt(qn) * sqrt(b.n2)) AS cos
-             |  FROM q JOIN n b ON b.vec_id <> q_id),
-             |r AS (SELECT q_id, n_id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
-             |  FROM p)
-             |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5""".stripMargin)),
+      Some(s"""WITH $baseVecSqlCtes,
+             |$exactTopkSqlCtes,
+             |$ivfTopkSqlCtes,
+             |hits AS (SELECT x.q_id, COUNT(*) AS h
+             |  FROM (SELECT q_id, n_id FROM xr WHERE rk <= 5) x
+             |  JOIN (SELECT q_id, n_id FROM ir WHERE rk <= 5) i
+             |    ON i.q_id = x.q_id AND i.n_id = x.n_id
+             |  GROUP BY x.q_id)
+             |SELECT q.q_id, CAST(COALESCE(h, 0) AS BIGINT) AS n_hit,
+             |  CAST(COALESCE(h, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall_at_5
+             |FROM q LEFT JOIN hits ON hits.q_id = q.q_id""".stripMargin)),
 
     // 47. sign-LSH bucketed ANN (the scale path): 3 tables × q hyperplanes
     // with q corpus-scaled (lshQ: 2^q buckets ≈ N/8, so bucket population
@@ -481,67 +592,10 @@ object Similarity {
     // probe side (queries × centroids) keeps the window: it is 8×K rows.
     // The full index build + search pipeline is SQL-expressible, so the
     // oracle checks it end to end.
-    GraftQuery("ann_ivf", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      F.register(s)
-      val base = vecs(s, d)
-      val cents = centroids(base, ivfK(s, d))
-      val cbRow = cents.agg(
-        expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cid)").as("cids"),
-        expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)").as("cvs"))
-      // build: map-only nearest-centroid assignment (ties → lowest cid,
-      // identical to the oracle's ORDER BY dist, cid)
-      val assign = base.crossJoin(broadcast(cbRow))
-        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
-        .select(col("vec_id").as("n_id"), col("cell"),
-          col("v").as("nv"), col("n2").as("nn2"))
-      // search: probe the nprobe nearest cells per query, exact top-5 inside
-      val q = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
-      val probes = broadcast(q).crossJoin(broadcast(cents))
-        .withColumn("qdist2", expr("l2_sq(qv, cv)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= ivfNProbe(ivfK(s, d)))
-        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-      // probes is semantically bounded (queries × nprobe rows) but its
-      // static size estimate is inflated by the upstream crossJoins: at
-      // sf1 stats the planner flips this join to SortMergeJoin and
-      // shuffles the corpus-sized assignment by cell. Declare the bound.
-      broadcast(probes).join(assign, "cell")
-        .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cos", expr("dot_product(qv, nv)") / (sqrt(col("qn")) * sqrt(col("nn2"))))
-        .withColumn("rk", row_number().over(wTop).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_id", "rk", "n_id", "cos")
-    },
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v, ${duckDot("v", "v")} AS n2 FROM e),
-             |c AS ($centroidsSql),
-             |asg AS (
-             |  SELECT vec_id AS n_id, cid AS cell, v AS nv, n2 AS nn2 FROM (
-             |    SELECT n.vec_id, c.cid, n.v, n.n2,
-             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             |        ORDER BY ${duckL2("n.v", "c.cv")}, c.cid) AS arn
-             |    FROM n CROSS JOIN c) WHERE arn = 1),
-             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
-             |probes AS (
-             |  SELECT q_id, qv, qn, cid AS cell FROM (
-             |    SELECT q.q_id, q.qv, q.qn, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-             |        ORDER BY ${duckL2("q.qv", "c.cv")}, c.cid) AS prn
-             |    FROM q CROSS JOIN c) WHERE prn <= $ivfNProbeSql),
-             |cand AS (
-             |  SELECT p.q_id, a.n_id,
-             |    ${duckDot("p.qv", "a.nv")} / (sqrt(p.qn) * sqrt(a.nn2)) AS cos
-             |  FROM probes p JOIN asg a ON p.cell = a.cell
-             |  WHERE a.n_id <> p.q_id),
-             |r AS (SELECT q_id, n_id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
-             |  FROM cand)
-             |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5""".stripMargin)),
+    GraftQuery("ann_ivf", (s, d) => ivfTopk(s, d),
+      Some(s"""WITH $baseVecSqlCtes,
+             |$ivfTopkSqlCtes
+             |SELECT q_id, rk, n_id, cos FROM ir WHERE rk <= 5""".stripMargin)),
 
     // 42b. cross-source overlap via the MinHash *union* sketch aggregate
     // (TypedImperativeAggregate): one 64-long sketch per source, pairwise

@@ -355,4 +355,65 @@ class OpInvariantsSpec extends SparkSpec {
         s"all three rewriting stages must fire on this corpus: $sums")
     } finally { out.unpersist(); () }
   }
+
+  test("dd_rep_rank: one representative per cluster, and it maximizes centrality") {
+    val out = run("dd_rep_rank", "/root/testdata/sf0.01").cache()
+    try {
+      assert(out.count() > 0, "pair graph is non-empty at sf0.01")
+      // exactly one is_rep per cluster
+      val perCluster = out.groupBy("cluster_id")
+        .agg(sum(when(col("is_rep"), 1L).otherwise(0L)).as("reps"),
+          max("centrality").as("cmax"))
+      assert(perCluster.filter(col("reps") =!= 1L).count() == 0,
+        "every cluster has exactly one representative")
+      // the rep carries the cluster's max centrality
+      val repMax = out.filter(col("is_rep"))
+        .join(perCluster, "cluster_id")
+        .filter(col("centrality") =!= col("cmax"))
+      assert(repMax.count() == 0, "representative must maximize centrality")
+      // rank mass conservation: total scaled mass stays within the
+      // truncation envelope — each floor-division loses < 1 unit, so
+      // after a round the total is <= prScale and >= prScale - (n + edges)
+      val n = out.count()
+      val mass = out.agg(sum("centrality")).head.getLong(0)
+      assert(mass <= 1000000000000L && mass > 1000000000000L / 2,
+        s"rank mass $mass out of the truncation envelope for n=$n")
+      // cluster labels agree with dd_cluster's components
+      val cc = run("dd_cluster", "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("cluster_id").as("cc_id"))
+      assert(out.join(cc, "doc_id").filter(col("cluster_id") =!= col("cc_id"))
+        .count() == 0, "cluster labels must match dd_cluster")
+    } finally { out.unpersist(); () }
+  }
+
+  test("ta_sample_stratified: per-source count equals the exact ceil quota") {
+    val out = run("ta_sample_stratified").cache()
+    try {
+      val got = out.groupBy("source").agg(
+        count(lit(1)).as("n_got"), max("quota").as("q"))
+      val want = Tables.t(spark, sf, "documents").groupBy("source")
+        .agg(expr("(count(1) + 19) div 20").as("want"))
+      val bad = got.join(want, "source")
+        .filter(col("n_got") =!= col("want") || col("q") =!= col("want"))
+      assert(bad.count() == 0, "sampled count must equal ceil(n/20) per source")
+      // every source is represented (ceiling quota never rounds to zero)
+      assert(got.count() ==
+        Tables.t(spark, sf, "documents").select("source").distinct().count())
+      // deterministic: same doc set on a second evaluation
+      assert(run("ta_sample_stratified").exceptAll(out).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("emb_recall_eval: one row per query; recall in [0,1] and consistent with n_hit") {
+    val out = run("emb_recall_eval", "/root/testdata/sf0.01").cache()
+    try {
+      assert(out.count() == 8, "one row per probe query")
+      assert(out.filter(col("n_hit") < 0 || col("n_hit") > 5).count() == 0)
+      assert(out.filter(col("recall_at_5") =!=
+        col("n_hit").cast("double") / lit(5.0)).count() == 0)
+      // the index is sound on this corpus: mean recall above the spec floor
+      val mean = out.agg(avg("recall_at_5")).head.getDouble(0)
+      assert(mean >= 0.5, s"mean recall@5 $mean below the pinned floor")
+    } finally { out.unpersist(); () }
+  }
 }
