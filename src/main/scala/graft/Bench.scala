@@ -87,6 +87,7 @@ object Bench {
       "ta_pipeline_curate", "ta_pipeline_scrub", "mm_pipeline_curate",
       "dd_span_scrub",
       "ta_dsir", "ta_quality_classifier", "ta_bpe_apply",
+      "dd_rep_rank", "ta_sample_stratified", "emb_recall_eval",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a

@@ -52,7 +52,20 @@ object Curation2 {
     * per-iteration working set is the VOCABULARY (persisted once — the
     * corpus is read exactly once, for the word count).
     * Returns (merges: it/rk/l/r/cnt, syms5: word/freq/syms). */
-  private def bpeChain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def bpeChain(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeChainImpl(s, d, cut = true)
+
+  /** The same chain with the lineage cuts DISABLED — audit-only (one code
+    * path, one flag): the snapped entry plan is a scan over materialized
+    * snapshots, so the per-iteration plan shape (distributed TakeOrdered
+    * argmax, declared one-row merge broadcast) is only visible on the
+    * uncut composition. Never benched or oracled; PlanContracts routes
+    * ta_bpe_learn's audit here. */
+  private[graft] def bpeChainUncutForAudit(s: SparkSession, d: String): DataFrame =
+    bpeChainImpl(s, d, cut = false)._1
+
+  private def bpeChainImpl(s: SparkSession, d: String,
+      cut: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val words = OpCache.memo(s, "bpewords|" + d)(
       docs(s, d)
@@ -68,7 +81,7 @@ object Curation2 {
     // vocabulary-sized (syms) or ≤ bpeBatch rows (kept); materialize the
     // successor FIRST, then release the predecessor it reads.
     var liveSyms: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    def snap(df: DataFrame, vocabAxis: Boolean): DataFrame = {
+    def snap(df: DataFrame, vocabAxis: Boolean): DataFrame = if (!cut) df else {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.count()
       if (vocabAxis) {
