@@ -67,4 +67,26 @@ class TablesSpec extends SparkSpec {
     assert(a === micros.sorted)
   }
 
+  test("generator corpus text is single-byte: the MULTIMODAL byte-unit oracle contract") {
+    // The multimodal family derives its synthetic payload from text and
+    // its DuckDB oracles mix units throughout: duckF's per-bucket features
+    // and the frame/phash chains build byte lists as ord(substr(text, i))
+    // over range(1, strlen(text)+1) — strlen counts BYTES while substr
+    // indexes CODEPOINTS — and the re-encode '+1' perturbation never wraps
+    // a multi-byte unit the way the Scala byte arithmetic would. Those
+    // coincide only on single-byte text. The r9/r10 codepoint fixes
+    // (winnow_stats, char_shingles, simpson_stats, cdc_chunks) removed
+    // this precondition for the TEXT kernels; the multimodal oracles still
+    // carry it, so a driver regen that introduces multi-byte text must
+    // fail HERE with a named cause instead of as unexplained
+    // mm_phash/mm_pipeline_curate cross-engine mismatches.
+    val nonAscii = Tables.t(spark, sf, "documents")
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii docs have multi-byte text — the multimodal oracle's " +
+        "byte-unit equivalence (strlen/ord-substr) no longer holds; " +
+        "rewrite the mm oracles byte-level or re-derive payloads " +
+        "codepoint-level before trusting dd/mm cross-engine hashes")
+  }
+
 }

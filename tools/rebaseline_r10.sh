@@ -50,7 +50,7 @@ python3 tools/pool_mins.py /tmp/bs1_pooled.json /tmp/bs1_1.json /tmp/bs1_2.json
 echo "=== sf10 pooled (3 runs x 2 iters, scale-critical subset — r10-widened: ==="
 echo "===   + ta_gopher_rules ta_quality_prune ta_ngram_lm emb_centroid_gate ==="
 echo "===   + q_retention q_gaps_islands ta_pipeline_scrub dd_chunk_dedup ta_pii_scrub) ==="
-REG='^(ann_ivf|ann_ivf_pq|ann_lsh|ann_pq|dd_bloom_gate|dd_cluster|dd_exact|dd_incremental|dd_minhash_lsh|dd_pipeline_indexed|dd_semantic|dd_semantic_hier|mm_phash|mm_phash_cluster|q_agg_basic|q_sessionize|st_interval_join|ta_line_dedup|ta_tfidf|dd_containment|dd_soft|ann_kmeans_refine|emb_quantize|st_left_join|q_funnel|ta_winnow|ann_nndescent|ta_dsir|ta_bpe_learn|ta_bpe_apply|emb_pca_power|ta_pipeline_curate|dd_span_scrub|ta_gopher_rules|ta_quality_prune|ta_ngram_lm|emb_centroid_gate|q_retention|q_gaps_islands|ta_pipeline_scrub|dd_chunk_dedup|ta_pii_scrub|mm_pipeline_curate|dd_rep_rank|ta_sample_stratified|emb_recall_eval)$'
+. "$(dirname "$0")/sf10_reg.sh"
 for i in 1 2 3; do
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE=256 \
     sbt -batch "runMain graft.BenchScale $SF10 2 /tmp/bs10_$i.json \"$REG\""

@@ -17,6 +17,10 @@ for k, v in donor["queries_min"].items():
     target["queries_median"][k] = donor["queries_median"][k]
     if "queries_first" in donor and k in donor["queries_first"]:
         target.setdefault("queries_first", {})[k] = donor["queries_first"][k]
+    else:
+        # donor has no cold-cost figure: drop the target's stale one
+        # rather than pairing an old first-run time with the new min
+        target.get("queries_first", {}).pop(k, None)
     print(f"{target_path}: {k} {old} -> {v}")
 target["value"] = round(sum(target["queries_min"].values()), 3)
 json.dump(target, open(target_path, "w"))
