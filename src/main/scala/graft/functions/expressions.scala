@@ -542,9 +542,27 @@ object CdcChunks {
       if (b0 < 0x80) cp = b0
       else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
       else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
-      var k = 1
-      while (k < len) { cp = (cp << 6) | (bytes(bi + k) & 0x3f); k += 1 }
+      else if ((b0 & 0xf8) == 0xf0) { cp = b0 & 0x07; len = 4 }
+      else { cp = b0 } // stray continuation / invalid lead: one unit
+      // UTF8String is NOT validated (binary→string casts pass bytes
+      // through), so the sequence the lead byte promises may be truncated
+      // at the buffer end or interrupted by a non-continuation byte.
+      // Defensive contract: bounded reads only, one unit per invalid
+      // byte (cp = the raw byte), offsets still partition the buffer —
+      // never read past nb, never skip a byte. Valid UTF-8 decodes
+      // exactly as before, so oracle parity on real corpora is untouched.
+      if (len > 1) {
+        var ok = bi + len <= nb
+        var k = 1
+        while (ok && k < len) {
+          if ((bytes(bi + k) & 0xc0) != 0x80) ok = false
+          k += 1
+        }
+        if (ok) {
+          k = 1
+          while (k < len) { cp = (cp << 6) | (bytes(bi + k) & 0x3f); k += 1 }
+        } else { cp = b0; len = 1 }
+      }
       cps(ncp) = cp
       ncp += 1
       bi += len

@@ -103,7 +103,16 @@ object Similarity {
   private[graft] def nProbeOverrideNow: Option[Int] =
     sys.props.get("spark.graft.ann.nprobe")
       .orElse(sys.env.get("SPARK_GRAFT_ANN_NPROBE"))
-      .map(_.trim.toInt).filter(_ > 0)
+      .map { raw =>
+        // an SLA knob must fail LOUD and NAMED on a bad value: a typo'd
+        // override silently falling back to the √K default would run a
+        // different recall posture than the one the deployment configured
+        val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.ann.nprobe must be a positive integer, got '$raw'"))
+        if (v <= 0) throw new IllegalArgumentException(
+          s"spark.graft.ann.nprobe must be a positive integer, got '$raw'")
+        v
+      }
   private[graft] lazy val nProbeOverride: Option[Int] = nProbeOverrideNow
 
   /** The production choice, parameterized so GenScaleSpec can exercise an

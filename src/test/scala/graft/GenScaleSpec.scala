@@ -310,6 +310,15 @@ class GenScaleSpec extends SparkSpec {
       assert(Similarity.nProbeSqlFor(Similarity.nProbeOverrideNow)
         == "CAST(39 AS BIGINT)",
         "the oracle SQL must emit the identical override literal")
+      // an SLA knob must fail LOUD and NAMED on a bad value — both the
+      // unparseable and the non-positive case (silently ignoring a typo'd
+      // override would run the default nprobe and miss the SLA invisibly)
+      Seq("8k", "", "0", "-3").foreach { bad =>
+        sys.props("spark.graft.ann.nprobe") = bad
+        val err = intercept[IllegalArgumentException](Similarity.nProbeOverrideNow)
+        assert(err.getMessage.contains("spark.graft.ann.nprobe"),
+          s"rejection for '$bad' must name the knob")
+      }
     } finally {
       prev.fold { sys.props.remove("spark.graft.ann.nprobe"); () } { v =>
         sys.props("spark.graft.ann.nprobe") = v; ()

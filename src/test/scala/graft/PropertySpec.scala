@@ -196,6 +196,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunks never reads past the buffer on invalid UTF-8") {
+    // UTF8String is not validated, so binary→string casts can hand the
+    // kernel truncated multi-byte leads or stray continuation bytes; the
+    // decode loop must consume them defensively (bounded reads, one unit
+    // per invalid byte) instead of throwing ArrayIndexOutOfBounds or
+    // swallowing trailing bytes. Chunk hashes must still cover every
+    // input byte exactly once (offsets partition the buffer).
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq[Array[Byte]](
+      Array(0xe4).map(_.toByte),                          // truncated 3-byte lead
+      Array(0xf0, 0x9f).map(_.toByte),                    // truncated 4-byte lead
+      Array(0x80).map(_.toByte),                          // stray continuation
+      Array(0x41, 0x80, 0x42).map(_.toByte),              // continuation mid-stream
+      Array.fill(40)(0xe4.toByte),                        // lead-only run > window
+      (("abcdefgh" * 4).getBytes("UTF-8") :+ 0xc3.toByte) // valid run + truncated tail
+    )
+    cases.foreach { bs =>
+      val out = graft.functions.CdcChunks.compute(UTF8String.fromBytes(bs))
+      assert(out.numElements() >= 1, s"no chunks for ${bs.toSeq}")
+      // concatenated chunk md5s must rebuild the exact byte partition:
+      // recompute md5 over the whole buffer split at the same boundaries
+      // is internal; at minimum the call returns and is deterministic
+      val again = graft.functions.CdcChunks.compute(UTF8String.fromBytes(bs))
+      assert(out.toSeq[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType) ==
+        again.toSeq[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType))
+    }
+  }
+
   test("top_bigram_stats equals the naive count on random token lists") {
     assert(registered)
     val toksGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "xyz"))
