@@ -50,9 +50,14 @@ object RowSmoke {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .flatMap { case (name, fn) =>
+        // keep the FULL message in Left: the missing-table skip decision
+        // below greps it for the parquet path, which Spark often prints
+        // deep inside a long analysis message — truncating here could
+        // cut the path out and misclassify a skip as a failure. The
+        // 200-char cap is applied only at JSON emission.
         try Some(name -> Right(fn(spark, sfDir).count()))
         catch { case e: Throwable => Some(name -> Left(
-          String.valueOf(e.getMessage).take(200))) }
+          String.valueOf(e.getMessage))) }
       }
     val emptyBad = counts.collect {
       case (n, Right(0L)) if !mayBeEmpty(n) => n
@@ -75,7 +80,7 @@ object RowSmoke {
     } + "\""
     val body = counts.map {
       case (n, Right(c)) => s"${q(n)}: $c"
-      case (n, Left(m)) => s"${q(n)}: ${q("ERR: " + m)}"
+      case (n, Left(m)) => s"${q(n)}: ${q("ERR: " + m.take(200))}"
     }.mkString("{", ",", "}")
     val line = s"""{"sf":${q(sfDir)},"empty_unexpected":[${emptyBad.map(q).mkString(",")}],"errored":[${errored.map(q).mkString(",")}],"rows":$body}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

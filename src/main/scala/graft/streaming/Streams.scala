@@ -718,7 +718,65 @@ object Streams {
     },
       Some("""SELECT event_type, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // 55n. the STREAMING CAPSTONE — the online monitoring feed of an
+    // ingest pipeline as ONE streaming query with THREE CHAINED STATEFUL
+    // OPERATORS (the composition Spark only allows in append mode with
+    // event-time windows end to end): admission gate (drop 'error'
+    // events and sub-floor values — stateless, fuses into the scan) →
+    // watermarked exact dedup on event_id (dropDuplicatesWithinWatermark:
+    // bounded state; its eviction contract is pinned observably by
+    // st_dedup_watermark — here every id is unique so the stage is
+    // exercised structurally and passes everything) → 6-hour tumbling
+    // per-type stats (count + exact DECIMAL sum) → DAILY rollup of the
+    // hourly windows (window-over-window: the second aggregation groups
+    // the FIRST's window struct into 1-day buckets). Partial day sums
+    // stay DECIMAL(38,2) between the levels — decimal addition is
+    // associative, so the two-level rollup equals the oracle's one-shot
+    // daily aggregate bit-for-bit, and only the final projection casts
+    // to double. The replay stages the corpus plus a year-2100 sentinel
+    // (maxFilesPerTrigger=1: corpus batch, then sentinel batch) so the
+    // watermark passes every real day window and append mode flushes
+    // them through the normal eviction path; the sentinel passes the
+    // gate via user_id < 0 and is dropped at the sink by its own
+    // far-future window start. State posture at scale: dedup state is
+    // watermark-bounded, both window states hold one open bucket per
+    // (window, type) — none grow with stream length.
+    GraftQuery("st_pipeline_monitor", (s, d) => {
+      val staged = stageWithSentinel(s, d)
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val evs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // corpus batch, then sentinel
+        .parquet(s"$staged/*.parquet")
+        .transform(graft.Tables.tsNormalized)
+        .filter(col("user_id") < 0L ||
+          (col("event_type") =!= "error" && col("value") >= 0.05))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val hourly = evs
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n6"),
+          sum(d2(col("value"))).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("total6"))
+      val daily = hourly
+        .groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(sum(col("n6")).as("n"),
+          sum(col("total6")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("double").as("total"))
+        .select(unix_micros(col("window.start")).as("ds"),
+          col("event_type"), col("n"), col("total"))
+      // sentinel lands alone in its 2100 window — drop it by window start
+      runToTable(s, daily, OutputMode.Append())
+        .filter(col("ds") < 4102444800000000L)
+    },
+      Some("""SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS ds,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |    AS DOUBLE) AS total
+             |FROM events
+             |WHERE event_type <> 'error' AND value >= 0.05
+             |GROUP BY 1, 2""".stripMargin))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;
