@@ -446,7 +446,26 @@ object PlanContracts {
           "manifest through at most 10 hash exchanges in the final plan " +
           "(anti/meta id-joins + the per-source shard window + the " +
           "cluster-derivation aggregations)",
-        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 10)))
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 10)),
+    "q_concurrency" -> Seq(
+      noCartesian,
+      Contract(
+        "the sweep's two consumers share ONE corpus shuffle: the day-net " +
+          "branch reuses the (type, day) exchange instead of re-shuffling " +
+          "the delta stream",
+        p => p.finalSection.contains("ReusedExchange")),
+      Contract(
+        "the day-carry prefix table and the per-type max both join the " +
+          "delta stream as DECLARED broadcasts (they are |types|×|days| " +
+          "and |types| rows at any corpus size; undeclared, big stats " +
+          "would re-shuffle the corpus for each)",
+        p => "BroadcastExchange".r.findAllIn(p.full).length >= 2),
+      Contract(
+        "exchanges bounded: the corpus crosses ONE (type, day) hash " +
+          "exchange; every other exchange carries day- or type-level " +
+          "aggregates (≤ 7 hash-exchange mentions in the final plan incl. " +
+          "reuse annotations)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 7)))
 
   /** Entries whose query plan is a scan over materialized snapshots
     * (iterative chains with per-round lineage cuts): the audit reads the

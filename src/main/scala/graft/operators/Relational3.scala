@@ -454,6 +454,116 @@ object Relational3 {
              |SELECT '1_view' AS stage, n1 AS n_users,
              |    CAST(n1 AS DOUBLE) / n1 AS conv FROM n
              |UNION ALL SELECT '2_click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
-             |UNION ALL SELECT '3_purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM n""".stripMargin))
+             |UNION ALL SELECT '3_purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM n""".stripMargin)),
+
+    // calendar-spine GAP FILL with last-observation-carried-forward — the
+    // time-series densification every metrics store ships (a daily series
+    // with silent holes poisons downstream diffs/joins; LOCF makes gaps
+    // explicit and carried). Shape is the 100 TB-correct one: the corpus
+    // crosses ONE shuffle (the per-(type, day) exact-decimal aggregate,
+    // map-side partial) and everything after — span row, date spine,
+    // LOCF window — operates on the tiny |types|×|days| aggregate. Spine
+    // days come from sequence() over a one-row broadcast span; the LOCF
+    // is last(ignoreNulls) over an UNBOUNDED PRECEDING row frame per
+    // type, identical to the oracle's LAST_VALUE IGNORE NULLS. Days
+    // before a type's first observation stay NULL on both engines (the
+    // fill is honest about having no prior value).
+    GraftQuery("q_timeseries_fill", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, d, "events")
+      val obs = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sumd(d2(col("value"))).as("total"))
+      val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("event_type", "day"), "left")
+        .withColumn("filled", col("total").isNull)
+        .withColumn("total", last("total", ignoreNulls = true).over(w))
+        .select("event_type", "day", "total", "filled")
+    },
+      Some("""WITH obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+             |      AS DOUBLE) AS total
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT CAST(MIN(ts) AS DATE) AS d0,
+             |    CAST(MAX(ts) AS DATE) AS d1 FROM events),
+             |spine AS (SELECT t.event_type, CAST(u.day AS DATE) AS day
+             |  FROM (SELECT DISTINCT event_type FROM events) t
+             |  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS day FROM span) u),
+             |j AS (SELECT s.event_type, s.day, o.total, o.total IS NULL AS filled
+             |  FROM spine s LEFT JOIN obs o
+             |    ON o.event_type = s.event_type AND o.day = s.day)
+             |SELECT event_type, day,
+             |  LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY event_type
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS total,
+             |  filled
+             |FROM j""".stripMargin)),
+
+    // interval-overlap CONCURRENCY via sweep line: each event opens a
+    // 5-minute interval [ts, ts+5m); per type, the max number of
+    // simultaneously open intervals and the first instant it is reached.
+    // The classic formulation is one global running sum per type ordered
+    // by time — a 5-partition global sort at 100 TB. This entry uses the
+    // DISTRIBUTED PREFIX SUM decomposition instead: +1/-1 deltas sort and
+    // run WITHIN (type, day) partitions (bounded sorts, corpus shuffles
+    // once on the composite key), while the cross-day carry is the
+    // day-level net-sum prefix — a |types|×|days| table windowed cheaply
+    // and joined back as a declared broadcast. open = within-day run +
+    // prior-days carry equals the oracle's single global running sum
+    // exactly (day = t div 86400e6 is monotone in t, so the partition
+    // order concatenates to the global (t, delta) order; at equal
+    // (t, delta) the multiset of prefix values is order-invariant, and
+    // the max always lands on a +1 row — max/argmin-t are deterministic).
+    GraftQuery("q_concurrency", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dx = Tables.t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("t0"))
+        .select(col("event_type"), explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct((col("t0") + lit(300000000L)).as("t"),
+            lit(-1L).as("delta")))).as("x"))
+        .select(col("event_type"), col("x.t").as("t"), col("x.delta").as("delta"))
+        .withColumn("dday", expr("t div 86400000000"))
+      val wIn = Window.partitionBy("event_type", "dday")
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRun = dx.withColumn("run_in", sum("delta").over(wIn))
+      val wDays = Window.partitionBy("event_type").orderBy("dday")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prior = dx.groupBy("event_type", "dday").agg(sum("delta").as("net"))
+        .withColumn("prior", coalesce(sum("net").over(wDays), lit(0L)))
+        .select("event_type", "dday", "prior")
+      val open = withRun.join(broadcast(prior), Seq("event_type", "dday"))
+        .withColumn("open", col("run_in") + col("prior"))
+      val mx = open.groupBy("event_type").agg(max("open").as("max_concurrent"))
+      open.join(broadcast(mx), "event_type")
+        .filter(col("open") === col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(min("t").as("peak_at"))
+        .select("event_type", "max_concurrent", "peak_at")
+    },
+      Some("""WITH dx AS (
+             |  SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, epoch_us(ts) + 300000000, CAST(-1 AS BIGINT)
+             |  FROM events),
+             |run AS (SELECT event_type, t,
+             |    CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS open
+             |  FROM dx),
+             |mx AS (SELECT event_type, MAX(open) AS max_concurrent
+             |  FROM run GROUP BY 1)
+             |SELECT r.event_type, m.max_concurrent, MIN(r.t) AS peak_at
+             |FROM run r JOIN mx m
+             |  ON m.event_type = r.event_type AND r.open = m.max_concurrent
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -674,6 +674,57 @@ object Similarity {
              |  CAST((ufp // 4294967296) % 65536 AS BIGINT) AS b2,
              |  CAST((ufp // 65536) % 65536 AS BIGINT) AS b1,
              |  CAST(ufp % 65536 AS BIGINT) AS b0
-             |FROM fp""".stripMargin))
+             |FROM fp""".stripMargin)),
+
+    // LSH banding S-CURVE report — the tuning eval next to emb_recall_eval
+    // (ANN recall): for the corpus's 16-band × 4-row MinHash config, one
+    // row per 0.05 similarity bucket with the analytic detection
+    // probability p(s) = 1 − (1 − s⁴)¹⁶ and the count of VERIFIED
+    // near-dup pairs whose exact Jaccard lands in the bucket (the shared
+    // memoized pair index — corpus cost is the index, the report is a
+    // ≤21-row aggregate + grid join). A user reads off where the S-curve
+    // threshold (~(1/16)^(1/4) ≈ 0.5) sits against the similarity mass
+    // their corpus actually contains, and what detection floor the 0.7
+    // verification cut implies (p(0.70) ≈ 0.988). Cross-engine float
+    // discipline: p(s) is a fixed MULTIPLICATION CHAIN (s² , s⁴, then
+    // four squarings of 1−s⁴) — every step correctly rounded and
+    // identically associated on both engines, no libm pow; the powers
+    // are the banding constants in exponent form, so the chain IS the
+    // (16, 4) config (changing the banding means changing both sides in
+    // lockstep, same as minhashPairs and its SQL mirror).
+    GraftQuery("dd_lsh_curve", (s, d) => {
+      val pc = minhashPairs(s, d)
+        .select(floor(col("jacc") * 20).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      val sLo = col("s_lo")
+      val s4 = (sLo * sLo) * (sLo * sLo)
+      val v = lit(1.0) - s4
+      val v2 = v * v
+      val v4 = v2 * v2
+      val v8 = v4 * v4
+      val v16 = v8 * v8
+      s.range(0, 21)
+        .select(col("id").as("bucket"),
+          (col("id").cast("double") / lit(20.0).cast("double")).as("s_lo"))
+        .withColumn("detect_p", lit(1.0) - v16)
+        .join(broadcast(pc), Seq("bucket"), "left")
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .select("bucket", "s_lo", "detect_p", "n_pairs")
+    },
+      Some(s"""$minhashPairsSql,
+             |pc AS (SELECT CAST(FLOOR(jacc * 20) AS BIGINT) AS bucket,
+             |    COUNT(*) AS n_pairs FROM p GROUP BY 1),
+             |g AS (SELECT CAST(i AS BIGINT) AS bucket,
+             |    CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s_lo
+             |  FROM range(0, 21) r(i)),
+             |c1 AS (SELECT bucket, s_lo,
+             |    CAST(1.0 AS DOUBLE) - (s_lo*s_lo)*(s_lo*s_lo) AS v FROM g),
+             |c2 AS (SELECT bucket, s_lo, v*v AS v FROM c1),
+             |c3 AS (SELECT bucket, s_lo, v*v AS v FROM c2),
+             |c4 AS (SELECT bucket, s_lo, v*v AS v FROM c3),
+             |c5 AS (SELECT bucket, s_lo, v*v AS v FROM c4)
+             |SELECT c5.bucket, c5.s_lo, CAST(1.0 AS DOUBLE) - c5.v AS detect_p,
+             |  COALESCE(pc.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
+             |FROM c5 LEFT JOIN pc ON pc.bucket = c5.bucket""".stripMargin))
   )
 }
