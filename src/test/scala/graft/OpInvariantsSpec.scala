@@ -416,4 +416,84 @@ class OpInvariantsSpec extends SparkSpec {
       assert(mean >= 0.5, s"mean recall@5 $mean below the pinned floor")
     } finally { out.unpersist(); () }
   }
+
+  test("q_concurrency: equals the naive single-threaded sweep per type") {
+    // the entry computes the sweep as a DISTRIBUTED prefix sum (within-day
+    // runs + day-carry); this pin proves the decomposition against the
+    // textbook sequential formulation on the same data
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t")).collect()
+    val expected = ev.groupBy(_.getString(0)).map { case (tp, rows) =>
+      val deltas = rows.toSeq.flatMap(r =>
+        Seq((r.getLong(1), 1L), (r.getLong(1) + 300000000L, -1L)))
+        .sortBy(identity)
+      var open = 0L; var mx = 0L; var peak = Long.MaxValue
+      deltas.foreach { case (t, dl) =>
+        open += dl
+        if (open > mx) { mx = open; peak = t }
+      }
+      tp -> ((mx, peak))
+    }
+    val got = run("q_concurrency").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"distributed sweep diverged: $got vs $expected")
+  }
+
+  test("q_timeseries_fill: gapless spine; observed days exact; gaps carry LOCF") {
+    val out = run("q_timeseries_fill")
+      .select("event_type", "day", "total", "filled").cache()
+    try {
+      val ev = Tables.t(spark, sf, "events")
+      val span = ev.agg(to_date(min("ts")), to_date(max("ts"))).head
+      val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+        span.getDate(0).toLocalDate, span.getDate(1).toLocalDate) + 1
+      val nTypes = ev.select("event_type").distinct().count()
+      assert(out.count() == nDays * nTypes,
+        s"spine must be exactly |types|×|days| = ${nDays * nTypes}")
+      val obs = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Exact.sumd(Exact.d2(col("value"))).as("total")).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2))
+        .toMap
+      out.orderBy("event_type", "day").collect()
+        .groupBy(_.getString(0)).foreach { case (tp, rows) =>
+          var carry: Option[Double] = None
+          rows.sortBy(_.getDate(1).toString).foreach { r =>
+            val key = (tp, r.getDate(1).toString)
+            if (!r.getBoolean(3)) {
+              assert(obs.contains(key) && obs(key) == r.getDouble(2),
+                s"observed day $key must carry the exact daily aggregate")
+              carry = Some(r.getDouble(2))
+            } else {
+              assert(!obs.contains(key), s"gap day $key exists in the data")
+              carry match {
+                case Some(v) => assert(r.getDouble(2) == v,
+                  s"gap day $key must carry the last observation forward")
+                case None => assert(r.isNullAt(2),
+                  s"gap before $tp's first observation must stay NULL")
+              }
+            }
+          }
+        }
+    } finally { out.unpersist(); () }
+  }
+
+  test("dd_lsh_curve: full grid, pow-reference parity, pair mass conserved") {
+    val rows = run("dd_lsh_curve")
+      .select("bucket", "s_lo", "detect_p", "n_pairs")
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 20L), "21-bucket grid")
+    rows.foreach { r =>
+      val ref = 1.0 - math.pow(1.0 - math.pow(r.getDouble(1), 4), 16)
+      assert(math.abs(r.getDouble(2) - ref) < 1e-12,
+        s"multiplication chain diverged from pow at s=${r.getDouble(1)}")
+    }
+    // the S-curve is monotone non-decreasing in s
+    assert(rows.map(_.getDouble(2)).sliding(2)
+      .forall(a => a.length < 2 || a(0) <= a(1)), "S-curve monotonicity")
+    // every verified pair lands in exactly one bucket, all at jacc >= 0.7
+    assert(rows.map(_.getLong(3)).sum == run("dd_minhash_lsh").count(),
+      "bucket counts must partition the shared pair index")
+    assert(rows.filter(_.getLong(0) < 14).forall(_.getLong(3) == 0L),
+      "verification floor 0.7 ⇒ buckets below 14 are empty")
+  }
 }
