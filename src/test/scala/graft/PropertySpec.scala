@@ -226,6 +226,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kernel edge battery: degenerate inputs never crash, evaluate deterministically") {
+    // empty strings, sub-window strings, whitespace-only, empty arrays,
+    // and mismatched vector lengths — real corpora contain all of these
+    // (the r9 ta_bpe_apply empty-doc dropout was exactly this class), so
+    // every native kernel must return a deterministic value, not throw.
+    assert(registered)
+    val texts = Seq("", " ", "ab", "abcdefg", "\n\t", "a" * 7)
+    texts.foreach { t =>
+      val df = Seq(Tuple1(t)).toDF("t")
+      val exprs = Seq(
+        "char_shingles(t, 5)", "cdc_chunks(t)", "winnow_stats(t)",
+        "simpson_stats(t)", "minhash_sig(char_shingles(t, 5))",
+        "simhash64(filter(split(t, ' '), x -> x <> ''))",
+        "md5_buckets(char_shingles(t, 3), 65536)")
+      exprs.foreach { e =>
+        val a = df.select(expr(e).cast("string")).head.getString(0)
+        val b = df.select(expr(e).cast("string")).head.getString(0)
+        assert(a == b, s"$e non-deterministic on ${t.take(8).toSeq}")
+      }
+      // empty/short text yields zero shingles of width > length; otherwise
+      // the DISTINCT sliding-window count (char_shingles dedups)
+      val n = df.select(size(expr("char_shingles(t, 5)"))).head.getInt(0)
+      val want = if (t.codePointCount(0, t.length) < 5) 0
+        else t.toSeq.sliding(5).map(_.unwrap).toSet.size
+      assert(n == want, s"shingle count $n != $want on ${t.take(8).toSeq}")
+    }
+    // zip kernels on mismatched lengths: min-length semantics, no throw
+    val vdf = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+    assert(vdf.select(expr("dot_product(a, b)")).head.getDouble(0) == 5.0)
+    assert(vdf.select(expr("l2_sq(a, b)")).head.getDouble(0) == 0.0)
+    val sdf = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+    assert(sdf.select(expr("sig_agree(a, b)")).head.getInt(0) == 1)
+    // empty arrays: signature of nothing is the fixed all-MaxValue vector,
+    // simhash of no tokens is the all-ones fingerprint — both deterministic
+    val edf = Seq(Tuple1(Seq.empty[String])).toDF("a")
+    val sig = edf.select(expr("minhash_sig(a)")).head.getSeq[Long](0)
+    assert(sig.length == 64 && sig.forall(_ == Long.MaxValue))
+    assert(edf.select(expr("simhash64(a)")).head.getLong(0) == -1L)
+    assert(edf.select(expr("jaccard_sim(a, a)")).head.getDouble(0) == 0.0)
+  }
+
   test("top_bigram_stats equals the naive count on random token lists") {
     assert(registered)
     val toksGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab", "xyz"))
