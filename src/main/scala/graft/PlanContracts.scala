@@ -450,22 +450,30 @@ object PlanContracts {
     "q_concurrency" -> Seq(
       noCartesian,
       Contract(
-        "the sweep's two consumers share ONE corpus shuffle: the day-net " +
-          "branch reuses the (type, day) exchange instead of re-shuffling " +
-          "the delta stream",
-        p => p.finalSection.contains("ReusedExchange")),
+        "corpus rows cross ONE keyed shuffle: the per-type-max consumer " +
+          "REUSES the (type, day) window exchange (a ReusedExchange of a " +
+          "hashpartitioning exchange in the final plan) instead of " +
+          "re-shuffling the delta stream",
+        p => """ReusedExchange \[[^\]]*\], Exchange hashpartitioning""".r
+          .findFirstIn(p.finalSection).isDefined),
       Contract(
-        "the day-carry prefix table and the per-type max both join the " +
-          "delta stream as DECLARED broadcasts (they are |types|×|days| " +
-          "and |types| rows at any corpus size; undeclared, big stats " +
-          "would re-shuffle the corpus for each)",
-        p => "BroadcastExchange".r.findAllIn(p.full).length >= 2),
+        "exactly TWO FileScans, by design: the window pass and the " +
+          "day-net pass (a 2-column projected re-read whose partial " +
+          "aggregate runs map-side — its exchange carries only " +
+          "|types|×|days| pre-aggregated rows, never corpus deltas; the " +
+          "alternatives re-shuffle the corpus or persist corpus×2 rows)",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 2),
       Contract(
-        "exchanges bounded: the corpus crosses ONE (type, day) hash " +
-          "exchange; every other exchange carries day- or type-level " +
-          "aggregates (≤ 7 hash-exchange mentions in the final plan incl. " +
-          "reuse annotations)",
-        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 7)))
+        "the day-carry prefix table and the per-type max join as exactly " +
+          "TWO DECLARED broadcasts (|types|×|days| and |types| rows at " +
+          "any corpus size; counted as node lines in the final section, " +
+          "which excludes the reuse annotation)",
+        p => """\+- BroadcastExchange""".r.findAllIn(p.finalSection).length == 2),
+      Contract(
+        "exchanges bounded: ≤ 6 hash-exchange mentions in the final plan " +
+          "(the corpus (type, day) exchange, its reuse annotation, and " +
+          "the day-/type-/report-level aggregate exchanges)",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 6)))
 
   /** Entries whose query plan is a scan over materialized snapshots
     * (iterative chains with per-round lineage cuts): the audit reads the

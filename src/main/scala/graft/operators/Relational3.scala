@@ -511,15 +511,24 @@ object Relational3 {
     // The classic formulation is one global running sum per type ordered
     // by time — a 5-partition global sort at 100 TB. This entry uses the
     // DISTRIBUTED PREFIX SUM decomposition instead: +1/-1 deltas sort and
-    // run WITHIN (type, day) partitions (bounded sorts, corpus shuffles
-    // once on the composite key), while the cross-day carry is the
-    // day-level net-sum prefix — a |types|×|days| table windowed cheaply
-    // and joined back as a declared broadcast. open = within-day run +
-    // prior-days carry equals the oracle's single global running sum
-    // exactly (day = t div 86400e6 is monotone in t, so the partition
-    // order concatenates to the global (t, delta) order; at equal
-    // (t, delta) the multiset of prefix values is order-invariant, and
-    // the max always lands on a +1 row — max/argmin-t are deterministic).
+    // run WITHIN (type, day) partitions (bounded sorts), while the
+    // cross-day carry is the day-level net-sum prefix — a |types|×|days|
+    // table windowed cheaply and joined back as a declared broadcast.
+    // Corpus rows cross exactly ONE shuffle (the (type, day) window
+    // exchange; the per-type-max consumer REUSES that exchange). The
+    // day-net side table is a second PROJECTED pass over the scan
+    // (2 columns, map-side partial aggregate) whose exchange carries
+    // only the pre-aggregated |types|×|days| rows — deliberately NOT
+    // derived from the windowed lineage: a whole-partition net window
+    // there re-shuffles the full delta stream a second time (measured in
+    // the plan), and an entry-local persist of corpus×2 rows trades a
+    // cheap 2-column columnar re-read for cache pressure at 100 TB.
+    // open = within-day run + prior-days carry equals the oracle's
+    // single global running sum exactly (day = t div 86400e6 is monotone
+    // in t, so the partition order concatenates to the global (t, delta)
+    // order; at equal (t, delta) the multiset of prefix values is
+    // order-invariant, and the max always lands on a +1 row — max and
+    // argmin-t are deterministic).
     GraftQuery("q_concurrency", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dx = Tables.t(s, d, "events")
@@ -541,6 +550,7 @@ object Relational3 {
         .select("event_type", "dday", "prior")
       val open = withRun.join(broadcast(prior), Seq("event_type", "dday"))
         .withColumn("open", col("run_in") + col("prior"))
+        .select("event_type", "t", "open")
       val mx = open.groupBy("event_type").agg(max("open").as("max_concurrent"))
       open.join(broadcast(mx), "event_type")
         .filter(col("open") === col("max_concurrent"))

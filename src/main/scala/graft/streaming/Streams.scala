@@ -91,6 +91,14 @@ object Streams {
   final case class OpenSess(session_id: Long, start_us: Long, last_us: Long,
       n_events: Long)
 
+  /** The far-future watermark-advancing sentinel's event time
+    * (2100-01-01T00:00Z, epoch micros) — ONE constant shared by every
+    * staging helper that writes the sentinel row and every sink filter
+    * that drops it, so the date can never drift between a producer and a
+    * consumer (a moved sentinel leaking past a stale literal filter shows
+    * up as a confusing one-extra-row oracle diff). */
+  private[streaming] val SentinelMicros = 4102444800000000L
+
   /** Stage `events.parquet` plus one far-future sentinel event (user -1)
     * into a temp dir. The sentinel advances the event-time watermark past
     * every real event after the real batch commits, so every open session
@@ -112,7 +120,7 @@ object Streams {
       raw.limit(1)
         .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
         .withColumn("event_id", org.apache.spark.sql.functions.lit(-1L))
-        .withColumn("ts", tsLitLike(raw, 4102444800000000L)) // 2100-01-01T00:00Z
+        .withColumn("ts", tsLitLike(raw, SentinelMicros))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()
@@ -165,7 +173,7 @@ object Streams {
       put(raw.limit(1)
         .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
         .withColumn("event_type", lit("sentinel")).withColumn("value", lit(0.0))
-        .withColumn("ts", tsLitLike(raw, 4102444800000000L)), "zz_sentinel.parquet", 0)
+        .withColumn("ts", tsLitLike(raw, SentinelMicros)), "zz_sentinel.parquet", 0)
       staged.toString
     })
 
@@ -768,7 +776,7 @@ object Streams {
           col("event_type"), col("n"), col("total"))
       // sentinel lands alone in its 2100 window — drop it by window start
       runToTable(s, daily, OutputMode.Append())
-        .filter(col("ds") < 4102444800000000L)
+        .filter(col("ds") < SentinelMicros)
     },
       Some("""SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS ds,
              |  event_type, COUNT(*) AS n,
@@ -818,7 +826,7 @@ object Streams {
       raw.limit(1)
         .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
         .withColumn("event_type", lit("sentinel"))
-        .withColumn("ts", tsLitLike(raw, 4102444800000000L)) // 2100-01-01T00:00Z
+        .withColumn("ts", tsLitLike(raw, SentinelMicros))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().get()

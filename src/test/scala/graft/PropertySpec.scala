@@ -201,28 +201,66 @@ class PropertySpec extends SparkSpec {
     // kernel truncated multi-byte leads or stray continuation bytes; the
     // decode loop must consume them defensively (bounded reads, one unit
     // per invalid byte) instead of throwing ArrayIndexOutOfBounds or
-    // swallowing trailing bytes. Chunk hashes must still cover every
-    // input byte exactly once (offsets partition the buffer).
+    // swallowing trailing bytes. The pin is a REFERENCE chunker written
+    // from the spec (decode one unit per invalid byte; window-16
+    // codepoint fold mod 2^20, boundary at ≡0 mod 64; md5 per byte
+    // range) — chunk hashes must cover every input byte exactly once,
+    // split at exactly the spec boundaries.
     import org.apache.spark.unsafe.types.UTF8String
+    def refChunks(bytes: Array[Byte]): Seq[String] = {
+      val cps = scala.collection.mutable.ArrayBuffer[Int]()
+      val offs = scala.collection.mutable.ArrayBuffer[Int]()
+      val nb = bytes.length
+      var bi = 0
+      while (bi < nb) {
+        offs += bi
+        val b0 = bytes(bi) & 0xff
+        val want = if (b0 < 0x80) 1
+          else if ((b0 & 0xe0) == 0xc0) 2
+          else if ((b0 & 0xf0) == 0xe0) 3
+          else if ((b0 & 0xf8) == 0xf0) 4 else 1
+        if (want > 1 && bi + want <= nb &&
+            (1 until want).forall(k => (bytes(bi + k) & 0xc0) == 0x80)) {
+          var cp = b0 & (0x3f >> (want - 1))
+          (1 until want).foreach(k => cp = (cp << 6) | (bytes(bi + k) & 0x3f))
+          cps += cp
+          bi += want
+        } else { cps += b0; bi += 1 } // invalid: one unit, the raw byte
+      }
+      offs += nb
+      val bounds = scala.collection.mutable.ArrayBuffer[Int]()
+      (16 to cps.length).foreach { i =>
+        var acc = 0L
+        (i - 16 until i).foreach(k => acc = (acc * 257 + cps(k)) % 1048576L)
+        if (acc % 64L == 0) bounds += i
+      }
+      if (bounds.isEmpty || bounds.last != cps.length) bounds += cps.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var lo = 0
+      bounds.toSeq.map { hi =>
+        md.reset(); md.update(bytes, offs(lo), offs(hi) - offs(lo))
+        lo = hi
+        md.digest().map(b => f"$b%02x").mkString
+      }
+    }
+    val rng = new scala.util.Random(7)
+    val fuzz = (1 to 20).map(_ =>
+      Array.fill(rng.nextInt(120) + 1)(rng.nextInt(256).toByte))
     val cases = Seq[Array[Byte]](
       Array(0xe4).map(_.toByte),                          // truncated 3-byte lead
       Array(0xf0, 0x9f).map(_.toByte),                    // truncated 4-byte lead
       Array(0x80).map(_.toByte),                          // stray continuation
       Array(0x41, 0x80, 0x42).map(_.toByte),              // continuation mid-stream
       Array.fill(40)(0xe4.toByte),                        // lead-only run > window
-      (("abcdefgh" * 4).getBytes("UTF-8") :+ 0xc3.toByte) // valid run + truncated tail
-    )
+      (("abcdefgh" * 4).getBytes("UTF-8") :+ 0xc3.toByte), // valid + truncated tail
+      ("válido 𝄞 тест " * 4).getBytes("UTF-8")            // valid multi-byte/non-BMP
+    ) ++ fuzz
     cases.foreach { bs =>
-      val out = graft.functions.CdcChunks.compute(UTF8String.fromBytes(bs))
-      assert(out.numElements() >= 1, s"no chunks for ${bs.toSeq}")
-      // concatenated chunk md5s must rebuild the exact byte partition:
-      // recompute md5 over the whole buffer split at the same boundaries
-      // is internal; at minimum the call returns and is deterministic
-      val again = graft.functions.CdcChunks.compute(UTF8String.fromBytes(bs))
-      assert(out.toSeq[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType) ==
-        again.toSeq[org.apache.spark.unsafe.types.UTF8String](
-          org.apache.spark.sql.types.StringType))
+      val got = graft.functions.CdcChunks.compute(UTF8String.fromBytes(bs))
+        .toSeq[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      assert(got == refChunks(bs),
+        s"kernel diverged from the reference chunker on ${bs.take(12).toSeq}")
     }
   }
 
