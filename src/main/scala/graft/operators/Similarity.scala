@@ -299,31 +299,41 @@ object Similarity {
     embCount(s, d); ()
   }
 
+  /** The MinHash chain's shingle table (not persisted: nested
+    * array<string> columnar cache scans slower than recomputing codegen'd
+    * char_shingles from parquet — same finding as TextOps.gram3). */
+  private def mhShingles(s: SparkSession, d: String): DataFrame = {
+    F.register(s)
+    docs(s, d).select(col("doc_id"), expr("char_shingles(text, 5)").as("sh"))
+  }
+
+  /** Stage constructors of the MinHash near-dup chain, single-sourced so
+    * the shared pair index (minhashPairs) and the funnel report
+    * (dd_lsh_funnel) can never drift: banding → signature-agreement
+    * prefilter (est ≥ 0.55) → exact-Jaccard verify (jacc ≥ 0.7). */
+  private def mhPrefilter(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+      .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+      .withColumn("est", expr(
+        "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
+      .filter(col("est") >= 0.55)
+      .select("ia", "ib")
+  private def mhVerify(pre: DataFrame, sh: DataFrame): DataFrame =
+    pre
+      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
+      .filter(col("jacc") >= 0.7)
+      .select("ia", "ib", "jacc")
+
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     OpCache.memo(s, "mhpairs|" + d) {
-      F.register(s)
-      // sh not persisted: nested array<string> columnar cache scans slower
-      // than recomputing codegen'd char_shingles from parquet (same finding
-      // as TextOps.gram3); the fixed-width signature table is cached
-      val sh = docs(s, d).select(col("doc_id"),
-        expr("char_shingles(text, 5)").as("sh"))
+      val sh = mhShingles(s, d)
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
         .select("doc_id", "sig").persist()
       val cand = bandCandidates(sigs, "doc_id", bands = 16, rows = 4)
-      val prefiltered = cand
-        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
-        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
-        .withColumn("est", expr(
-          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
-        .filter(col("est") >= 0.55)
-        .select("ia", "ib")
-      val verified = prefiltered
-        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-        .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
-        .filter(col("jacc") >= 0.7)
-        .select("ia", "ib", "jacc")
-        .persist()
+      val verified = mhVerify(mhPrefilter(cand, sigs), sh).persist()
       verified.count() // materialize now so the signature cache can go
       sigs.unpersist()
       verified
@@ -725,6 +735,52 @@ object Similarity {
              |c5 AS (SELECT bucket, s_lo, v*v AS v FROM c4)
              |SELECT c5.bucket, c5.s_lo, CAST(1.0 AS DOUBLE) - c5.v AS detect_p,
              |  COALESCE(pc.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
-             |FROM c5 LEFT JOIN pc ON pc.bucket = c5.bucket""".stripMargin))
+             |FROM c5 LEFT JOIN pc ON pc.bucket = c5.bucket""".stripMargin)),
+
+    // the MEASURED banding funnel — what an operator watches in
+    // production next to dd_lsh_curve's analytic view: candidate pairs
+    // out of the 16×4 band join, survivors of the signature-agreement
+    // prefilter (est ≥ 0.55), exact-verified near-dups (jacc ≥ 0.7),
+    // and the stage yields. Candidate-count blowup is the documented
+    // banding failure mode on low-entropy text (SURVEY §5: char 5-grams
+    // measured 17.3M candidates vs 505 at sf0.1 under a mistuned gram
+    // space) — this report is the alarm for it. Stage definitions are
+    // the SAME constructors minhashPairs uses (mhPrefilter/mhVerify), so
+    // the funnel measures the real chain; yields are double divisions of
+    // exact counts (bit-identical), NULL when a stage is empty. The
+    // one-row stage counts combine via declared one-row broadcasts.
+    GraftQuery("dd_lsh_funnel", (s, d) => {
+      val sh = mhShingles(s, d)
+      val sigs = OpCache.track(s, sh
+        .withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist())
+      val cand = OpCache.track(s,
+        bandCandidates(sigs, "doc_id", bands = 16, rows = 4).persist())
+      val pre = OpCache.track(s, mhPrefilter(cand, sigs).persist())
+      sh.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(pre.agg(count(lit(1)).as("n_pre"))))
+        .crossJoin(broadcast(
+          mhVerify(pre, sh).agg(count(lit(1)).as("n_verified"))))
+        .select(col("n_docs"), col("n_cand"), col("n_pre"), col("n_verified"),
+          when(col("n_cand") === 0, lit(null))
+            .otherwise(col("n_pre").cast("double") / col("n_cand"))
+            .as("yield_pre"),
+          when(col("n_pre") === 0, lit(null))
+            .otherwise(col("n_verified").cast("double") / col("n_pre"))
+            .as("yield_verified"))
+    },
+      Some(s"""$minhashPairsSql,
+             |counts AS (SELECT
+             |  (SELECT COUNT(*) FROM documents) AS n_docs,
+             |  (SELECT COUNT(*) FROM cand) AS n_cand,
+             |  (SELECT COUNT(*) FROM pre) AS n_pre,
+             |  (SELECT COUNT(*) FROM p) AS n_verified)
+             |SELECT n_docs, n_cand, n_pre, n_verified,
+             |  CASE WHEN n_cand = 0 THEN NULL
+             |    ELSE CAST(n_pre AS DOUBLE) / n_cand END AS yield_pre,
+             |  CASE WHEN n_pre = 0 THEN NULL
+             |    ELSE CAST(n_verified AS DOUBLE) / n_pre END AS yield_verified
+             |FROM counts""".stripMargin))
   )
 }
