@@ -308,6 +308,24 @@ object PlanContracts {
         "each learned merge rejoins the vocabulary as a DECLARED one-row " +
           "broadcast (BroadcastNestedLoopJoin)",
         p => p.full.contains("BroadcastNestedLoopJoin"))),
+    // the ENTRY'S OWN returned plan (not the uncut audit chain): pins that
+    // the lineage cut is actually ACTIVE — the entry reads the merge table
+    // from a per-round snapshot, and none of the learning chain's
+    // signature operators (argmax TakeOrdered, one-row merge rejoin)
+    // appear. If a cut-flag regression re-enabled lazy composition, the
+    // uncut-chain contracts above would still pass while the 2^iters plan
+    // blowup returned — THIS row is what would catch it.
+    "ta_bpe_learn (entry plan)" -> Seq(
+      noCartesian,
+      present("Scan ExistingRDD",
+        "the returned merge table is a SNAPSHOT scan (the lineage-cut " +
+          "artifact), not the live iterated chain"),
+      absent("TakeOrderedAndProject",
+        "no learning-chain argmax in the returned plan — the per-round " +
+          "cuts are active, so plan depth stays O(1) per read"),
+      absent("BroadcastNestedLoopJoin",
+        "no iterated one-row merge rejoin in the returned plan — lazy " +
+          "composition (the 2^iters blowup) is not back")),
     "ta_bpe_apply" -> Seq(
       noCartesian,
       present("Scan ExistingRDD",
@@ -482,7 +500,13 @@ object PlanContracts {
     * returned plan is just the snapshot scan. */
   private val auditOverrides
       : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("ta_bpe_learn" -> ((s, d) => operators.Curation2.bpeChainUncutForAudit(s, d)))
+    Map(
+      "ta_bpe_learn" -> ((s, d) => operators.Curation2.bpeChainUncutForAudit(s, d)),
+      // the complementary row: audit the entry's REAL returned plan under
+      // a name that maps back to it (the entry name itself is taken by
+      // the uncut-chain audit above)
+      "ta_bpe_learn (entry plan)" ->
+        ((s, d) => SparkEntry.queries("ta_bpe_learn")(s, d)))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -129,6 +129,78 @@ object Similarity {
     * materialized centroid CTE `c` (or the override literal). */
   private[operators] lazy val ivfNProbeSql: String = nProbeSqlFor(nProbeOverride)
 
+  /** The LSH banding deployment config (SURVEY §5): (bands, rows) sets the
+    * detection S-curve's threshold ~(1/bands)^(1/rows) — THE dedup recall/
+    * cost knob, which dd_lsh_curve (analytic) and dd_lsh_funnel (measured)
+    * exist to tune. Same discipline as `spark.graft.ann.nprobe`: read from
+    * the JVM system properties `spark.graft.lsh.bands` / `spark.graft.lsh
+    * .rows` (env `SPARK_GRAFT_LSH_BANDS`/`SPARK_GRAFT_LSH_ROWS`) ONCE at
+    * module init; every consumer — minhashPairs, its SQL mirror, the
+    * curve's exponent chain, the funnel — derives from the one value, so
+    * an override can never split the engines: lockstep is structural.
+    * Constraints fail LOUD and NAMED (a typo'd knob silently running the
+    * default banding would dedup at a different similarity threshold than
+    * the deployment configured): both knobs set together, positive, and
+    * bands·rows ≤ 64 (the MinHash signature width — banding past the
+    * signature would join on empty/short slices and candidate everything). */
+  private[graft] val defaultLshBands = 16
+  private[graft] val defaultLshRows = 4
+  private[graft] def lshConfigNow: Option[(Int, Int)] = {
+    val rawB = sys.props.get("spark.graft.lsh.bands")
+      .orElse(sys.env.get("SPARK_GRAFT_LSH_BANDS"))
+    val rawR = sys.props.get("spark.graft.lsh.rows")
+      .orElse(sys.env.get("SPARK_GRAFT_LSH_ROWS"))
+    if (rawB.isEmpty && rawR.isEmpty) None
+    else {
+      def parse(name: String, raw: Option[String]): Int = {
+        val str = raw.getOrElse(throw new IllegalArgumentException(
+          s"spark.graft.lsh.bands and spark.graft.lsh.rows must be set " +
+            s"together ($name is missing — half a banding config is a " +
+            "different S-curve than either the default or the intent)"))
+        val v = str.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$str'"))
+        if (v <= 0) throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$str'")
+        v
+      }
+      val b = parse("spark.graft.lsh.bands", rawB)
+      val r = parse("spark.graft.lsh.rows", rawR)
+      if (b * r > 64) throw new IllegalArgumentException(
+        s"spark.graft.lsh.bands * spark.graft.lsh.rows must be <= 64 " +
+          s"(the MinHash signature width), got $b * $r = ${b * r}")
+      Some((b, r))
+    }
+  }
+  private[graft] lazy val lshConfig: Option[(Int, Int)] = lshConfigNow
+  private[graft] def lshBandsFor(ov: Option[(Int, Int)]): Int =
+    ov.map(_._1).getOrElse(defaultLshBands)
+  private[graft] def lshRowsFor(ov: Option[(Int, Int)]): Int =
+    ov.map(_._2).getOrElse(defaultLshRows)
+  private[graft] lazy val lshBands: Int = lshBandsFor(lshConfig)
+  private[graft] lazy val lshRows: Int = lshRowsFor(lshConfig)
+
+  /** x^n as a LEFT-FOLDED multiplication chain — `((x·x)·x)…` — on a Column.
+    * Each step is one correctly-rounded IEEE multiply; DuckDB parses the
+    * mirror string `x * x * … * x` left-associatively, so both engines
+    * evaluate the identical operation sequence and the doubles are
+    * bit-exact cross-engine (no libm pow on either side). The chain length
+    * is the banding config in exponent form: generating BOTH sides from
+    * the same (bands, rows) ints is what makes the curve re-tunable. */
+  private[graft] def powChain(x: Column, n: Int): Column =
+    (2 to n).foldLeft(x)((acc, _) => acc * x)
+  private[graft] def powChainSql(x: String, n: Int): String =
+    "(" + List.fill(n)(x).mkString(" * ") + ")"
+
+  /** The banding detection probability p(s) = 1 − (1 − s^rows)^bands, as
+    * the multiplication chain above — entry side and oracle side generated
+    * from the SAME two ints. */
+  private[graft] def detectP(sCol: Column, bands: Int, rows: Int): Column =
+    lit(1.0) - powChain(lit(1.0) - powChain(sCol, rows), bands)
+  private[graft] def detectPSql(sExpr: String, bands: Int, rows: Int): String = {
+    val v = s"(CAST(1.0 AS DOUBLE) - ${powChainSql(sExpr, rows)})"
+    s"CAST(1.0 AS DOUBLE) - ${powChainSql(v, bands)}"
+  }
+
   /** Deterministic fixed-size hash-sample: the K vec_ids with the smallest
     * (md5(vec_id), vec_id) — an order both engines reproduce exactly, and
     * one Spark answers with a TakeOrderedAndProject (per-partition top-K,
@@ -327,23 +399,31 @@ object Similarity {
       .filter(col("jacc") >= 0.7)
       .select("ia", "ib", "jacc")
 
-  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    OpCache.memo(s, "mhpairs|" + d) {
+  /** Banding-parameterized pair index: the entry path calls it with the
+    * configured (lshBands, lshRows); GenScaleSpec exercises an overridden
+    * (b, r) through this SAME constructor — the nprobe discipline. */
+  private[graft] def minhashPairsWith(s: SparkSession, d: String,
+      bands: Int, rows: Int): DataFrame =
+    OpCache.memo(s, s"mhpairs|$bands|$rows|$d") {
       val sh = mhShingles(s, d)
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
         .select("doc_id", "sig").persist()
-      val cand = bandCandidates(sigs, "doc_id", bands = 16, rows = 4)
+      val cand = bandCandidates(sigs, "doc_id", bands = bands, rows = rows)
       val verified = mhVerify(mhPrefilter(cand, sigs), sh).persist()
       verified.count() // materialize now so the signature cache can go
       sigs.unpersist()
       verified
     }
 
-  /** DuckDB CTE chain mirroring minhashPairs; ends with `p(ia, ib, jacc)`. */
-  private[operators] def minhashPairsSql: String =
+  private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsWith(s, d, lshBands, lshRows)
+
+  /** DuckDB CTE chain mirroring minhashPairsWith; ends with `p(ia, ib,
+    * jacc)`. Generated from the same (bands, rows) ints as the entry. */
+  private[graft] def minhashPairsSqlWith(bands: Int, rows: Int): String =
     s"""WITH d AS (${DuckSql.shingles("documents", "doc_id", 5)}),
        |${DuckSql.sigCtes("doc_id")},
-       |${DuckSql.bandCtes("doc_id", nBands = 16, nRows = 4)},
+       |${DuckSql.bandCtes("doc_id", nBands = bands, nRows = rows)},
        |pre AS (SELECT ia, ib FROM cand
        |  JOIN sl sa ON sa.doc_id = cand.ia
        |  JOIN sl sb ON sb.doc_id = cand.ib
@@ -351,6 +431,9 @@ object Similarity {
        |v AS (SELECT ia, ib, ${DuckSql.jacc("da.sh", "db.sh")} AS jacc
        |  FROM pre JOIN d da ON da.doc_id = pre.ia JOIN d db ON db.doc_id = pre.ib),
        |p AS (SELECT ia, ib, jacc FROM v WHERE jacc >= 0.7)""".stripMargin
+
+  private[operators] lazy val minhashPairsSql: String =
+    minhashPairsSqlWith(lshBands, lshRows)
 
   /** Sign-LSH signature width (bits/planes per table): the smallest q in
     * [8, 31] with 2^q · 8 ≥ N, i.e. expected bucket population ≤ ~8 at
@@ -687,36 +770,30 @@ object Similarity {
              |FROM fp""".stripMargin)),
 
     // LSH banding S-CURVE report — the tuning eval next to emb_recall_eval
-    // (ANN recall): for the corpus's 16-band × 4-row MinHash config, one
+    // (ANN recall): for the CONFIGURED (lshBands × lshRows) MinHash
+    // banding (default 16×4, override spark.graft.lsh.bands/.rows), one
     // row per 0.05 similarity bucket with the analytic detection
-    // probability p(s) = 1 − (1 − s⁴)¹⁶ and the count of VERIFIED
+    // probability p(s) = 1 − (1 − s^rows)^bands and the count of VERIFIED
     // near-dup pairs whose exact Jaccard lands in the bucket (the shared
     // memoized pair index — corpus cost is the index, the report is a
     // ≤21-row aggregate + grid join). A user reads off where the S-curve
-    // threshold (~(1/16)^(1/4) ≈ 0.5) sits against the similarity mass
-    // their corpus actually contains, and what detection floor the 0.7
-    // verification cut implies (p(0.70) ≈ 0.988). Cross-engine float
-    // discipline: p(s) is a fixed MULTIPLICATION CHAIN (s² , s⁴, then
-    // four squarings of 1−s⁴) — every step correctly rounded and
-    // identically associated on both engines, no libm pow; the powers
-    // are the banding constants in exponent form, so the chain IS the
-    // (16, 4) config (changing the banding means changing both sides in
-    // lockstep, same as minhashPairs and its SQL mirror).
+    // threshold (~(1/bands)^(1/rows), ≈ 0.5 at the default) sits against
+    // the similarity mass their corpus actually contains, and what
+    // detection floor the 0.7 verification cut implies (p(0.70) ≈ 0.988
+    // at 16×4). Cross-engine float discipline: p(s) is a left-folded
+    // MULTIPLICATION CHAIN (detectP/detectPSql) — every step correctly
+    // rounded and identically associated on both engines, no libm pow;
+    // the chain length IS the (bands, rows) config in exponent form, and
+    // BOTH sides are generated from the same two ints, so re-tuning the
+    // banding re-tunes the curve in structural lockstep.
     GraftQuery("dd_lsh_curve", (s, d) => {
       val pc = minhashPairs(s, d)
         .select(floor(col("jacc") * 20).cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-      val sLo = col("s_lo")
-      val s4 = (sLo * sLo) * (sLo * sLo)
-      val v = lit(1.0) - s4
-      val v2 = v * v
-      val v4 = v2 * v2
-      val v8 = v4 * v4
-      val v16 = v8 * v8
       s.range(0, 21)
         .select(col("id").as("bucket"),
           (col("id").cast("double") / lit(20.0).cast("double")).as("s_lo"))
-        .withColumn("detect_p", lit(1.0) - v16)
+        .withColumn("detect_p", detectP(col("s_lo"), lshBands, lshRows))
         .join(broadcast(pc), Seq("bucket"), "left")
         .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
         .select("bucket", "s_lo", "detect_p", "n_pairs")
@@ -726,49 +803,48 @@ object Similarity {
              |    COUNT(*) AS n_pairs FROM p GROUP BY 1),
              |g AS (SELECT CAST(i AS BIGINT) AS bucket,
              |    CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s_lo
-             |  FROM range(0, 21) r(i)),
-             |c1 AS (SELECT bucket, s_lo,
-             |    CAST(1.0 AS DOUBLE) - (s_lo*s_lo)*(s_lo*s_lo) AS v FROM g),
-             |c2 AS (SELECT bucket, s_lo, v*v AS v FROM c1),
-             |c3 AS (SELECT bucket, s_lo, v*v AS v FROM c2),
-             |c4 AS (SELECT bucket, s_lo, v*v AS v FROM c3),
-             |c5 AS (SELECT bucket, s_lo, v*v AS v FROM c4)
-             |SELECT c5.bucket, c5.s_lo, CAST(1.0 AS DOUBLE) - c5.v AS detect_p,
+             |  FROM range(0, 21) r(i))
+             |SELECT g.bucket, g.s_lo,
+             |  ${detectPSql("g.s_lo", lshBands, lshRows)} AS detect_p,
              |  COALESCE(pc.n_pairs, CAST(0 AS BIGINT)) AS n_pairs
-             |FROM c5 LEFT JOIN pc ON pc.bucket = c5.bucket""".stripMargin)),
+             |FROM g LEFT JOIN pc ON pc.bucket = g.bucket""".stripMargin)),
 
     // the MEASURED banding funnel — what an operator watches in
     // production next to dd_lsh_curve's analytic view: candidate pairs
-    // out of the 16×4 band join, survivors of the signature-agreement
-    // prefilter (est ≥ 0.55), exact-verified near-dups (jacc ≥ 0.7),
-    // and the stage yields. Candidate-count blowup is the documented
-    // banding failure mode on low-entropy text (SURVEY §5: char 5-grams
-    // measured 17.3M candidates vs 505 at sf0.1 under a mistuned gram
-    // space) — this report is the alarm for it. Stage definitions are
-    // the SAME constructors minhashPairs uses (mhPrefilter/mhVerify), so
-    // the funnel measures the real chain; yields are double divisions of
-    // exact counts (bit-identical), NULL when a stage is empty. The
-    // one-row stage counts combine via declared one-row broadcasts.
+    // out of the CONFIGURED (lshBands × lshRows) band join, survivors of
+    // the signature-agreement prefilter (est ≥ 0.55), exact-verified
+    // near-dups (jacc ≥ 0.7), and the stage yields. Candidate-count
+    // blowup is the documented banding failure mode on low-entropy text
+    // (SURVEY §5: char 5-grams measured 17.3M candidates vs 505 at sf0.1
+    // under a mistuned gram space) — this report is the alarm for it.
+    // Stage definitions are the SAME constructors minhashPairs uses
+    // (mhPrefilter/mhVerify), so the funnel measures the real chain.
+    // Cache posture: the stage counts are taken EAGERLY and each persist
+    // is released as soon as its downstream consumer has materialized —
+    // under the exact blowup scenario this entry exists to alarm on, the
+    // corpus-scale raw candidate set must NOT stay pinned in executor
+    // memory for the rest of the session. Only four Longs reach the
+    // driver; the yields are double divisions of exact counts, identical
+    // to the oracle's (both IEEE correctly rounded), NULL when a stage
+    // is empty.
     GraftQuery("dd_lsh_funnel", (s, d) => {
       val sh = mhShingles(s, d)
-      val sigs = OpCache.track(s, sh
-        .withColumn("sig", expr("minhash_sig(sh)"))
-        .select("doc_id", "sig").persist())
-      val cand = OpCache.track(s,
-        bandCandidates(sigs, "doc_id", bands = 16, rows = 4).persist())
-      val pre = OpCache.track(s, mhPrefilter(cand, sigs).persist())
-      sh.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-        .crossJoin(broadcast(pre.agg(count(lit(1)).as("n_pre"))))
-        .crossJoin(broadcast(
-          mhVerify(pre, sh).agg(count(lit(1)).as("n_verified"))))
-        .select(col("n_docs"), col("n_cand"), col("n_pre"), col("n_verified"),
-          when(col("n_cand") === 0, lit(null))
-            .otherwise(col("n_pre").cast("double") / col("n_cand"))
-            .as("yield_pre"),
-          when(col("n_pre") === 0, lit(null))
-            .otherwise(col("n_verified").cast("double") / col("n_pre"))
-            .as("yield_verified"))
+      val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
+        .select("doc_id", "sig").persist()
+      val cand = bandCandidates(sigs, "doc_id", lshBands, lshRows).persist()
+      val pre = mhPrefilter(cand, sigs).persist()
+      val nPre = pre.count()      // materializes cand + pre
+      val nCand = cand.count()    // served from the cache
+      cand.unpersist()            // the blowup-prone set goes NOW
+      val nVerified = mhVerify(pre, sh).count()
+      pre.unpersist(); sigs.unpersist()
+      val nDocs = docs(s, d).count()
+      def yd(num: Long, den: Long): Column =
+        if (den == 0) lit(null).cast("double") else lit(num.toDouble / den)
+      s.range(1).select(lit(nDocs).as("n_docs"), lit(nCand).as("n_cand"),
+        lit(nPre).as("n_pre"), lit(nVerified).as("n_verified"),
+        yd(nPre, nCand).as("yield_pre"),
+        yd(nVerified, nPre).as("yield_verified"))
     },
       Some(s"""$minhashPairsSql,
              |counts AS (SELECT

@@ -328,6 +328,101 @@ class GenScaleSpec extends SparkSpec {
       "no override → the corpus-scaled default")
   }
 
+  test("LSH banding config: override parses and stays oracle-lockstep; " +
+      "detect_p chain matches pow; stricter banding nests") {
+    import graft.operators.Similarity
+    // ---- knob parsing (the nprobe discipline: same parse path the
+    // entries freeze at module init, exercised re-readably) ----
+    val prevB = sys.props.get("spark.graft.lsh.bands")
+    val prevR = sys.props.get("spark.graft.lsh.rows")
+    def setBoth(b: String, r: String): Unit = {
+      sys.props("spark.graft.lsh.bands") = b
+      sys.props("spark.graft.lsh.rows") = r
+    }
+    try {
+      setBoth("8", "8")
+      assert(Similarity.lshConfigNow.contains((8, 8)),
+        "the system-property pair must parse")
+      assert(Similarity.lshBandsFor(Similarity.lshConfigNow) == 8
+        && Similarity.lshRowsFor(Similarity.lshConfigNow) == 8,
+        "an override replaces the 16×4 default on the entry side")
+      // the oracle SQL derives banding from the SAME two ints — the CTE
+      // emits the overridden band count and slice width literally
+      val sql88 = Similarity.minhashPairsSqlWith(8, 8)
+      assert(sql88.contains("range(0, 8) r(b)")
+        && sql88.contains("list_slice(sig, 8*b+1, 8*b+8)"),
+        "the oracle banding CTE must embed the overridden (bands, rows)")
+      // a banding knob must fail LOUD and NAMED on a bad value — silently
+      // running the default would dedup at a different similarity
+      // threshold than the deployment configured
+      Seq(("8k", "4"), ("", "4"), ("0", "4"), ("-3", "4"),
+        ("16", "x"), ("16", "0")).foreach { case (b, r) =>
+        setBoth(b, r)
+        val err = intercept[IllegalArgumentException](Similarity.lshConfigNow)
+        assert(err.getMessage.contains("spark.graft.lsh."),
+          s"rejection for ($b, $r) must name the knob")
+      }
+      // half a config is not a config: setting one knob without its
+      // partner is rejected by name
+      sys.props("spark.graft.lsh.bands") = "8"
+      sys.props.remove("spark.graft.lsh.rows")
+      val half = intercept[IllegalArgumentException](Similarity.lshConfigNow)
+      assert(half.getMessage.contains("together"),
+        "a lone knob must demand its partner")
+      // banding past the 64-long signature would slice empty/short band
+      // keys and candidate everything — rejected with the width named
+      setBoth("32", "4")
+      val wide = intercept[IllegalArgumentException](Similarity.lshConfigNow)
+      assert(wide.getMessage.contains("64"),
+        "bands*rows > signature width must be rejected naming the bound")
+    } finally {
+      prevB.fold { sys.props.remove("spark.graft.lsh.bands"); () } { v =>
+        sys.props("spark.graft.lsh.bands") = v; () }
+      prevR.fold { sys.props.remove("spark.graft.lsh.rows"); () } { v =>
+        sys.props("spark.graft.lsh.rows") = v; () }
+    }
+    assert(Similarity.lshBandsFor(None) == Similarity.defaultLshBands
+      && Similarity.lshRowsFor(None) == Similarity.defaultLshRows,
+      "no override → the 16×4 default")
+
+    // ---- the S-curve chain: detectP's left-folded multiplication chain
+    // must agree with libm pow to float-association tolerance at every
+    // grid point, for the default AND overridden bandings (the chain is
+    // generated from the (b, r) ints — this pins the generator) ----
+    val grid = spark.range(0, 21)
+      .select((col("id").cast("double") / lit(20.0)).as("s_lo"))
+    for ((b, r) <- Seq((16, 4), (8, 8), (4, 16), (32, 2))) {
+      val got = grid.select(col("s_lo"),
+        Similarity.detectP(col("s_lo"), b, r).as("p")).collect()
+      got.foreach { row =>
+        val s = row.getDouble(0)
+        val want = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        assert(math.abs(row.getDouble(1) - want) < 1e-9,
+          s"detectP chain drifted from pow at s=$s for ($b, $r)")
+      }
+      // the SQL mirror is the same chain: r copies of the base inside,
+      // b copies of the complement outside
+      val sqlP = Similarity.detectPSql("s_lo", b, r)
+      assert("s_lo".r.findAllIn(sqlP).size == b * r,
+        s"detectPSql must contain exactly bands*rows base references for ($b, $r)")
+    }
+
+    // ---- end-to-end nesting under an overridden banding: an intact
+    // 8-row band is exactly two intact 4-row bands, so (8, 8) candidates
+    // (threshold ~(1/8)^(1/8) ≈ 0.77) are a SUBSET of (16, 4) candidates
+    // (≈ 0.5); verification is banding-independent, so the verified pair
+    // sets nest too. This runs the REAL chain (minhashPairsWith — the
+    // same constructor the entries call) at both configs. ----
+    val p164 = Similarity.minhashPairsWith(spark, sf, 16, 4).select("ia", "ib")
+    val p88 = Similarity.minhashPairsWith(spark, sf, 8, 8).select("ia", "ib")
+    val n164 = p164.count(); val n88 = p88.count()
+    val escaped = p88.except(p164).count()
+    assert(escaped == 0,
+      s"$escaped verified (8,8) pairs missing from (16,4) — banding nesting broken")
+    assert(n164 > 0, "sf0.001 must yield verified near-dup pairs at the default banding")
+    info(s"verified pairs: (16,4)=$n164 ⊇ (8,8)=$n88")
+  }
+
   test("two-level quantizer: clamps compose; fine split keeps pairwise linear") {
     import graft.operators.{Similarity, Similarity2}
     // coarse level: broadcastable at any N, population target 65536
