@@ -88,7 +88,7 @@ object Bench {
       "st_pipeline_monitor",
       "dd_span_scrub",
       "ta_dsir", "ta_quality_classifier", "ta_bpe_apply",
-      "dd_rep_rank", "ta_sample_stratified", "emb_recall_eval",
+      "dd_rep_rank", "ta_sample_stratified", "emb_recall_eval", "emb_pq_recall_eval",
       "q_timeseries_fill", "q_concurrency", "dd_lsh_curve", "dd_lsh_funnel",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))

@@ -106,6 +106,163 @@ object Similarity2 {
   private[graft] def semanticPath(n: Long): String =
     if (Similarity.scaledK(n) < Similarity.kMax) "dd_semantic" else "dd_semantic_hier"
 
+  // ---- single-sourced PQ search chains (ann_pq / ann_ivf_pq return these
+  // DataFrames directly; emb_pq_recall_eval joins them against the exact
+  // chain — the emb_recall_eval discipline applied to the ADC family) ----
+
+  /** PQ top-5 (ADC over byte codes, exact re-rank of the approximate
+    * top-50) — see the ann_pq entry for the full plan commentary. */
+  private[operators] def pqTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    F.register(s)
+    val base = Similarity.vecs(s, d)
+    val cbDF = pqCodebook(base, pqK(s, d))
+    // encode: nearest codeword per (vector, subspace) via the native
+    // pq_encode expression (functions.PqEncode) over the broadcast
+    // codebook — a pure map-only projection in one codegen'd tight loop
+    // (no window shuffle, no interpreted HOF argmin). Strict `<` keeps
+    // the earliest codeword on distance ties, identical to the oracle's
+    // ORDER BY dist, crank.
+    val codes = base.crossJoin(broadcast(cbDF))
+      .withColumn("codes", expr("pq_encode(v, cb)"))
+      .select(col("vec_id").as("n_id"), col("codes"), col("v"), col("n2"))
+    // search: native adc_dist per candidate (one codegen'd tight loop —
+    // the interpreted nested-HOF fold was the bench's hottest line), then
+    // exact re-rank of the approximate top-50
+    val qs = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(qs.crossJoin(cbDF))
+      .join(codes, col("n_id") =!= col("q_id"))
+      .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= 50)
+      .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** IVF-PQ top-5 (coarse probe bounds WHICH vectors, ADC bounds WHAT is
+    * read per candidate) — see the ann_ivf_pq entry for commentary. */
+  private[operators] def ivfPqTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    F.register(s)
+    val base = Similarity.vecs(s, d)
+    val cents = Similarity.centroids(base, Similarity.ivfK(s, d))
+    val cbRow = centroidArrays(cents)
+    val pqCb = pqCodebook(base, pqK(s, d))
+    // index: (cell, codes) per vector in ONE map pass — at scale this is
+    // the persisted artifact; the full-vector columns ride along here
+    // only because the re-rank needs them and the test corpus is small
+    val index = base.crossJoin(broadcast(cbRow)).crossJoin(broadcast(pqCb))
+      .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
+      .withColumn("codes", expr("pq_encode(v, cb)"))
+      .select(col("vec_id").as("n_id"), col("cell"), col("codes"),
+        col("v"), col("n2"))
+    val qs = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
+    val probes = broadcast(qs).crossJoin(broadcast(cents))
+      .withColumn("qdist2", expr("l2_sq(qv, cv)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= Similarity.ivfNProbe(Similarity.ivfK(s, d)))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    // probes × pqCb is bounded (queries × nprobe rows, one codebook
+    // struct) but its static size estimate is crossJoin-inflated: at
+    // sf1 stats the planner flips this join to SortMergeJoin and
+    // shuffles the corpus-sized code index by cell. Declare the bound.
+    broadcast(probes.crossJoin(broadcast(pqCb)))
+      .join(index, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= 50)
+      .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** The nested ADC left fold both PQ oracles share (aliases fixed: query
+    * side `q(qv)`, candidate side `ct(codes)`, codebook CTE `cb`) —
+    * identical association to the native adc_dist expression. */
+  private def adcSql: String =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
+      |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+      |        i -> (q.qv[CAST(8 * m + i AS INTEGER)]
+      |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)])
+      |           * (q.qv[CAST(8 * m + i AS INTEGER)]
+      |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)]))),
+      |        (s2, x) -> s2 + x))), (acc, x) -> acc + x)""".stripMargin
+
+  /** PQ code assignment (expects `n` and the codebook CTEs): `dists`,
+    * `asgn`, `codes` ending in codes(n_id, codes) — the oracle mirror of
+    * pq_encode, shared by every ADC consumer. */
+  private def pqCodesSqlCtes: String =
+    s"""dists AS (SELECT n.vec_id, s.m, s.crank,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+       |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
+       |         * (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)]))),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM n CROSS JOIN sub s),
+       |asgn AS (SELECT vec_id, m, crank,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, crank) AS rn
+       |  FROM dists),
+       |codes AS (SELECT a.vec_id AS n_id, list(a.crank ORDER BY a.m) AS codes
+       |  FROM asgn a WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
+
+  /** ADC search chain `${p}adc → ${p}top → ${p}rr → ${p}fin` over a FROM
+    * clause supplying aliases q(q_id, qv, qn) and ct(n_id, codes, v, n2)
+    * plus the codebook `cb`; ends in ${p}fin(q_id, n_id, cos, rk). */
+  private def adcSearchSqlCtes(p: String, from: String): String =
+    s"""${p}adc AS (SELECT q.q_id, q.qv, q.qn, ct.n_id, ct.v, ct.n2,
+       |    $adcSql AS adist
+       |  FROM $from),
+       |${p}top AS (SELECT q_id, qv, qn, n_id, v, n2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS ra
+       |  FROM ${p}adc),
+       |${p}rr AS (SELECT q_id, n_id,
+       |    list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]),
+       |      (s, x) -> s + x) / (sqrt(qn) * sqrt(n2)) AS cos
+       |  FROM ${p}top WHERE ra <= 50),
+       |${p}fin AS (SELECT q_id, n_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+       |  FROM ${p}rr)""".stripMargin
+
+  /** PQ chain CTEs from the shared base (`n`, `q`): codebook → codes →
+    * candidate table `ct` → ADC search ending in ${p}fin. */
+  private def pqChainSqlCtes(p: String): String =
+    s"""$pqCodebookSql,
+       |$pqCodesSqlCtes,
+       |ct AS (SELECT c.n_id, c.codes, n.v, n.n2 FROM codes c JOIN n ON n.vec_id = c.n_id),
+       |${adcSearchSqlCtes(p, s"q CROSS JOIN cb JOIN ct ON ct.n_id <> q.q_id")}""".stripMargin
+
+  /** IVF-PQ continuation (expects `n`, `q` and the PQ chain's codebook +
+    * `codes` CTEs): centroids → cell assignment → probes → cell-bounded
+    * ADC search ending in ${p}fin. */
+  private def ivfPqChainSqlCtes(p: String): String =
+    s"""c AS (${Similarity.centroidsSql}),
+       |asg AS (SELECT vec_id AS n_id, cid AS cell FROM (
+       |    SELECT n.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS arn
+       |    FROM n CROSS JOIN c) WHERE arn = 1),
+       |idx AS (SELECT asg.n_id, asg.cell, codes.codes, n.v, n.n2
+       |  FROM asg JOIN codes ON codes.n_id = asg.n_id
+       |  JOIN n ON n.vec_id = asg.n_id),
+       |probes AS (
+       |  SELECT q_id, qv, qn, cid AS cell FROM (
+       |    SELECT q.q_id, q.qv, q.qn, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${Similarity.duckL2("q.qv", "c.cv")}, c.cid) AS prn
+       |    FROM q CROSS JOIN c) WHERE prn <= ${Similarity.ivfNProbeSql}),
+       |${adcSearchSqlCtes(p,
+        s"probes q CROSS JOIN cb JOIN idx ct ON ct.cell = q.cell AND ct.n_id <> q.q_id")}""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 42d. incremental near-dup: the "new batch" (doc_id % 10 == 0 — the
@@ -171,78 +328,9 @@ object Similarity2 {
     // (subspace-major, then dim-major) — no cross-row float SUM whose
     // order could differ between engines — so the oracle reproduces
     // assignment, ADC ranking and re-rank bit-exactly.
-    GraftQuery("ann_pq", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      F.register(s)
-      val base = Tables.widened(s, d, "embeddings").select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("n2", expr("dot_product(v, v)"))
-      val cbDF = pqCodebook(base, pqK(s, d))
-      // encode: nearest codeword per (vector, subspace) via the native
-      // pq_encode expression (functions.PqEncode) over the broadcast
-      // codebook — a pure map-only projection in one codegen'd tight loop
-      // (no window shuffle, no interpreted HOF argmin). Strict `<` keeps
-      // the earliest codeword on distance ties, identical to the oracle's
-      // ORDER BY dist, crank.
-      val codes = base.crossJoin(broadcast(cbDF))
-        .withColumn("codes", expr("pq_encode(v, cb)"))
-        .select(col("vec_id").as("n_id"), col("codes"), col("v"), col("n2"))
-      // search: native adc_dist per candidate (one codegen'd tight loop —
-      // the interpreted nested-HOF fold was the bench's hottest line), then
-      // exact re-rank of the approximate top-50
-      val qs = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-      val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-      broadcast(qs.crossJoin(cbDF))
-        .join(codes, col("n_id") =!= col("q_id"))
-        .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
-        .withColumn("ra", row_number().over(wA))
-        .filter(col("ra") <= 50)
-        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
-        .withColumn("rk", row_number().over(wTop).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_id", "rk", "n_id", "cos")
-    },
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v,
-             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
-             |      (s, x) -> s + x) AS n2 FROM e),
-             |$pqCodebookSql,
-             |dists AS (SELECT n.vec_id, s.m, s.crank,
-             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
-             |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
-             |         * (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)]))),
-             |      (acc, x) -> acc + x) AS dist
-             |  FROM n CROSS JOIN sub s),
-             |asgn AS (SELECT vec_id, m, crank,
-             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, crank) AS rn
-             |  FROM dists),
-             |codes AS (SELECT a.vec_id AS n_id, list(a.crank ORDER BY a.m) AS codes
-             |  FROM asgn a WHERE a.rn = 1 GROUP BY a.vec_id),
-             |ct AS (SELECT c.n_id, c.codes, n.v, n.n2 FROM codes c JOIN n ON n.vec_id = c.n_id),
-             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
-             |adc AS (SELECT q.q_id, q.qv, q.qn, ct.n_id, ct.v, ct.n2,
-             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
-             |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
-             |        i -> (q.qv[CAST(8 * m + i AS INTEGER)]
-             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)])
-             |           * (q.qv[CAST(8 * m + i AS INTEGER)]
-             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)]))),
-             |        (s2, x) -> s2 + x))), (acc, x) -> acc + x) AS adist
-             |  FROM q CROSS JOIN cb JOIN ct ON ct.n_id <> q.q_id),
-             |top AS (SELECT q_id, qv, qn, n_id, v, n2,
-             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS ra
-             |  FROM adc),
-             |rr AS (SELECT q_id, n_id,
-             |    list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]),
-             |      (s, x) -> s + x) / (sqrt(qn) * sqrt(n2)) AS cos
-             |  FROM top WHERE ra <= 50),
-             |fin AS (SELECT q_id, n_id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
-             |  FROM rr)
+    GraftQuery("ann_pq", (s, d) => pqTopk(s, d),
+      Some(s"""WITH ${Similarity.baseVecSqlCtes},
+             |${pqChainSqlCtes("")}
              |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin)),
 
     // 46d. dimensionality reduction: seeded Johnson-Lindenstrauss random
@@ -457,103 +545,64 @@ object Similarity2 {
     // stage is the same in-expression left-fold arithmetic as
     // ann_ivf/ann_pq, so the oracle reproduces the whole pipeline
     // bit-exactly.
-    GraftQuery("ann_ivf_pq", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      F.register(s)
-      val base = Tables.widened(s, d, "embeddings").select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("n2", expr("dot_product(v, v)"))
-      val cents = Similarity.centroids(base, Similarity.ivfK(s, d))
-      val cbRow = centroidArrays(cents)
-      val pqCb = pqCodebook(base, pqK(s, d))
-      // index: (cell, codes) per vector in ONE map pass — at scale this is
-      // the persisted artifact; the full-vector columns ride along here
-      // only because the re-rank needs them and the test corpus is small
-      val index = base.crossJoin(broadcast(cbRow)).crossJoin(broadcast(pqCb))
-        .withColumn("cell", expr("element_at(cids, argmin_l2(v, cvs) + 1)"))
-        .withColumn("codes", expr("pq_encode(v, cb)"))
-        .select(col("vec_id").as("n_id"), col("cell"), col("codes"),
-          col("v"), col("n2"))
-      val qs = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qdist2").asc, col("cid").asc)
-      val probes = broadcast(qs).crossJoin(broadcast(cents))
-        .withColumn("qdist2", expr("l2_sq(qv, cv)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= Similarity.ivfNProbe(Similarity.ivfK(s, d)))
-        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
-      val wA = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-      // probes × pqCb is bounded (queries × nprobe rows, one codebook
-      // struct) but its static size estimate is crossJoin-inflated: at
-      // sf1 stats the planner flips this join to SortMergeJoin and
-      // shuffles the corpus-sized code index by cell. Declare the bound.
-      broadcast(probes.crossJoin(broadcast(pqCb)))
-        .join(index, Seq("cell"))
-        .filter(col("n_id") =!= col("q_id"))
-        .withColumn("adist", expr("adc_dist(qv, cb, codes)"))
-        .withColumn("ra", row_number().over(wA))
-        .filter(col("ra") <= 50)
-        .withColumn("cos", expr("dot_product(qv, v)") / (sqrt(col("qn")) * sqrt(col("n2"))))
-        .withColumn("rk", row_number().over(wTop).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_id", "rk", "n_id", "cos")
-    },
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |n AS (SELECT vec_id, v,
-             |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
-             |      (s, x) -> s + x) AS n2 FROM e),
-             |c AS (${Similarity.centroidsSql}),
-             |asg AS (SELECT vec_id AS n_id, cid AS cell FROM (
-             |    SELECT n.vec_id, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             |        ORDER BY ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS arn
-             |    FROM n CROSS JOIN c) WHERE arn = 1),
+    GraftQuery("ann_ivf_pq", (s, d) => ivfPqTopk(s, d),
+      Some(s"""WITH ${Similarity.baseVecSqlCtes},
              |$pqCodebookSql,
-             |dists AS (SELECT n.vec_id, s.m, s.crank,
-             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
-             |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])
-             |         * (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)]))),
-             |      (acc, x) -> acc + x) AS dist
-             |  FROM n CROSS JOIN sub s),
-             |asgn AS (SELECT vec_id, m, crank,
-             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, crank) AS rn
-             |  FROM dists),
-             |codes AS (SELECT a.vec_id AS n_id, list(a.crank ORDER BY a.m) AS codes
-             |  FROM asgn a WHERE a.rn = 1 GROUP BY a.vec_id),
-             |idx AS (SELECT asg.n_id, asg.cell, codes.codes, n.v, n.n2
-             |  FROM asg JOIN codes ON codes.n_id = asg.n_id
-             |  JOIN n ON n.vec_id = asg.n_id),
-             |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn FROM n WHERE vec_id < 8),
-             |probes AS (
-             |  SELECT q_id, qv, qn, cid AS cell FROM (
-             |    SELECT q.q_id, q.qv, q.qn, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-             |        ORDER BY ${Similarity.duckL2("q.qv", "c.cv")}, c.cid) AS prn
-             |    FROM q CROSS JOIN c) WHERE prn <= ${Similarity.ivfNProbeSql}),
-             |adc AS (SELECT p.q_id, p.qv, p.qn, ct.n_id, ct.v, ct.n2,
-             |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8),
-             |      m -> list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
-             |        i -> (p.qv[CAST(8 * m + i AS INTEGER)]
-             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)])
-             |           * (p.qv[CAST(8 * m + i AS INTEGER)]
-             |              - cb.cb[CAST(m * cb.k + ct.codes[CAST(m + 1 AS INTEGER)] + 1 AS INTEGER)][CAST(i AS INTEGER)]))),
-             |        (s2, x) -> s2 + x))), (acc, x) -> acc + x) AS adist
-             |  FROM probes p CROSS JOIN cb JOIN idx ct
-             |    ON ct.cell = p.cell AND ct.n_id <> p.q_id),
-             |top AS (SELECT q_id, qv, qn, n_id, v, n2,
-             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS ra
-             |  FROM adc),
-             |rr AS (SELECT q_id, n_id,
-             |    list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]),
-             |      (s, x) -> s + x) / (sqrt(qn) * sqrt(n2)) AS cos
-             |  FROM top WHERE ra <= 50),
-             |fin AS (SELECT q_id, n_id, cos,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
-             |  FROM rr)
+             |$pqCodesSqlCtes,
+             |${ivfPqChainSqlCtes("")}
              |SELECT q_id, rk, n_id, cos FROM fin WHERE rk <= 5""".stripMargin)),
+
+    // 46f. ADC RECALL EVAL — emb_recall_eval's measurement loop applied to
+    // the product-quantization family: recall@5 of ann_pq (full-corpus ADC
+    // + re-rank) AND ann_ivf_pq (cell-bounded ADC) against the exact
+    // brute-force answer, per query. The approximation being measured here
+    // is the CODE path (8-byte codes + top-50 re-rank) and, for the IVF-PQ
+    // column, its composition with the probe bound — the two knobs a
+    // deployment trades off (code budget vs probe budget) read side by
+    // side. All three sides are the SHARED chains (exactTopk / pqTopk /
+    // ivfPqTopk — the same DataFrames ann_topk, ann_pq and ann_ivf_pq
+    // return), joined on (q_id, n_id); queries with no agreement survive
+    // via the left join from the query set. Integer hit counts; recall =
+    // n_hit/5 in one fixed-shape division both engines evaluate
+    // identically.
+    GraftQuery("emb_pq_recall_eval", (s, d) => {
+      val exact = Similarity.exactTopk(s, d).select("q_id", "n_id")
+      def hits(ann: DataFrame, nm: String): DataFrame =
+        exact.join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as(nm))
+      Similarity.vecs(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"))
+        .join(hits(pqTopk(s, d), "hp"), Seq("q_id"), "left")
+        .join(hits(ivfPqTopk(s, d), "hi"), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hp"), lit(0L)).cast("long").as("n_hit_pq"),
+          (coalesce(col("hp"), lit(0L)).cast("double") /
+            lit(5).cast("double")).as("recall_pq"),
+          coalesce(col("hi"), lit(0L)).cast("long").as("n_hit_ivf_pq"),
+          (coalesce(col("hi"), lit(0L)).cast("double") /
+            lit(5).cast("double")).as("recall_ivf_pq"))
+    },
+      Some(s"""WITH ${Similarity.baseVecSqlCtes},
+             |${Similarity.exactTopkSqlCtes},
+             |${pqChainSqlCtes("pq_")},
+             |${ivfPqChainSqlCtes("ip_")},
+             |hp AS (SELECT x.q_id, COUNT(*) AS h
+             |  FROM (SELECT q_id, n_id FROM xr WHERE rk <= 5) x
+             |  JOIN (SELECT q_id, n_id FROM pq_fin WHERE rk <= 5) a
+             |    ON a.q_id = x.q_id AND a.n_id = x.n_id
+             |  GROUP BY x.q_id),
+             |hi AS (SELECT x.q_id, COUNT(*) AS h
+             |  FROM (SELECT q_id, n_id FROM xr WHERE rk <= 5) x
+             |  JOIN (SELECT q_id, n_id FROM ip_fin WHERE rk <= 5) a
+             |    ON a.q_id = x.q_id AND a.n_id = x.n_id
+             |  GROUP BY x.q_id)
+             |SELECT q.q_id,
+             |  CAST(COALESCE(hp.h, 0) AS BIGINT) AS n_hit_pq,
+             |  CAST(COALESCE(hp.h, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall_pq,
+             |  CAST(COALESCE(hi.h, 0) AS BIGINT) AS n_hit_ivf_pq,
+             |  CAST(COALESCE(hi.h, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall_ivf_pq
+             |FROM q LEFT JOIN hp ON hp.q_id = q.q_id
+             |LEFT JOIN hi ON hi.q_id = q.q_id""".stripMargin)),
 
     // 163. int8 SCALAR quantization of the embedding store (the 4×
     // compression every vector warehouse applies before PQ is worth its
