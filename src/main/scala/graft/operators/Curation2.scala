@@ -33,10 +33,35 @@ object Curation2 {
     * vocabulary of V merges costs V/M iterations of plan depth — at
     * M = 1 (the classic algorithm) a 30k-merge tokenizer would need a
     * 30k-stage plan; batching is the published scale path (one frequency
-    * count amortizes across every merge in the batch). */
-  private[graft] val bpeBatch = 8
-  private[graft] val bpeCand = 16
-  private[graft] val bpeIters = 5
+    * count amortizes across every merge in the batch).
+    *
+    * Both axes are DEPLOYMENT CONFIG (the nprobe/LSH-banding discipline):
+    * `spark.graft.bpe.iters` / `spark.graft.bpe.batch` (env
+    * `SPARK_GRAFT_BPE_ITERS`/`SPARK_GRAFT_BPE_BATCH`), read ONCE at module
+    * init; the Spark chain's loop bound, its limits, AND the DuckDB
+    * oracle's unrolled CTE chain all derive from the same two ints, so an
+    * override (a V=256 vocabulary = 32 iterations × 8) can never split
+    * the engines. The candidate pool is derived (K = 2M — the pool must
+    * dominate the batch so parallel greedy has conflicts to skip).
+    * Malformed values fail loud and named — a typo'd vocabulary knob
+    * silently training the 40-merge default is a different tokenizer
+    * than the deployment configured. */
+  private[graft] val defaultBpeIters = 5
+  private[graft] val defaultBpeBatch = 8
+  private[graft] def bpeKnobNow(prop: String, env: String, dflt: Int): Int =
+    sys.props.get(prop).orElse(sys.env.get(env)).map { raw =>
+      val v = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$prop must be a positive integer, got '$raw'"))
+      if (v <= 0) throw new IllegalArgumentException(
+        s"$prop must be a positive integer, got '$raw'")
+      v
+    }.getOrElse(dflt)
+  private[graft] def bpeConfigNow: (Int, Int) =
+    (bpeKnobNow("spark.graft.bpe.iters", "SPARK_GRAFT_BPE_ITERS", defaultBpeIters),
+      bpeKnobNow("spark.graft.bpe.batch", "SPARK_GRAFT_BPE_BATCH", defaultBpeBatch))
+  private[graft] lazy val bpeIters: Int = bpeConfigNow._1
+  private[graft] lazy val bpeBatch: Int = bpeConfigNow._2
+  private[graft] lazy val bpeCand: Int = 2 * bpeBatch
 
   /** The declarative BATCHED BPE chain shared by ta_bpe_learn (the merge
     * table) and ta_bpe_apply (the final vocabulary symbol table). Per
@@ -53,7 +78,13 @@ object Curation2 {
     * corpus is read exactly once, for the word count).
     * Returns (merges: it/rk/l/r/cnt, syms5: word/freq/syms). */
   private def bpeChain(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    bpeChainImpl(s, d, cut = true)
+    bpeChainImpl(s, d, cut = true, bpeIters, bpeBatch, bpeCand)
+
+  /** Config-parameterized constructor — GenScaleSpec exercises an
+    * overridden (iters, batch) through the SAME chain the entries run. */
+  private[graft] def bpeChainWith(s: SparkSession, d: String,
+      iters: Int, batch: Int): (DataFrame, DataFrame) =
+    bpeChainImpl(s, d, cut = true, iters, batch, 2 * batch)
 
   /** The same chain with the lineage cuts DISABLED — audit-only (one code
     * path, one flag): the snapped entry plan is a scan over materialized
@@ -62,10 +93,10 @@ object Curation2 {
     * uncut composition. Never benched or oracled; PlanContracts routes
     * ta_bpe_learn's audit here. */
   private[graft] def bpeChainUncutForAudit(s: SparkSession, d: String): DataFrame =
-    bpeChainImpl(s, d, cut = false)._1
+    bpeChainImpl(s, d, cut = false, bpeIters, bpeBatch, bpeCand)._1
 
-  private def bpeChainImpl(s: SparkSession, d: String,
-      cut: Boolean): (DataFrame, DataFrame) = {
+  private def bpeChainImpl(s: SparkSession, d: String, cut: Boolean,
+      iters: Int, batch: Int, candK: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val words = OpCache.memo(s, "bpewords|" + d)(
       docs(s, d)
@@ -104,13 +135,13 @@ object Curation2 {
         "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
     var syms = words.withColumn("syms", expr("split(word, '')"))
     var merges: DataFrame = null
-    for (i <- 0 until bpeIters) {
+    for (i <- 0 until iters) {
       // single-partition windows are fine here: both rank over ≤ K rows
       val cand = syms
         .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(bpeCand)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(candK)
         .withColumn("rk0", row_number().over(
           Window.orderBy(col("cnt").desc, col("l"), col("r"))))
       val kept = snap(cand.as("a")
@@ -118,7 +149,7 @@ object Curation2 {
           col("b.rk0") < col("a.rk0") && (col("b.l") === col("a.l")
             || col("b.l") === col("a.r") || col("b.r") === col("a.l")
             || col("b.r") === col("a.r")), "left_anti")
-        .orderBy(col("rk0")).limit(bpeBatch)
+        .orderBy(col("rk0")).limit(batch)
         .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long")),
         vocabAxis = false)
       val rows = kept.select(lit(i.toLong).as("it"), col("rk"),
@@ -162,9 +193,10 @@ object Curation2 {
     * UNCORRELATED scalar subquery + list_contains, NOT a correlated
     * EXISTS: DuckDB 1.0 mis-evaluates a correlated EXISTS against a
     * derived CTE inside a recursive part (word-INITIAL merges silently
-    * skip — reproduced and pinned during round 10). Ends with `b0..b4`
-    * (merge rows) and `s5` (final vocabulary syms). */
-  private val bpeSqlChain: String = {
+    * skip — reproduced and pinned during round 10). Ends with
+    * `b0..b{iters-1}` (merge rows) and `s{iters}` (final vocabulary
+    * syms). Unrolled from the SAME config ints the Spark chain runs. */
+  private[graft] def bpeSqlChainWith(iters: Int, batch: Int, cand: Int): String = {
     def iter(i: Int) =
       s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
@@ -172,12 +204,12 @@ object Curation2 {
          |    FROM s$i) t GROUP BY pr.l, pr.r),
          |c$i AS MATERIALIZED (SELECT l, r, cnt,
          |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk0
-         |  FROM p$i ORDER BY cnt DESC, l, r LIMIT $bpeCand),
+         |  FROM p$i ORDER BY cnt DESC, l, r LIMIT $cand),
          |b$i AS MATERIALIZED (SELECT l, r, cnt,
          |    CAST(ROW_NUMBER() OVER (ORDER BY rk0) AS BIGINT) AS rk
          |  FROM c$i a WHERE NOT EXISTS (SELECT 1 FROM c$i b WHERE b.rk0 < a.rk0
          |    AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r))
-         |  ORDER BY rk0 LIMIT $bpeBatch),
+         |  ORDER BY rk0 LIMIT $batch),
          |mb$i AS MATERIALIZED (SELECT list([l, r]) AS mb FROM b$i),
          |rec$i (word, freq, j, out) AS (
          |  SELECT word, freq, 1, CAST([] AS VARCHAR[]) FROM s$i
@@ -195,8 +227,19 @@ object Curation2 {
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
        |    FROM documents) GROUP BY tok),
        |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM words),
-       |${(0 until bpeIters).map(iter).mkString(",\n")}""".stripMargin
+       |${(0 until iters).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  private lazy val bpeSqlChain: String =
+    bpeSqlChainWith(bpeIters, bpeBatch, bpeCand)
+
+  /** The merge-table oracle tail (`b0..b{iters-1}` unioned), generated
+    * from the same iteration count as the chain. */
+  private[graft] def bpeLearnSqlTail(iters: Int): String =
+    (0 until iters).map { i =>
+      if (i == 0) s"SELECT CAST(0 AS BIGINT) AS it, rk, l, r, cnt FROM b0"
+      else s"UNION ALL SELECT $i, rk, l, r, cnt FROM b$i"
+    }.mkString("\n  ")
 
   /** Gopher rule metrics, ONE definition for ta_gopher_rules and the
     * capstone's stage 1 (four drifting copies — Spark + SQL × two
@@ -393,8 +436,11 @@ object Curation2 {
              |  FROM n, c)
              |SELECT vec_id, label, cos FROM s WHERE cos >= 0.10""".stripMargin)),
 
-    // 173. BPE merge learning (Sennrich et al. 2016): learn the first 5
-    // merge rules over the corpus vocabulary, fully declaratively — each
+    // 173. BPE merge learning (Sennrich et al. 2016): learn iters × M
+    // merge rules (config; default 5 × 8 = 40, a V = 256 vocabulary is
+    // SPARK_GRAFT_BPE_ITERS=32 — oracle-verified, SURVEY §5 has the
+    // depth-cost curve) over the corpus vocabulary, fully declaratively —
+    // each
     // iteration counts adjacent symbol pairs weighted by word frequency
     // (explode → partial-agg groupBy), takes the argmax pair as a
     // distributed TakeOrdered(1) (total order: cnt desc, l, r), broadcasts
@@ -409,15 +455,11 @@ object Curation2 {
     GraftQuery("ta_bpe_learn", (s, d) => bpeChain(s, d)._1,
       Some(s"""$bpeSqlChain
              |SELECT * FROM (
-             |  SELECT CAST(0 AS BIGINT) AS it, rk, l, r, cnt FROM b0
-             |  UNION ALL SELECT 1, rk, l, r, cnt FROM b1
-             |  UNION ALL SELECT 2, rk, l, r, cnt FROM b2
-             |  UNION ALL SELECT 3, rk, l, r, cnt FROM b3
-             |  UNION ALL SELECT 4, rk, l, r, cnt FROM b4) ORDER BY it, rk""".stripMargin)),
+             |  ${bpeLearnSqlTail(bpeIters)}) ORDER BY it, rk""".stripMargin)),
 
     // 178. apply the learned BPE merges back to the corpus — the encode
     // side of ta_bpe_learn, reporting per-doc compression: each word's
-    // token count after 5 merges comes from the final vocabulary symbol
+    // token count after the learned merges comes from the final vocabulary symbol
     // table (word-keyed equi-join — the corpus never re-tokenizes; the
     // vocabulary carries the encoding), then one doc_id re-aggregation.
     // n_chars/n_tokens are integer sums (exact); ratio is one double
@@ -452,7 +494,7 @@ object Curation2 {
     },
       Some(s"""$bpeSqlChain,
              |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS toklen,
-             |    CAST(length(word) AS BIGINT) AS wlen FROM s5),
+             |    CAST(length(word) AS BIGINT) AS wlen FROM s$bpeIters),
              |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
              |  FROM documents),
              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w,

@@ -423,6 +423,73 @@ class GenScaleSpec extends SparkSpec {
     info(s"verified pairs: (16,4)=$n164 ⊇ (8,8)=$n88")
   }
 
+  test("BPE vocabulary config: (iters, batch) override parses, fails loud, " +
+      "and the overridden chain holds the batch invariants") {
+    import graft.operators.Curation2
+    // knob parsing — same discipline as nprobe/LSH banding
+    val prevI = sys.props.get("spark.graft.bpe.iters")
+    val prevB = sys.props.get("spark.graft.bpe.batch")
+    try {
+      sys.props("spark.graft.bpe.iters") = "32"
+      sys.props("spark.graft.bpe.batch") = "16"
+      assert(Curation2.bpeConfigNow == ((32, 16)),
+        "the system-property pair must parse (V = 32×16 = 512 target)")
+      // knobs are independent axes: each falls back to its own default
+      sys.props.remove("spark.graft.bpe.batch")
+      assert(Curation2.bpeConfigNow == ((32, Curation2.defaultBpeBatch)),
+        "a lone iters override keeps the default batch")
+      Seq("8k", "", "0", "-3").foreach { bad =>
+        sys.props("spark.graft.bpe.iters") = bad
+        val err = intercept[IllegalArgumentException](Curation2.bpeConfigNow)
+        assert(err.getMessage.contains("spark.graft.bpe.iters"),
+          s"rejection for '$bad' must name the knob")
+      }
+    } finally {
+      prevI.fold { sys.props.remove("spark.graft.bpe.iters"); () } { v =>
+        sys.props("spark.graft.bpe.iters") = v; () }
+      prevB.fold { sys.props.remove("spark.graft.bpe.batch"); () } { v =>
+        sys.props("spark.graft.bpe.batch") = v; () }
+    }
+    assert(Curation2.bpeConfigNow ==
+      ((Curation2.defaultBpeIters, Curation2.defaultBpeBatch)),
+      "no override → the 5×8 default")
+    // the oracle chain unrolls from the SAME ints: an 8-iteration config
+    // must emit CTEs through s8/b7 and stop there
+    val sql8 = Curation2.bpeSqlChainWith(8, 4, 8)
+    assert(sql8.contains("s8 AS MATERIALIZED") && sql8.contains("b7 AS")
+      && !sql8.contains("b8 AS"),
+      "bpeSqlChainWith must unroll exactly the configured iteration count")
+    assert(Curation2.bpeLearnSqlTail(3).contains("UNION ALL SELECT 2")
+      && !Curation2.bpeLearnSqlTail(3).contains("SELECT 3"),
+      "the merge-table tail unions exactly the configured iterations")
+
+    // a real overridden run through the SAME constructor the entries call:
+    // batch invariants hold at any (iters, batch) — per-iteration ranks
+    // stay within the batch bound, iteration ids within the loop bound,
+    // and a batch's symbols are pairwise disjoint (the parallel-greedy
+    // guarantee that makes the one-pass fold order-independent)
+    val (merges, syms) = Curation2.bpeChainWith(spark, sf, 7, 3)
+    val rows = merges.collect()
+    assert(rows.nonEmpty, "the overridden chain must learn merges at sf0.001")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7),
+      "iteration ids stay within the configured bound")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3),
+      "per-iteration merge ranks stay within the configured batch")
+    rows.groupBy(_.getLong(0)).foreach { case (it, batchRows) =>
+      val symsUsed = batchRows.flatMap(r => Seq(r.getString(2), r.getString(3)))
+      assert(symsUsed.length == symsUsed.distinct.length,
+        s"iteration $it batch shares a symbol — parallel greedy broken")
+    }
+    // the vocabulary actually compresses: total token count strictly
+    // decreases vs the un-merged baseline
+    val base = syms.selectExpr("sum(freq * length(word))").head().getLong(0)
+    val after = syms.selectExpr(
+      "sum(freq * size(syms))").head().getLong(0)
+    assert(after < base,
+      s"merged token count $after must be under the char baseline $base")
+    info(s"overridden (7,3) run: ${rows.length} merges, tokens $base → $after")
+  }
+
   test("two-level quantizer: clamps compose; fine split keeps pairwise linear") {
     import graft.operators.{Similarity, Similarity2}
     // coarse level: broadcastable at any N, population target 65536
