@@ -569,45 +569,9 @@ object Curation2 {
     // Scale shape: slice histograms are bounded-input aggregations; the
     // corpus side crosses ONE declared one-row broadcast (the weight
     // vector) and never shuffles.
-    GraftQuery("ta_quality_classifier", (s, d) => {
-      val gb = dsirBuckets(s, d)
-      val lab = gb.filter(col("doc_id") < 4000)
-      val pos = bucketHist(lab.filter(col("source") === "src0"))
-        .select(col("arr").as("parr"), col("tot").as("ptot"))
-      val neg = bucketHist(lab.filter(col("source") =!= "src0"))
-        .select(col("arr").as("narr"), col("tot").as("ntot"))
-      val wrow = pos.crossJoin(broadcast(neg)).select(expr(
-        s"transform(sequence(1, $dsirB), i -> " +
-          "element_at(parr, i) * ntot - element_at(narr, i) * ptot)").as("warr"))
-      gb.crossJoin(broadcast(wrow))
-        .select(col("doc_id"),
-          expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
-          expr("aggregate(bks, CAST(0 AS BIGINT), " +
-            "(a, b) -> a + element_at(warr, CAST(b AS INT) + 1))").as("score"))
-        .withColumn("keep", col("score") > 0)
-    },
-      Some(s"""WITH $dsirGbCtes,
-             |lab AS (SELECT * FROM gb WHERE doc_id < 4000),
-             |pm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
-             |    CAST(sum(c) AS BIGINT) AS tot
-             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
-             |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source = 'src0') GROUP BY b)),
-             |nm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
-             |    CAST(sum(c) AS BIGINT) AS tot
-             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
-             |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source <> 'src0') GROUP BY b)),
-             |wd AS (SELECT
-             |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM pm) AS parr,
-             |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM nm) AS narr,
-             |    (SELECT tot FROM pm) AS ptot,
-             |    (SELECT tot FROM nm) AS ntot),
-             |w AS (SELECT list_transform(range(1, ${dsirB + 1}), i ->
-             |    parr[CAST(i AS INTEGER)] * ntot - narr[CAST(i AS INTEGER)] * ptot) AS warr
-             |  FROM wd),
-             |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(bks,
-             |      b -> warr[CAST(b + 1 AS INTEGER)])), (a, x) -> a + x) AS score
-             |  FROM gb, w)
+    GraftQuery("ta_quality_classifier", (s, d) =>
+      classifierScores(s, d).withColumn("keep", col("score") > 0),
+      Some(s"""WITH $classifierSqlCtes
              |SELECT doc_id, n_grams, score, score > 0 AS keep FROM sc""".stripMargin)),
 
     // 180. the CURATION CAPSTONE — one declarative plan chaining the whole
@@ -803,6 +767,55 @@ object Curation2 {
     .select(expr(
       s"transform(sequence(0, ${dsirB - 1}), bb -> coalesce(element_at(m, CAST(bb AS BIGINT)), 0L))")
       .as("arr"), col("tot"))
+
+  /** Shared fastText-shape classifier score chain — ta_quality_classifier
+    * returns it directly and the paired multimodal gate
+    * (mm_pipeline_paired) joins it as the caption-side quality gate:
+    * (doc_id, n_grams, score). One feature-store pass (the memoized DSIR
+    * buckets), one closed-form exact-integer weight row broadcast,
+    * map-only scoring. */
+  private[graft] def classifierScores(s: SparkSession, d: String): DataFrame = {
+    val gb = dsirBuckets(s, d)
+    val lab = gb.filter(col("doc_id") < 4000)
+    val pos = bucketHist(lab.filter(col("source") === "src0"))
+      .select(col("arr").as("parr"), col("tot").as("ptot"))
+    val neg = bucketHist(lab.filter(col("source") =!= "src0"))
+      .select(col("arr").as("narr"), col("tot").as("ntot"))
+    val wrow = pos.crossJoin(broadcast(neg)).select(expr(
+      s"transform(sequence(1, $dsirB), i -> " +
+        "element_at(parr, i) * ntot - element_at(narr, i) * ptot)").as("warr"))
+    gb.crossJoin(broadcast(wrow))
+      .select(col("doc_id"),
+        expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
+        expr("aggregate(bks, CAST(0 AS BIGINT), " +
+          "(a, b) -> a + element_at(warr, CAST(b AS INT) + 1))").as("score"))
+  }
+
+  /** DuckDB mirror of classifierScores (no WITH prefix): extends
+    * dsirGbCtes, ends with `sc(doc_id, n_grams, score)`. */
+  private[operators] lazy val classifierSqlCtes: String =
+    s"""$dsirGbCtes,
+       |lab AS (SELECT * FROM gb WHERE doc_id < 4000),
+       |pm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
+       |    CAST(sum(c) AS BIGINT) AS tot
+       |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source = 'src0') GROUP BY b)),
+       |nm AS (SELECT map_from_entries(list({'k': b, 'v': c} ORDER BY b)) AS m,
+       |    CAST(sum(c) AS BIGINT) AS tot
+       |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT unnest(bks) AS b FROM lab WHERE source <> 'src0') GROUP BY b)),
+       |wd AS (SELECT
+       |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM pm) AS parr,
+       |    (SELECT list_transform(range(0, $dsirB), bb -> coalesce(m[bb][1], CAST(0 AS BIGINT))) FROM nm) AS narr,
+       |    (SELECT tot FROM pm) AS ptot,
+       |    (SELECT tot FROM nm) AS ntot),
+       |w AS (SELECT list_transform(range(1, ${dsirB + 1}), i ->
+       |    parr[CAST(i AS INTEGER)] * ntot - narr[CAST(i AS INTEGER)] * ptot) AS warr
+       |  FROM wd),
+       |sc AS (SELECT doc_id, CAST(len(bks) AS BIGINT) AS n_grams,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(bks,
+       |      b -> warr[CAST(b + 1 AS INTEGER)])), (a, x) -> a + x) AS score
+       |  FROM gb, w)""".stripMargin
 
   private[operators] def dsirScores(s: SparkSession, d: String): DataFrame = {
     val gb = dsirBuckets(s, d)

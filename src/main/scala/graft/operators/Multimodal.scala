@@ -58,6 +58,11 @@ object Multimodal {
     * a fixed positive offset collides once real ids reach it). */
   private[graft] def hasVariant(id: Long): Boolean = id % 7 == 0
   private[graft] def variantId(id: Long): Long = -(id + 1L)
+  /** Column twins of hasVariant/variantId for declarative consumers
+    * (mm_pipeline_paired's metadata-only manifest) — OpInvariantsSpec pins
+    * the pair against the Scala rule so they cannot drift. */
+  private[graft] def hasVariantCol(id: org.apache.spark.sql.Column) = id % 7 === 0
+  private[graft] def variantIdCol(id: org.apache.spark.sql.Column) = -(id + lit(1L))
   private[graft] def reencode(payload: Array[Byte]): Array[Byte] = {
     val v = new Array[Byte](payload.length)
     var i = 0
@@ -704,6 +709,103 @@ object Multimodal {
              |    ORDER BY f.doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
              |    AS BIGINT) AS shard_id
-             |FROM feats f LEFT JOIN meta m USING (doc_id)""".stripMargin))
+             |FROM feats f LEFT JOIN meta m USING (doc_id)""".stripMargin)),
+
+    // 52j / SURVEY #194. PAIRED multimodal curation — the LAION-shape
+    // text+media JOIN gate that mm_pipeline_curate's single-modality
+    // twin doesn't cover: every media item (originals ∪ planted
+    // re-encodes, the SAME hasVariant/variantId rule the phash index
+    // plants — declared via the Column twins) joins its CAPTION doc, and
+    // a pair survives only if BOTH sides pass their gate — media via the
+    // metadata gate + near-dup collapse over the SHARED phash edge graph
+    // (a re-encoded copy drops even when its caption is pristine),
+    // caption via the SHARED fastText-shape classifier score
+    // (Curation2.classifierScores, score > 0 — a canonical image drops
+    // when its caption is junk). Output: the paired shard manifest a
+    // contrastive training loader consumes (media id, caption id,
+    // caption score, cluster accounting, size-balanced shard).
+    //
+    // Scale shape — prune BEFORE decode: this stage is METADATA-ONLY.
+    // Payload bytes are never read (re-encodes are length-preserving, so
+    // n_bytes comes from the scan's length column), let alone shuffled;
+    // the decode pass (mm_pipeline_curate's stage B) runs downstream on
+    // surviving pairs only. The caption score crosses ONE declared
+    // one-row broadcast (the weight vector) and rides a slim id-keyed
+    // manifest; the dedup drop/meta sets join id-vs-id
+    // (duplication-proportional); the shard window shuffles the slim
+    // manifest once per source.
+    GraftQuery("mm_pipeline_paired", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // A. media near-dup collapse over the shared index (canonical =
+      // the original: min non-negative member, else min)
+      val labels = Components.minLabel(s, phashEdges(s, d))
+      val realc = labels.groupBy("label")
+        .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
+          .as("canon"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+      val drop = labels.join(realc, "label")
+        .filter(col("id") =!= col("canon"))
+        .select(col("id").as("media_id"))
+      val meta = realc.select(col("canon").as("media_id"), col("n_members"))
+      // B. the paired manifest + media metadata gate fused to the scan
+      val base = Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_bytes"))
+      val paired = base
+        .select(col("doc_id").as("media_id"), col("doc_id").as("caption_id"),
+          col("source"), col("n_bytes"))
+        .unionAll(base.filter(hasVariantCol(col("doc_id")))
+          .select(variantIdCol(col("doc_id")).as("media_id"),
+            col("doc_id").as("caption_id"), col("source"), col("n_bytes")))
+        .filter(col("n_bytes") >= 200L)
+      // C. caption gate: the shared classifier score, score > 0
+      val cap = Curation2.classifierScores(s, d)
+        .select(col("doc_id").as("caption_id"), col("score").as("cap_score"))
+      // D. both gates conjoin; E. per-source size-balanced shards
+      val w = Window.partitionBy(col("source")).orderBy(col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      paired.join(drop, Seq("media_id"), "left_anti")
+        .join(cap, Seq("caption_id"))
+        .filter(col("cap_score") > 0)
+        .join(meta, Seq("media_id"), "left")
+        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+        .withColumn("shard_id",
+          floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / 4096L))
+        .select("media_id", "caption_id", "source", "n_bytes", "cap_score",
+          "n_members", "shard_id")
+    },
+      Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |e AS (SELECT ia AS a, ib AS b FROM pairs
+             |      UNION ALL SELECT ib, ia FROM pairs),
+             |reach(n2, m2) AS (
+             |  SELECT a, a FROM e GROUP BY a
+             |  UNION
+             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
+             |cc AS (SELECT n2 AS id, MIN(m2) AS label FROM reach GROUP BY n2),
+             |realc AS (SELECT label,
+             |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
+             |    CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM cc GROUP BY label HAVING COUNT(*) >= 2),
+             |dropx AS (SELECT id AS media_id FROM cc JOIN realc USING (label)
+             |  WHERE id <> canon),
+             |meta2 AS (SELECT canon AS media_id, n_members FROM realc),
+             |${Curation2.classifierSqlCtes},
+             |pr AS (SELECT doc_id AS media_id, doc_id AS caption_id, source,
+             |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+             |  UNION ALL
+             |  SELECT -(doc_id + 1), doc_id, source, CAST(strlen(text) AS BIGINT)
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |gatedp AS (SELECT * FROM pr WHERE n_bytes >= 200),
+             |survp AS (SELECT g.* FROM gatedp g ANTI JOIN dropx USING (media_id)),
+             |okp AS (SELECT sp.*, sc.score AS cap_score
+             |  FROM survp sp JOIN sc ON sc.doc_id = sp.caption_id
+             |  WHERE sc.score > 0)
+             |SELECT o.media_id, o.caption_id, o.source, o.n_bytes, o.cap_score,
+             |  CAST(COALESCE(m2.n_members, 1) AS BIGINT) AS n_members,
+             |  CAST(FLOOR(COALESCE(SUM(o.n_bytes) OVER (PARTITION BY o.source
+             |    ORDER BY o.media_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+             |    AS BIGINT) AS shard_id
+             |FROM okp o LEFT JOIN meta2 m2 USING (media_id)""".stripMargin))
   )
 }

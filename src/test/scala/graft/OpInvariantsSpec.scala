@@ -496,4 +496,42 @@ class OpInvariantsSpec extends SparkSpec {
     assert(rows.filter(_.getLong(0) < 14).forall(_.getLong(3) == 0L),
       "verification floor 0.7 ⇒ buckets below 14 are empty")
   }
+
+  test("mm_pipeline_paired: variant rule twins agree; both gates binding; " +
+      "re-encodes never survive") {
+    import graft.operators.Multimodal
+    // the Column twins cannot drift from the Scala planting rule
+    val ids = spark.range(-5, 40).toDF("id")
+    val viaCol = ids.select(col("id"),
+      Multimodal.hasVariantCol(col("id")).as("hv"),
+      Multimodal.variantIdCol(col("id")).as("vid")).collect()
+    viaCol.foreach { r =>
+      assert(r.getBoolean(1) == Multimodal.hasVariant(r.getLong(0)))
+      assert(r.getLong(2) == Multimodal.variantId(r.getLong(0)))
+    }
+    val out = run("mm_pipeline_paired").cache()
+    try {
+      assert(out.count() > 0, "pairs must survive at sf0.001")
+      // media gate: a surviving pair's media is canonical — planted
+      // re-encodes (negative ids) are ALWAYS non-canonical (their
+      // original is the min non-negative member of the cluster), so none
+      // may appear
+      assert(out.filter(col("media_id") < 0).count() == 0,
+        "a planted re-encode survived the near-dup collapse")
+      // caption gate: every surviving pair's caption passed the shared
+      // classifier; and the gate is BINDING — some classifier-negative
+      // captions exist in the corpus
+      assert(out.filter(col("cap_score") <= 0).count() == 0)
+      val negCaps = graft.operators.Curation2.classifierScores(spark, sf)
+        .filter(col("score") <= 0).count()
+      assert(negCaps > 0, "the caption gate must have something to reject")
+      // metadata gate binding too
+      assert(out.filter(col("n_bytes") < 200).count() == 0)
+      // pairing integrity: media_id maps back to its caption doc
+      val broken = out.filter(
+        when(col("media_id") >= 0, col("media_id") =!= col("caption_id"))
+          .otherwise((-col("media_id") - 1) =!= col("caption_id"))).count()
+      assert(broken == 0, "media→caption pairing broken")
+    } finally { out.unpersist(); () }
+  }
 }
