@@ -414,6 +414,37 @@ object PlanContracts {
           "groupBy, DSIR gram histograms, packing window, survivor-count " +
           "agg; 10 at sf0.001) — a per-stage corpus re-read would multiply this",
         p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 12)),
+    "ta_pipeline_full" -> Seq(
+      noCartesian,
+      Contract(
+        "the scrubbed clean corpus — the ONE corpus-sized intermediate — " +
+          "is materialized partition-local exactly once and every " +
+          "selection-side consumer (gate metrics, exact-dedup hash, " +
+          "decontamination shingles, bench set, accounting join) reads " +
+          "the cache: ≥ 4 InMemoryTableScans in the final plan (the " +
+          "consumers; cached-build internals print inside the relation, " +
+          "so literal-absence checks can't apply — the ≤20-exchange " +
+          "bound below is what catches a dropped persist, since a 5× " +
+          "scrub re-run multiplies the rewrite exchanges)",
+        p => "InMemoryTableScan".r.findAllIn(p.finalSection).length >= 4),
+      Contract(
+        "the rewriting stages keep their own contract under composition: " +
+          "every Generate is a hashed-key or removal-sequence explode — " +
+          "never raw tokens — and no per-doc regroup of exploded text",
+        p => !p.full.contains("Generate posexplode(toks")
+          && !p.full.contains("Generate explode(toks")
+          && !p.full.contains("collect_list(struct(p")
+          && !p.full.contains("collect_list(struct(pos")),
+      Contract(
+        "both DSIR feature distributions join as DECLARED one-row " +
+          "broadcasts (as in standalone ta_dsir)",
+        p => "BroadcastNestedLoopJoin".r.findAllIn(p.full).length >= 2),
+      Contract(
+        "corpus-wide keyed shuffles are BOUNDED under composition: " +
+          "rewrite (≤8) + selection (≤12) move data through at most 20 " +
+          "hash exchanges in the final plan — chaining the stacks must " +
+          "not multiply corpus passes",
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 20)),
     "ta_quality_classifier" -> Seq(
       noCartesian,
       // (no codegen(md5_buckets) pin: the expression evaluates inside the

@@ -247,7 +247,7 @@ object Curation2 {
     * pipeline must not resurrect a rejected doc"). Adds toks, n_words,
     * n_uniq, sum_len, n_sym, n_alpha, n_stop; Catalyst prunes whatever a
     * consumer doesn't reference. */
-  private def gopherMetrics(df: DataFrame): DataFrame = df
+  private[operators] def gopherMetrics(df: DataFrame): DataFrame = df
     .withColumn("toks", expr(toksExpr))
     .withColumn("n_words", expr("size(toks)").cast("long"))
     .withColumn("n_uniq", expr("size(array_distinct(toks))").cast("long"))
@@ -261,8 +261,18 @@ object Curation2 {
     .withColumn("n_stop",
       expr("size(filter(toks, t -> t IN ('the','be','to','of','and','that','have','with')))").cast("long"))
 
+  /** The composite quality score over gopherMetrics columns, shared by
+    * ta_pipeline_curate and the grand capstone (ta_pipeline_full). */
+  private[operators] def qualityCol: Column =
+    lit(0.4) * (col("n_uniq") / col("n_words")) +
+      lit(0.3) * least(col("n_words") / lit(200.0), lit(1.0)) +
+      lit(0.3) * least(col("sum_len") / col("n_words") / lit(10.0), lit(1.0))
+  private[operators] val qualitySql: String =
+    "0.4 * (n_uniq / n_words) + 0.3 * least(n_words / 200.0, 1.0) " +
+      "+ 0.3 * least(sum_len / n_words / 10.0, 1.0)"
+
   /** The conjunction of all five Gopher rules over gopherMetrics columns. */
-  private def gopherKeep: Column =
+  private[operators] def gopherKeep: Column =
     col("n_words") >= 50 && col("n_words") <= 100000 &&
       lit(3) * col("n_words") <= col("sum_len") &&
       col("sum_len") <= lit(10) * col("n_words") &&
@@ -273,10 +283,10 @@ object Curation2 {
   /** DuckDB mirror of gopherMetrics: CTE chain (no WITH prefix) ending
     * with `gm(doc_id, source, n_words, n_uniq, sum_len, n_sym, n_alpha,
     * n_stop)`. */
-  private lazy val gopherSqlCtes: String =
-    """gt AS (SELECT doc_id, source, text,
-      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
-      |  FROM documents),
+  private[operators] def gopherSqlCtesFor(src: String, textCol: String): String =
+    s"""gt AS (SELECT doc_id, source, $textCol AS text,
+      |    list_filter(string_split($textCol, ' '), t -> t <> '') AS toks
+      |  FROM $src),
       |gm AS (SELECT doc_id, source,
       |    CAST(len(toks) AS BIGINT) AS n_words,
       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
@@ -288,8 +298,10 @@ object Curation2 {
       |      t -> t IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
       |  FROM gt)""".stripMargin
 
+  private lazy val gopherSqlCtes: String = gopherSqlCtesFor("documents", "text")
+
   /** DuckDB mirror of gopherKeep. */
-  private val gopherKeepSql: String =
+  private[operators] val gopherKeepSql: String =
     "n_words >= 50 AND n_words <= 100000 " +
       "AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words " +
       "AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words " +
@@ -604,10 +616,7 @@ object Curation2 {
       // standalone ta_gopher_rules entry, by construction
       val manifest = gopherMetrics(base)
         .filter(gopherKeep)
-        .withColumn("quality",
-          lit(0.4) * (col("n_uniq") / col("n_words"))
-            + lit(0.3) * least(col("n_words") / lit(200.0), lit(1.0))
-            + lit(0.3) * least(col("sum_len") / col("n_words") / lit(10.0), lit(1.0)))
+        .withColumn("quality", qualityCol)
         .select(col("doc_id"), col("source"),
           col("n_words").as("n_toks"), col("quality"))
       // 2. per-source quality prune (top half; one slim window shuffle)
@@ -681,8 +690,7 @@ object Curation2 {
              |gop AS (SELECT doc_id, source, n_words, n_uniq, sum_len FROM gm
              |  WHERE $gopherKeepSql),
              |qq AS (SELECT doc_id, source, n_words AS n_toks,
-             |    0.4 * (n_uniq / n_words) + 0.3 * least(n_words / 200.0, 1.0)
-             |      + 0.3 * least(sum_len / n_words / 10.0, 1.0) AS quality
+             |    $qualitySql AS quality
              |  FROM gop),
              |prq AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY source
              |    ORDER BY quality DESC, doc_id) AS prr FROM qq),

@@ -148,6 +148,157 @@ object Curation3 {
              |  GROUP BY source)
              |SELECT rk.source, rk.doc_id, rk.rk, (cnt.n_src + 19) // 20 AS quota
              |FROM rk JOIN cnt ON cnt.source = rk.source
-             |WHERE rk.rk <= (cnt.n_src + 19) // 20""".stripMargin))
+             |WHERE rk.rk <= (cnt.n_src + 19) // 20""".stripMargin)),
+
+    // 195. the GRAND CAPSTONE — the two capstone stacks CHAINED as one
+    // declarative plan: ta_pipeline_scrub's REWRITING chain (PII scrub →
+    // corpus-level line dedup → duplicated-span scrub, the shared
+    // TextOps2 stage definitions) produces the clean corpus, and
+    // ta_pipeline_curate's SELECTION chain (Gopher gate → per-source
+    // quality prune → exact dedup + near-dup anti-join vs the shared
+    // MinHash index → benchmark decontamination → DSIR weights →
+    // temperature mixing → 256-token packing → 80/10/10 split, the shared
+    // Curation2 stage definitions) runs OVER THAT CLEAN CORPUS — gate
+    // metrics, dedup hashes and decontamination shingles all read the
+    // scrubbed text. This is the pipeline a real pre-tokenization run
+    // materializes end to end (reference analog: test.sql's full UX);
+    // composition is where the stages interact: redaction turns per-doc-
+    // unique PII into identical boilerplate that the line-dedup stage
+    // then removes, which in turn shifts the Gopher metrics and the
+    // exact-dedup hash the selection side sees.
+    //
+    // Scale shape: the scrub intermediate (the ONE corpus-sized artifact)
+    // is persisted partition-local EXACTLY ONCE and all five selection-
+    // side consumers — gate metrics, exact-dedup hash, decontamination
+    // shingle explode, bench set, final accounting join — read the cache
+    // (plan-contract-pinned); corpus text still never crosses a shuffle
+    // (the scrub stages shuffle md5 keys and (doc_id, pos) pairs; the
+    // selection stages move a slim manifest keyed by source/doc_id).
+    // Near-dup pairs and DSIR distributions come from the STANDING
+    // memoized indexes (minhashPairs, dsirScores — both keyed by doc_id,
+    // built once per corpus snapshot and amortized across every consumer;
+    // a production run refreshes them with the snapshot).
+    GraftQuery("ta_pipeline_full", (s, d) => {
+      graft.functions.F.register(s)
+      // REWRITE: the shared 3-stage scrub chain, materialized once
+      val scrub = OpCache.track(s, TextOps2.scrubbedCorpus(s, d)
+        .withColumnRenamed("clean_text", "text").persist())
+      // SELECT 1-2: Gopher gate + per-source quality prune on CLEAN text
+      val manifest = Curation2.gopherMetrics(scrub)
+        .filter(Curation2.gopherKeep)
+        .withColumn("quality", Curation2.qualityCol)
+        .select(col("doc_id"), col("source"),
+          col("n_words").as("n_toks"), col("quality"))
+      val pruned = manifest
+        .withColumn("prr", percent_rank().over(Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+        .filter(col("prr") <= 0.5)
+        .drop("prr")
+      // 3. exact dedup on the CLEAN text; near-dup anti-join vs the index
+      val keepIds = scrub.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val dupIb = Similarity.minhashPairs(s, d)
+        .select(col("ib").as("doc_id")).distinct()
+      val dd = pruned.join(keepIds, Seq("doc_id"))
+        .join(dupIb, Seq("doc_id"), "left_anti")
+      // 4. benchmark decontamination over the clean text (fixed-size
+      // bench set — the ta_pipeline_curate rationale)
+      val bench = scrub.filter(col("doc_id") % 97 === 0 && col("doc_id") < 600)
+        .select(explode(expr("char_shingles(text, 8)")).as("sg")).distinct()
+      val hits = scrub.join(dd.select("doc_id"), Seq("doc_id"))
+        .withColumn("sh", expr("char_shingles(text, 8)"))
+        .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)"))
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("sg"))
+        .join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hits"))
+      val clean = OpCache.track(s, dd
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("contain",
+          coalesce(col("n_hits").cast("double") / col("n_sh"), lit(0.0)))
+        .filter(col("contain") < 0.5)
+        .select("doc_id", "source", "n_toks", "quality", "contain")
+        .persist())
+      // 5. DSIR weights from the standing feature store; 6. mixing
+      val dsir = Curation2.dsirScores(s, d)
+        .select(col("doc_id"), col("w").as("dsir_w"))
+      val perSrc = clean.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = perSrc.agg(expr(
+        "aggregate(transform(array_sort(collect_list(struct(source, n_docs))), " +
+          "x -> sqrt(CAST(x.n_docs AS DOUBLE))), CAST(0 AS DOUBLE), (a, w) -> a + w)")
+        .as("z"))
+      val mix = perSrc.crossJoin(broadcast(z))
+        .select(col("source"),
+          (sqrt(col("n_docs").cast("double")) / col("z")).as("src_weight"))
+      // 7. packing + 8. split; scrub accounting joins back id-keyed
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      clean
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_toks")).over(w), lit(0L)) / 256L))
+        .join(dsir, Seq("doc_id"))
+        .join(broadcast(mix), Seq("source"))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("source"), lit(":"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .join(scrub.select("doc_id", "n_pii", "n_seg_removed",
+          "n_span_removed"), Seq("doc_id"))
+        .select("doc_id", "source", "n_pii", "n_seg_removed",
+          "n_span_removed", "n_toks", "quality", "contain", "dsir_w",
+          "src_weight", "bin", "split")
+    },
+      Some(s"""WITH ${Similarity.minhashPairsSql.stripPrefix("WITH ")},
+             |${TextOps2.scrubSqlCtes},
+             |${Curation2.gopherSqlCtesFor("scrubbed", "clean_text")},
+             |gop AS (SELECT doc_id, source, n_words, n_uniq, sum_len FROM gm
+             |  WHERE ${Curation2.gopherKeepSql}),
+             |qq AS (SELECT doc_id, source, n_words AS n_toks,
+             |    ${Curation2.qualitySql} AS quality
+             |  FROM gop),
+             |prq AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+             |    ORDER BY quality DESC, doc_id) AS prr FROM qq),
+             |pruned AS (SELECT doc_id, source, n_toks, quality FROM prq WHERE prr <= 0.5),
+             |keepx AS (SELECT MIN(doc_id) AS doc_id FROM scrubbed GROUP BY md5(clean_text)),
+             |dupx AS (SELECT DISTINCT ib AS doc_id FROM p),
+             |ddx AS (SELECT pruned.* FROM pruned JOIN keepx USING (doc_id)
+             |  ANTI JOIN dupx USING (doc_id)),
+             |shd AS (SELECT sb.doc_id, list_distinct(list_transform(
+             |    range(1, length(sb.clean_text) - 6), i -> substr(sb.clean_text, i, 8))) AS sh
+             |  FROM scrubbed sb),
+             |bsx AS (SELECT DISTINCT unnest(sh) AS sg FROM shd
+             |  WHERE doc_id % 97 = 0 AND doc_id < 600),
+             |trx AS (SELECT s2.doc_id, CAST(len(s2.sh) AS BIGINT) AS n_sh, unnest(s2.sh) AS sg
+             |  FROM shd s2 JOIN ddx USING (doc_id)),
+             |hx AS (SELECT doc_id, any_value(n_sh) AS n_sh, CAST(COUNT(*) AS BIGINT) AS n_hits
+             |  FROM trx JOIN bsx USING (sg) GROUP BY doc_id),
+             |clean AS (SELECT ddx.*,
+             |    COALESCE(CAST(hx.n_hits AS DOUBLE) / hx.n_sh, CAST(0 AS DOUBLE)) AS contain
+             |  FROM ddx LEFT JOIN hx USING (doc_id)
+             |  WHERE COALESCE(CAST(hx.n_hits AS DOUBLE) / hx.n_sh, CAST(0 AS DOUBLE)) < 0.5),
+             |${Curation2.dsirSqlCtes},
+             |mixn AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+             |mz AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)), (a, w) -> a + w) AS z
+             |  FROM mixn),
+             |mw AS (SELECT source, sqrt(CAST(n_docs AS DOUBLE)) / mz.z AS src_weight
+             |  FROM mixn CROSS JOIN mz),
+             |packed AS (SELECT c.doc_id, c.source, c.n_toks, c.quality, c.contain,
+             |    COALESCE(SUM(c.n_toks) OVER (PARTITION BY c.source ORDER BY c.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM clean c),
+             |fin AS (SELECT pk.doc_id, pk.source, pk.n_toks, pk.quality, pk.contain,
+             |    sc.w AS dsir_w, mw.src_weight,
+             |    CAST(FLOOR(prior / 256) AS BIGINT) AS bin,
+             |    ${Relational.duckHex8("md5(pk.source || ':' || CAST(pk.doc_id AS VARCHAR))", 1)} % 100 AS bucket
+             |  FROM packed pk JOIN sc USING (doc_id) JOIN mw USING (source))
+             |SELECT fin.doc_id, fin.source, sb.n_pii, sb.n_seg_removed,
+             |  sb.n_span_removed, fin.n_toks, fin.quality, fin.contain,
+             |  fin.dsir_w, fin.src_weight, fin.bin,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM fin JOIN scrubbed sb USING (doc_id)""".stripMargin))
   )
 }

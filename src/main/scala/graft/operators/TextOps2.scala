@@ -820,38 +820,58 @@ object TextOps2 {
     // intermediate (the one corpus-sized artifact both span-stage
     // branches read) is persisted partition-local, exactly what a real
     // pipeline would materialize between passes.
-    GraftQuery("ta_pipeline_scrub", (s, d) => {
-      // persisted: the scrub stage's output feeds three branches (segment
-      // explode, duplicated-segment set, removal join) — cache the regex
-      // pass once instead of re-scrubbing the corpus per branch
-      val tk1 = OpCache.track(s, docs(s, d)
-        .withColumn("raw", piiPlanted)
-        .select(col("doc_id"),
-          piiCount(col("raw")).as("n_pii"),
-          piiScrub(col("raw")).as("t1"))
-        .withColumn("toks", expr("filter(split(t1, ' '), t -> t <> '')"))
-        .persist())
-      val s2 = tk1.join(segRemovedPos(tk1), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_pii"),
-          expr(segRemovedCountExpr).as("n_seg_removed"),
-          expr(segCleanExpr).as("t2"))
-      val tk2 = OpCache.track(s, s2
-        .withColumn("toks", expr("filter(split(t2, ' '), t -> t <> '')"))
-        .persist())
-      tk2.join(spanRemovedPos(tk2), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_pii"), col("n_seg_removed"),
-          expr(spanRemovedCountExpr).as("n_span_removed"),
-          (expr("CAST(size(toks) AS BIGINT)")
-            - expr(spanRemovedCountExpr)).as("n_toks_final"),
-          expr(spanCleanExpr).as("clean_text"))
-    },
-      Some(s"""WITH r AS (SELECT doc_id, $piiPlantSql AS raw
+    GraftQuery("ta_pipeline_scrub", (s, d) =>
+      scrubbedCorpus(s, d).select("doc_id", "n_pii", "n_seg_removed",
+        "n_span_removed", "n_toks_final", "clean_text"),
+      Some(s"""WITH $scrubSqlCtes
+             |SELECT doc_id, n_pii, n_seg_removed, n_span_removed,
+             |  n_toks_final, clean_text FROM scrubbed""".stripMargin))
+  )
+
+  /** The full 3-stage rewriting chain as a reusable constructor, carrying
+    * `source` — ta_pipeline_scrub selects from it and the grand capstone
+    * (ta_pipeline_full) feeds it to the selection stack. Built fresh per
+    * call (the caller decides persistence of the FINAL clean corpus); the
+    * two internal stage intermediates are persisted + tracked here, same
+    * as the standalone entry always did. */
+  private[graft] def scrubbedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // persisted: the scrub stage's output feeds three branches (segment
+    // explode, duplicated-segment set, removal join) — cache the regex
+    // pass once instead of re-scrubbing the corpus per branch
+    val tk1 = OpCache.track(s, docs(s, d)
+      .withColumn("raw", piiPlanted)
+      .select(col("doc_id"), col("source"),
+        piiCount(col("raw")).as("n_pii"),
+        piiScrub(col("raw")).as("t1"))
+      .withColumn("toks", expr("filter(split(t1, ' '), t -> t <> '')"))
+      .persist())
+    val s2 = tk1.join(segRemovedPos(tk1), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pii"),
+        expr(segRemovedCountExpr).as("n_seg_removed"),
+        expr(segCleanExpr).as("t2"))
+    val tk2 = OpCache.track(s, s2
+      .withColumn("toks", expr("filter(split(t2, ' '), t -> t <> '')"))
+      .persist())
+    tk2.join(spanRemovedPos(tk2), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_pii"), col("n_seg_removed"),
+        expr(spanRemovedCountExpr).as("n_span_removed"),
+        (expr("CAST(size(toks) AS BIGINT)")
+          - expr(spanRemovedCountExpr)).as("n_toks_final"),
+        expr(spanCleanExpr).as("clean_text"))
+  }
+
+  /** DuckDB mirror of scrubbedCorpus (no WITH prefix): ends with
+    * `scrubbed(doc_id, source, n_pii, n_seg_removed, n_span_removed,
+    * n_toks_final, clean_text)`. */
+  private[graft] lazy val scrubSqlCtes: String =
+    s"""r AS (SELECT doc_id, source, $piiPlantSql AS raw
              |  FROM documents),
-             |s1 AS (SELECT doc_id,
+             |s1 AS (SELECT doc_id, source,
              |  ${piiCountSql("raw")} AS n_pii,
              |  ${piiScrubSql("raw")} AS t1
              |  FROM r),
-             |tk1 AS MATERIALIZED (SELECT doc_id, n_pii,
+             |tk1 AS MATERIALIZED (SELECT doc_id, source, n_pii,
              |    list_filter(string_split(t1, ' '), x -> x <> '') AS toks
              |  FROM s1),
              |seg AS (SELECT doc_id, unnest(range(0, (len(toks) + 3) // 4)) AS pos,
@@ -864,7 +884,7 @@ object TextOps2 {
              |      '') AS t2,
              |    CAST(COUNT(*) FILTER (WHERE nd >= 3) AS BIGINT) AS n_seg_removed
              |  FROM seg JOIN freq USING (seg) GROUP BY doc_id),
-             |tk2 AS MATERIALIZED (SELECT tk1.doc_id, tk1.n_pii,
+             |tk2 AS MATERIALIZED (SELECT tk1.doc_id, tk1.source, tk1.n_pii,
              |    COALESCE(l2.n_seg_removed, 0) AS n_seg_removed,
              |    list_filter(string_split(COALESCE(l2.t2, ''), ' '), x -> x <> '') AS toks
              |  FROM tk1 LEFT JOIN l2 USING (doc_id)),
@@ -885,12 +905,11 @@ object TextOps2 {
              |  FROM tok ANTI JOIN cov USING (doc_id, p)),
              |re AS (SELECT doc_id,
              |    COALESCE(array_to_string(list(tok ORDER BY p), ' '), '') AS clean_text
-             |  FROM kept GROUP BY doc_id)
-             |SELECT tk2.doc_id, tk2.n_pii, tk2.n_seg_removed,
+             |  FROM kept GROUP BY doc_id),
+             |scrubbed AS (SELECT tk2.doc_id, tk2.source, tk2.n_pii, tk2.n_seg_removed,
              |  COALESCE(ncov.n_span_removed, 0) AS n_span_removed,
              |  CAST(len(tk2.toks) AS BIGINT) - COALESCE(ncov.n_span_removed, 0)
              |    AS n_toks_final,
              |  COALESCE(re.clean_text, '') AS clean_text
-             |FROM tk2 LEFT JOIN ncov USING (doc_id) LEFT JOIN re USING (doc_id)""".stripMargin))
-  )
+             |FROM tk2 LEFT JOIN ncov USING (doc_id) LEFT JOIN re USING (doc_id))""".stripMargin
 }
