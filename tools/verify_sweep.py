@@ -11,9 +11,13 @@ Usage: verify_sweep.py <sfdir> <outdir> <artifact.json> [timeout_sec]
 """
 import json, os, subprocess, sys, time
 
-def main(sfdir, outdir, artifact, timeout):
+def main(sfdir, outdir, artifact, timeout, only=None):
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     results, order = {}, sorted(oracles)
+    if only:
+        order = [n for n in order if n in only]
+        if os.path.exists(artifact):  # merge mode: keep prior results
+            results = json.load(open(artifact))["results"]
     t_all = time.time()
     for name in order:
         t0 = time.time()
@@ -21,8 +25,15 @@ def main(sfdir, outdir, artifact, timeout):
         code = (
             "import sys, json\n"
             "sys.path.insert(0, 'tools')\n"
+            # pandas maps its .so lazily; a huge DuckDB result can exhaust
+            # address space first and the import then fails mid-compare —
+            # map it BEFORE the query runs
+            "import pandas\n"
             "import duckdb, verify_local\n"
             "con = duckdb.connect()\n"
+            # slow queries emit a progress bar to stdout and corrupt the
+            # JSON line — disable it, and belt-and-braces rindex the JSON
+            "con.execute('PRAGMA disable_progress_bar')\n"
             f"sfdir, outdir, name = {sfdir!r}, {outdir!r}, {name!r}\n"
             "import os\n"
             "for t in verify_local.TABLES:\n"
@@ -34,11 +45,17 @@ def main(sfdir, outdir, artifact, timeout):
         try:
             r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
                                capture_output=True, text=True, timeout=timeout)
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            out = r.stdout
+            line = out[out.rindex('{"ok"'):] if '{"ok"' in out else ""
             try:
                 d = json.loads(line)
                 status = "pass" if d["ok"] else "fail"
                 detail = d["detail"]
+                # a DuckDB allocation failure is the oracle-RESOURCE class
+                # (like a timeout): a statement about the oracle's cost at
+                # this scale, not about engine agreement
+                if status == "fail" and "Out of Memory" in (detail or ""):
+                    status = "oom"
             except Exception:
                 status, detail = "fail", (r.stderr.strip()[-400:] or "no output")
         except subprocess.TimeoutExpired:
@@ -48,15 +65,18 @@ def main(sfdir, outdir, artifact, timeout):
         print(f"{status.upper():7s} {name}  {results[name]['sec']}s"
               + (f"  {detail}" if detail else ""), flush=True)
     n = {s: sum(1 for v in results.values() if v["status"] == s)
-         for s in ("pass", "fail", "timeout")}
+         for s in ("pass", "fail", "timeout", "oom", "regime")}
     tolerant = [k for k, v in results.items() if "tolerant" in (v["detail"] or "")]
     out = {"sfdir": sfdir, "timeout_sec": timeout, "total_sec": round(time.time() - t_all, 1),
            "n_pass": n["pass"], "n_fail": n["fail"], "n_timeout": n["timeout"],
+           "n_oom": n["oom"], "n_regime": n["regime"],
            "tolerant_only": tolerant, "results": results}
     json.dump(out, open(artifact, "w"), indent=1)
-    print(f"\n{n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout -> {artifact}")
+    print(f"\n{n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
+          f"{n['oom']} oom, {n['regime']} regime -> {artifact}")
     return 1 if n["fail"] else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
-                  int(sys.argv[4]) if len(sys.argv) > 4 else 600))
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 600,
+                  set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None))
