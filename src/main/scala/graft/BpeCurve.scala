@@ -25,8 +25,9 @@ object BpeCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the memoized word count + JVM/codegen so point 1 isn't charged
-    // the corpus pass the other points skip
-    operators.Curation2.bpeChainWith(spark, sfDir, 1, 8)._1
+    // the corpus pass the other points skip — at the CONFIGURED batch, so
+    // an overridden-batch run warms the same code path it times
+    operators.Curation2.bpeChainWith(spark, sfDir, 1, operators.Curation2.bpeBatch)._1
       .write.format("noop").mode("overwrite").save()
     val pts = ladder.map { it =>
       val t0 = System.nanoTime()
@@ -39,10 +40,12 @@ object BpeCurve {
     }
     val line = pts.map { case (it, sec, n) =>
       f""""$it":{"sec":$sec%.2f,"merges":$n}""" }.mkString("{", ",", "}")
-    println(line)
+    // single RESULT-prefixed line: consumers grep the marker, so Spark
+    // shutdown noise interleaved into captured stdout can't corrupt it
+    // (and no duplicate line for an all-JSON-lines parser to double-count)
+    println("RESULT " + line)
     System.out.flush()
     operators.OpCache.release(spark)
     spark.stop()
-    println(line)
   }
 }

@@ -75,6 +75,13 @@ object PlanContracts {
       present("bit_count",
         "popcount hamming verify is evaluated inline on the band-collided stream")),
     "dd_cluster" -> Seq(noCartesian),
+    // dd_lsh_funnel's entry returns a one-row literal (counts run eagerly
+    // so the blowup-prone candidate cache can be released mid-entry); the
+    // audit reads the LAZY chain via the override below, pinning the real
+    // banding → prefilter → verify composition the counts execute.
+    "dd_lsh_funnel (chain plan)" -> Seq(
+      noCartesian,
+      codegen("minhash_sig"), codegen("sig_agree"), codegen("jaccard_sim")),
     "mm_phash_cluster" -> Seq(noCartesian),
     "ta_tfidf" -> Seq(
       noCartesian,
@@ -537,7 +544,11 @@ object PlanContracts {
       // a name that maps back to it (the entry name itself is taken by
       // the uncut-chain audit above)
       "ta_bpe_learn (entry plan)" ->
-        ((s, d) => SparkEntry.queries("ta_bpe_learn")(s, d)))
+        ((s, d) => SparkEntry.queries("ta_bpe_learn")(s, d)),
+      // dd_lsh_funnel executes eagerly and returns a one-row literal; the
+      // audit inspects the lazy stage composition instead
+      "dd_lsh_funnel (chain plan)" ->
+        ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -131,12 +131,7 @@ object Curation {
           coalesce(col("doc_id") === col("keep_id"), lit(true)).as("keep"))
     },
       Some(s"""${Similarity.minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
-             |reach(n, m) AS (
-             |  SELECT a, a FROM e GROUP BY a
-             |  UNION
-             |  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
-             |cc AS (SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY n),
+             |${DuckSql.reachCc("p", "doc_id", "label")},
              |$qualitySqlCtes,
              |cl AS (SELECT cc.label, q.doc_id, q.quality
              |  FROM cc JOIN q USING (doc_id)),
@@ -351,22 +346,28 @@ object Curation {
         .select(col("doc_id"), col("r.n_bg").as("n_bg"),
           col("r.lm_score").as("lm_score"))
     },
+      // Oracle shape note: the model CTEs (c, p) are alphabet-bounded like
+      // the Spark side; scoring looks probs up from one MAP row inside
+      // list_transform over the doc-ordered bigram list. The earlier form
+      // (corpus-sized positions JOIN counts, then list(prob ORDER BY pos))
+      // re-sorted ~15M rows per 50k docs and OOM'd DuckDB at sf1; this one
+      // never materializes a corpus×model join and is bit-identical
+      // (verified at sf0.1) because each prob is the same single integer-
+      // derived double division, folded in the same position order.
       Some("""WITH bg AS (SELECT doc_id,
              |    list_transform(range(1, length(text)), i -> substring(text, i, 2)) AS bgs
              |  FROM documents WHERE length(text) >= 2),
-             |x AS (SELECT doc_id,
-             |    unnest(range(1, len(bgs) + 1)) AS pos,
-             |    unnest(bgs) AS b
-             |  FROM bg),
+             |x AS (SELECT unnest(bgs) AS b FROM bg),
              |c AS (SELECT b, COUNT(*) AS c FROM x GROUP BY b),
              |p AS (SELECT substring(b, 1, 1) AS a, CAST(SUM(c) AS BIGINT) AS ca
              |  FROM c GROUP BY 1),
-             |v AS (SELECT COUNT(*) AS v FROM c),
-             |t AS (SELECT x.doc_id, x.pos,
-             |    CAST(c.c + 1 AS DOUBLE) / (p.ca + v.v) AS prob
-             |  FROM x JOIN c USING (b)
-             |  JOIN p ON p.a = substring(x.b, 1, 1) CROSS JOIN v),
-             |l AS (SELECT doc_id, list(prob ORDER BY pos) AS ps FROM t GROUP BY doc_id)
+             |mdl AS (SELECT (SELECT MAP(list(b), list(c)) FROM c) AS cm,
+             |               (SELECT MAP(list(a), list(ca)) FROM p) AS pm,
+             |               (SELECT COUNT(*) FROM c) AS v),
+             |l AS (SELECT doc_id, list_transform(bgs, b ->
+             |    CAST(map_extract(cm, b)[1] + 1 AS DOUBLE)
+             |      / (map_extract(pm, substring(b, 1, 1))[1] + v)) AS ps
+             |  FROM bg CROSS JOIN mdl)
              |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bg,
              |  list_reduce(list_prepend(CAST(0 AS DOUBLE), ps), (a, x) -> a + x)
              |    / len(ps) AS lm_score

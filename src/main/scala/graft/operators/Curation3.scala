@@ -100,12 +100,7 @@ object Curation3 {
              |    CAST($prScale AS BIGINT) // (SELECT n_nodes FROM nn) AS r
              |  FROM deg),
              |${(0 until prRounds).map(prRoundSql).mkString(",\n")},
-             |e2 AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
-             |reach(n_, m) AS (
-             |  SELECT a, a FROM e2 GROUP BY a
-             |  UNION
-             |  SELECT r.n_, e2.b FROM reach r JOIN e2 ON e2.a = r.m),
-             |cc AS (SELECT n_ AS id, MIN(m) AS cluster_id FROM reach GROUP BY n_),
+             |${DuckSql.reachCc("p", "id", "cluster_id")},
              |rep AS (SELECT f.id, f.deg, f.r, cc.cluster_id,
              |    ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
              |      ORDER BY f.r DESC, f.id) AS rrn

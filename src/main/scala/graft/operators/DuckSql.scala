@@ -59,4 +59,64 @@ object DuckSql {
     * the Spark-side zip_with/aggregate prefilter bit for bit). */
   def sigAgree(a: String, b: String): String =
     s"len(list_filter(range(1, 65), i -> $a[i] = $b[i])) / CAST(64 AS DOUBLE)"
+
+  /** MinHash signature memo BUILD for the sf1+ oracle sweep: same md5
+    * hash family and 63-bit arithmetic as sigCtes, but the per-doc 64-way
+    * min folds over a per-doc hash LIST instead of exploding every
+    * (shingle, j) row through a corpus×64 GROUP BY — 4.3× faster in DuckDB
+    * at sf1 (157 s vs 682 s) with bit-identical output (list(struct) keeps
+    * the (h1, h2) draw pairs aligned by construction; min is
+    * order-independent). slCheck below re-derives a doc sample through the
+    * UNSWAPPED sigCtes text every sweep, so the two formulations can never
+    * drift silently. */
+  def slBuild(src: String, id: String, n: Int): String =
+    s"""WITH d AS (${shingles(src, id, n)}),
+       |sng AS (SELECT $id, unnest(sh) AS s FROM d),
+       |hsh AS (SELECT $id, ${hex16(1)} % $M AS h1, ${hex16(17)} % $M AS h2r
+       |  FROM (SELECT $id, md5(s) AS m FROM sng)),
+       |hs2 AS (SELECT $id, h1, h2r - (h2r % 2) + 1 AS h2 FROM hsh),
+       |hl AS (SELECT $id, list(struct_pack(h1 := h1, h2 := h2)) AS hs
+       |  FROM hs2 GROUP BY $id),
+       |sl AS (SELECT $id, list_transform(range(0, 64), j ->
+       |    CAST(list_min(list_transform(hs, h -> (h.h1 + j * h.h2) % $M)) AS BIGINT)) AS sig
+       |  FROM hl)
+       |SELECT $id, sig FROM sl""".stripMargin
+
+  /** Per-sweep equivalence check of a signature memo parquet against the
+    * plain sigCtes chain on a deterministic doc sample: returns one row
+    * (n_sampled, n_match); the sweep requires n_sampled = n_match > 0. */
+  def slCheck(memoFile: String, n: Int, sampleMod: Int): String =
+    s"""WITH d AS (SELECT * FROM (${shingles("documents", "doc_id", n)})
+       |  WHERE doc_id % $sampleMod = 0),
+       |${sigCtes("doc_id")}
+       |SELECT COUNT(*) AS n_sampled,
+       |  SUM(CASE WHEN m.sig = sl.sig THEN 1 ELSE 0 END) AS n_match
+       |FROM sl JOIN read_parquet('${OracleMemo.dirToken}/$memoFile.parquet') m
+       |  USING (doc_id)""".stripMargin
+
+  /** Recursive component-closure block `e, reach, cc` over a pair CTE
+    * `src(ia, ib)`: cc = ($idName, $labelName) with label = MIN id
+    * reachable in the undirected pair graph (only nodes that appear in a
+    * pair — singletons are handled by each consumer's LEFT JOIN/COALESCE).
+    * Single-sourced so every component consumer (dd_cluster, dd_canonical,
+    * dd_rep_rank, mm_phash_cluster, the mm pipelines) shares one text and
+    * OracleMemo's union-find replay swap (reachCcReplay) can never drift
+    * from it. The enclosing WITH must be RECURSIVE. */
+  def reachCc(src: String, idName: String, labelName: String): String =
+    s"""e AS (SELECT ia AS a, ib AS b FROM $src UNION ALL SELECT ib, ia FROM $src),
+       |reach(rn, rm) AS (
+       |  SELECT a, a FROM e GROUP BY a
+       |  UNION
+       |  SELECT r.rn, e.b FROM reach r JOIN e ON e.a = r.rm),
+       |cc AS (SELECT rn AS $idName, MIN(rm) AS $labelName FROM reach GROUP BY rn)""".stripMargin
+
+  /** The sf1+-sweep replay replacement for reachCc: components come from a
+    * Python union-find over the DuckDB-materialized pair memo (transitive
+    * closure is the one step DuckDB's recursive UNION cannot spill on a
+    * corpus-scale graph; min-label components are a deterministic function
+    * of the pair set, so pairs-exact + replay pins the closure). The memo
+    * parquet always has generic (id, label) columns. */
+  def reachCcReplay(memoFile: String, idName: String, labelName: String): String =
+    s"""cc AS (SELECT id AS $idName, label AS $labelName
+       |  FROM read_parquet('${OracleMemo.dirToken}/$memoFile.parquet'))""".stripMargin
 }

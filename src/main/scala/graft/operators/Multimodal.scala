@@ -309,7 +309,7 @@ object Multimodal {
     * the identical integer clamp phashW applies (no baked-in literal), so
     * both engines agree at every sf; bands are built from the bit list
     * directly (4 w-bit BIGINTs, no 128-bit integer needed). */
-  private def phashPairsSql: String =
+  private[operators] def phashPairsSql: String =
     """WITH wc AS (SELECT MIN(w) AS w, 4 * MIN(w) AS nb FROM range(16, 33) r(w)
       |  WHERE (CAST(1 AS BIGINT) << CAST(w AS INTEGER)) >= 256 * (SELECT COUNT(*) FROM documents)
       |    OR w = 32),
@@ -531,13 +531,7 @@ object Multimodal {
           col("n_members"), (col("id") === col("label")).as("keep"))
     },
       Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM pairs
-             |      UNION ALL SELECT ib, ia FROM pairs),
-             |reach(n2, m2) AS (
-             |  SELECT a, a FROM e GROUP BY a
-             |  UNION
-             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
-             |cc AS (SELECT n2 AS media_id, MIN(m2) AS cluster_id FROM reach GROUP BY n2),
+             |${DuckSql.reachCc("pairs", "media_id", "cluster_id")},
              |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
              |SELECT cc.media_id, cc.cluster_id, cs.n_members,
              |  cc.media_id = cc.cluster_id AS keep
@@ -679,13 +673,7 @@ object Multimodal {
           floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / 4096L))
     },
       Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM pairs
-             |      UNION ALL SELECT ib, ia FROM pairs),
-             |reach(n2, m2) AS (
-             |  SELECT a, a FROM e GROUP BY a
-             |  UNION
-             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
-             |cc AS (SELECT n2 AS id, MIN(m2) AS label FROM reach GROUP BY n2),
+             |${DuckSql.reachCc("pairs", "id", "label")},
              |realc AS (SELECT label,
              |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
              |    CAST(COUNT(*) AS BIGINT) AS n_members
@@ -775,13 +763,7 @@ object Multimodal {
           "n_members", "shard_id")
     },
       Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM pairs
-             |      UNION ALL SELECT ib, ia FROM pairs),
-             |reach(n2, m2) AS (
-             |  SELECT a, a FROM e GROUP BY a
-             |  UNION
-             |  SELECT r.n2, e.b FROM reach r JOIN e ON e.a = r.m2),
-             |cc AS (SELECT n2 AS id, MIN(m2) AS label FROM reach GROUP BY n2),
+             |${DuckSql.reachCc("pairs", "id", "label")},
              |realc AS (SELECT label,
              |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
              |    CAST(COUNT(*) AS BIGINT) AS n_members

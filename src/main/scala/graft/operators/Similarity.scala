@@ -418,6 +418,19 @@ object Similarity {
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsWith(s, d, lshBands, lshRows)
 
+  /** The funnel's LAZY verify chain (no persists, no eager counts), for
+    * plan inspection: the dd_lsh_funnel entry executes its stage counts at
+    * DataFrame-construction time and returns a one-row literal, so Explain/
+    * PlanAudit over the entry name print only a LocalRelation — this
+    * exposes the real banding → prefilter → verify composition the entry
+    * runs (same constructors, same configured banding). */
+  private[graft] def lshFunnelChainForAudit(s: SparkSession, d: String): DataFrame = {
+    val sh = mhShingles(s, d)
+    val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
+    mhVerify(mhPrefilter(
+      bandCandidates(sigs, "doc_id", lshBands, lshRows), sigs), sh)
+  }
+
   /** DuckDB CTE chain mirroring minhashPairsWith; ends with `p(ia, ib,
     * jacc)`. Generated from the same (bands, rows) ints as the entry. */
   private[graft] def minhashPairsSqlWith(bands: Int, rows: Int): String =
@@ -672,12 +685,7 @@ object Similarity {
           col("n_members"), (col("id") === col("label")).as("keep"))
     },
       Some(s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |e AS (SELECT ia AS a, ib AS b FROM p UNION ALL SELECT ib, ia FROM p),
-             |reach(n, m) AS (
-             |  SELECT a, a FROM e GROUP BY a
-             |  UNION
-             |  SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
-             |cc AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+             |${DuckSql.reachCc("p", "doc_id", "cluster_id")},
              |cs AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
              |SELECT cc.doc_id, cc.cluster_id, cs.n_members,
              |  cc.doc_id = cc.cluster_id AS keep
@@ -833,11 +841,17 @@ object Similarity {
         .select("doc_id", "sig").persist()
       val cand = bandCandidates(sigs, "doc_id", lshBands, lshRows).persist()
       val pre = mhPrefilter(cand, sigs).persist()
-      val nPre = pre.count()      // materializes cand + pre
-      val nCand = cand.count()    // served from the cache
-      cand.unpersist()            // the blowup-prone set goes NOW
-      val nVerified = mhVerify(pre, sh).count()
-      pre.unpersist(); sigs.unpersist()
+      // try/finally: the count sequence runs under the exact blowup
+      // scenario this entry alarms on — an executor OOM mid-funnel must
+      // not leave the corpus-scale candidate cache pinned for the session
+      val (nCand, nPre, nVerified) =
+        try {
+          val nPre = pre.count()    // materializes cand + pre
+          val nCand = cand.count()  // served from the cache
+          cand.unpersist()          // the blowup-prone set goes NOW
+          val nVerified = mhVerify(pre, sh).count()
+          (nCand, nPre, nVerified)
+        } finally { cand.unpersist(); pre.unpersist(); sigs.unpersist() }
       val nDocs = docs(s, d).count()
       def yd(num: Long, den: Long): Column =
         if (den == 0) lit(null).cast("double") else lit(num.toDouble / den)

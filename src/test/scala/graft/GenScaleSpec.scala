@@ -331,6 +331,11 @@ class GenScaleSpec extends SparkSpec {
   test("LSH banding config: override parses and stays oracle-lockstep; " +
       "detect_p chain matches pow; stricter banding nests") {
     import graft.operators.Similarity
+    // Freeze the module-init lazy vals BEFORE this test mutates sys.props:
+    // if another suite (or a future reordering) forced them mid-mutation,
+    // the frozen config would capture a deliberately-malformed test value
+    // and poison every later entry in this JVM.
+    assert(Similarity.lshBands > 0 && Similarity.lshRows > 0)
     // ---- knob parsing (the nprobe discipline: same parse path the
     // entries freeze at module init, exercised re-readably) ----
     val prevB = sys.props.get("spark.graft.lsh.bands")
@@ -426,6 +431,9 @@ class GenScaleSpec extends SparkSpec {
   test("BPE vocabulary config: (iters, batch) override parses, fails loud, " +
       "and the overridden chain holds the batch invariants") {
     import graft.operators.Curation2
+    // freeze the module-init lazy vals before mutating sys.props (see the
+    // LSH knob test above for why)
+    assert(Curation2.bpeIters > 0 && Curation2.bpeBatch > 0)
     // knob parsing — same discipline as nprobe/LSH banding
     val prevI = sys.props.get("spark.graft.bpe.iters")
     val prevB = sys.props.get("spark.graft.bpe.batch")

@@ -1,18 +1,155 @@
 #!/usr/bin/env python3
-"""Oracle sweep one scale up (sf1): the driver's DuckDB compare run over a
-GenScale tile, per-query in a SUBPROCESS with a wall-clock timeout — the
-heavy md5-minhash/shingle oracles are 10x their sf0.1 cost in DuckDB and a
-hung one must not stall the sweep. Timeouts are recorded distinctly
-("timeout", not failure): they are an oracle-COST statement, not a
-correctness one. Writes a CORRECTNESS_sf1-style JSON artifact.
+"""Oracle sweep one-or-more scales up (sf1+): the driver's DuckDB compare
+run over a GenScale tile, per-query in a SUBPROCESS with a wall-clock
+timeout — a hung oracle must not stall the sweep.
 
-Usage: verify_sweep.py <sfdir> <outdir> <artifact.json> [timeout_sec]
+Memoized oracles: if the Verify outdir has oracle_memos.json (written by
+graft.Verify from operators.OracleMemo), the shared md5-MinHash signature
+chains are materialized ONCE into parquet memos under <outdir>/_memo —
+the oracle-side analog of the engine's standing pair index — and the
+scale-heavy queries run with their chain prefix swapped for a memo read.
+Component-closure (recursive-CTE) oracles run via the union-find REPLAY:
+DuckDB materializes the pair set, Python union-find replays min-label
+components (a deterministic function of the pairs), and the rest of the
+oracle runs in DuckDB over the replayed labels. Memoized/replayed passes
+are marked in the row's detail, never silently.
+
+Statuses: pass / fail / timeout / oom / regime. "regime" is never produced
+by this script — it survives only via merge mode from a hand-adjudicated
+artifact (q_approx_topk's designed sketch-capacity boundary).
+
+Usage: verify_sweep.py <sfdir> <outdir> <artifact.json> [timeout_sec] [only,names]
 (after `sbt "runMain graft.Verify <sfdir> <outdir> <regex>"`)
 """
 import json, os, subprocess, sys, time
 
+MARKER = "GRAFT_RESULT "
+
+
+def run_sub(code, timeout):
+    """Run python code in a subprocess; parse the MARKER-prefixed JSON line.
+
+    One subprocess per oracle: DuckDB can't be interrupted in-process. The
+    result is printed on a dedicated marker line (not bare JSON) so an
+    oracle detail string that happens to contain '{"ok"' can't mis-slice
+    the scrape.
+    """
+    r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                       capture_output=True, text=True, timeout=timeout)
+    line = next((l[len(MARKER):] for l in reversed(r.stdout.splitlines())
+                 if l.startswith(MARKER)), "")
+    return line, r.stderr
+
+
+PRELUDE = (
+    "import sys, json\n"
+    "sys.path.insert(0, 'tools')\n"
+    # pandas maps its .so lazily; a huge DuckDB result can exhaust address
+    # space first and the import then fails mid-compare — map it BEFORE
+    # the query runs
+    "import pandas\n"
+    "import duckdb, verify_local\n"
+    "con = duckdb.connect()\n"
+    # slow queries emit a progress bar to stdout that would corrupt the
+    # marker line — disable it
+    "con.execute('PRAGMA disable_progress_bar')\n")
+
+
+def table_views(sfdir):
+    return (
+        "import os\n"
+        f"sfdir = {sfdir!r}\n"
+        "for t in verify_local.TABLES:\n"
+        "    if os.path.exists(f'{sfdir}/{t}.parquet'):\n"
+        "        con.execute(f\"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'\")\n")
+
+
+def build_memos(sfdir, outdir, memo_spec, timeout):
+    """Materialize the memo side-files; returns (memo_dir, log list).
+
+    Raises on any failure — a broken memo must fail the sweep loudly, not
+    fall through to 18 timeout rows."""
+    memo_dir = os.path.join(outdir, "_memo")
+    os.makedirs(memo_dir, exist_ok=True)
+    token, log = memo_spec["dir_token"], []
+    for m in memo_spec["memos"]:
+        name, kind, payload = m["name"], m["kind"], m["payload"]
+        dest = os.path.join(memo_dir, f"{name}.parquet")
+        t0 = time.time()
+        if kind == "sql":
+            if os.path.exists(dest):   # memos are per-(outdir, code round)
+                log.append(f"memo {name}: cached")
+                continue
+            sql = payload.replace(token, memo_dir)
+            copy_stmt = f"COPY ({sql}) TO '{dest}.tmp.parquet' (FORMAT PARQUET)"
+            code = (PRELUDE + table_views(sfdir) +
+                    f"con.execute({copy_stmt!r})\n"
+                    f"print({MARKER!r} + json.dumps({{'ok': True}}))\n")
+            line, err = run_sub(code, timeout)
+            if not line or not json.loads(line).get("ok"):
+                raise RuntimeError(f"memo {name} build failed: {err.strip()[-400:]}")
+            os.replace(f"{dest}.tmp.parquet", dest)
+        elif kind == "check":
+            sql = payload.replace(token, memo_dir)
+            code = (PRELUDE + table_views(sfdir) +
+                    f"row = con.execute({sql!r}).fetchone()\n"
+                    f"print({MARKER!r} + json.dumps({{'ok': True, 'sampled': row[0], 'match': row[1]}}))\n")
+            line, err = run_sub(code, timeout)
+            d = json.loads(line) if line else {}
+            if not d.get("ok") or d.get("sampled", 0) == 0 or d["sampled"] != d["match"]:
+                raise RuntimeError(f"memo check {name} FAILED: {d or err.strip()[-400:]}")
+            log.append(f"memo {name}: {d['match']}/{d['sampled']} sample docs agree")
+            continue
+        elif kind == "unionfind":
+            if os.path.exists(dest):
+                log.append(f"memo {name}: cached")
+                continue
+            src = os.path.join(memo_dir, f"{payload}.parquet")
+            import pyarrow.parquet as pq, pyarrow as pa
+            t = pq.read_table(src)
+            ia, ib = t.column(0).to_pylist(), t.column(1).to_pylist()
+            parent = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(ia, ib):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo   # min-id representative (Components.minLabel)
+            nodes = sorted(set(ia) | set(ib))
+            labels = [find(n) for n in nodes]
+            pq.write_table(pa.table({"id": pa.array(nodes, pa.int64()),
+                                     "label": pa.array(labels, pa.int64())}), dest)
+            log.append(f"memo {name}: union-find over {len(ia)} pairs → "
+                       f"{len(set(labels))} components of {len(nodes)} nodes")
+        else:
+            raise RuntimeError(f"unknown memo kind {kind} for {name}")
+        log.append(f"memo {name}: built in {round(time.time() - t0, 1)}s")
+    return memo_dir, log
+
+
 def main(sfdir, outdir, artifact, timeout, only=None):
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    memo_path = os.path.join(outdir, "oracle_memos.json")
+    memo_spec = json.load(open(memo_path)) if os.path.exists(memo_path) else None
+    memo_dir, memo_log, memo_sql = None, [], {}
+    if memo_spec:
+        need = set(memo_spec["queries"]) & set(oracles)
+        if only is not None:
+            need &= set(only)
+        if need:
+            memo_dir, memo_log = build_memos(sfdir, outdir, memo_spec, max(timeout, 1800))
+            for l in memo_log:
+                print(l, flush=True)
+            memo_sql = {k: v.replace(memo_spec["dir_token"], memo_dir)
+                        for k, v in memo_spec["queries"].items()}
     results, order = {}, sorted(oracles)
     if only:
         order = [n for n in order if n in only]
@@ -21,32 +158,15 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     t_all = time.time()
     for name in order:
         t0 = time.time()
-        # one subprocess per oracle: DuckDB can't be interrupted in-process
-        code = (
-            "import sys, json\n"
-            "sys.path.insert(0, 'tools')\n"
-            # pandas maps its .so lazily; a huge DuckDB result can exhaust
-            # address space first and the import then fails mid-compare —
-            # map it BEFORE the query runs
-            "import pandas\n"
-            "import duckdb, verify_local\n"
-            "con = duckdb.connect()\n"
-            # slow queries emit a progress bar to stdout and corrupt the
-            # JSON line — disable it, and belt-and-braces rindex the JSON
-            "con.execute('PRAGMA disable_progress_bar')\n"
-            f"sfdir, outdir, name = {sfdir!r}, {outdir!r}, {name!r}\n"
-            "import os\n"
-            "for t in verify_local.TABLES:\n"
-            "    if os.path.exists(f'{sfdir}/{t}.parquet'):\n"
-            "        con.execute(f\"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'\")\n"
-            "sql = json.load(open(f'{outdir}/oracle_sql.json'))[name]\n"
-            "ok, detail = verify_local.compare(con, sql, f'{outdir}/{name}')\n"
-            "print(json.dumps({'ok': ok, 'detail': detail}))\n")
+        sql = memo_sql.get(name, oracles[name])
+        via = "memoized" if name in memo_sql else ""
+        code = (PRELUDE + table_views(sfdir) +
+                f"outdir, name = {outdir!r}, {name!r}\n"
+                f"sql = {sql!r}\n"
+                "ok, detail = verify_local.compare(con, sql, f'{outdir}/{name}')\n"
+                f"print({MARKER!r} + json.dumps({{'ok': ok, 'detail': detail}}))\n")
         try:
-            r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
-                               capture_output=True, text=True, timeout=timeout)
-            out = r.stdout
-            line = out[out.rindex('{"ok"'):] if '{"ok"' in out else ""
+            line, err = run_sub(code, timeout)
             try:
                 d = json.loads(line)
                 status = "pass" if d["ok"] else "fail"
@@ -57,24 +177,29 @@ def main(sfdir, outdir, artifact, timeout, only=None):
                 if status == "fail" and "Out of Memory" in (detail or ""):
                     status = "oom"
             except Exception:
-                status, detail = "fail", (r.stderr.strip()[-400:] or "no output")
+                status, detail = "fail", (err.strip()[-400:] or "no output")
         except subprocess.TimeoutExpired:
             status, detail = "timeout", f"oracle exceeded {timeout}s in DuckDB"
+        if via and detail is not None:
+            detail = (detail + "; " if detail else "") + via
         results[name] = {"status": status, "detail": detail,
                          "sec": round(time.time() - t0, 1)}
         print(f"{status.upper():7s} {name}  {results[name]['sec']}s"
               + (f"  {detail}" if detail else ""), flush=True)
     n = {s: sum(1 for v in results.values() if v["status"] == s)
          for s in ("pass", "fail", "timeout", "oom", "regime")}
-    tolerant = [k for k, v in results.items() if "tolerant" in (v["detail"] or "")]
+    tolerant = [k for k, v in results.items()
+                if "tolerant" in ((v["detail"] or "").replace("memoized", ""))]
     out = {"sfdir": sfdir, "timeout_sec": timeout, "total_sec": round(time.time() - t_all, 1),
            "n_pass": n["pass"], "n_fail": n["fail"], "n_timeout": n["timeout"],
            "n_oom": n["oom"], "n_regime": n["regime"],
+           "memo_log": memo_log,
            "tolerant_only": tolerant, "results": results}
     json.dump(out, open(artifact, "w"), indent=1)
     print(f"\n{n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
           f"{n['oom']} oom, {n['regime']} regime -> {artifact}")
     return 1 if n["fail"] else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
