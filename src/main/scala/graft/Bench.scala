@@ -85,6 +85,7 @@ object Bench {
       "ta_repetition", "ta_vocab", "ta_pii_scrub", "ta_line_dedup",
       "ta_tfidf", "ta_pack_sequences",
       "ta_pipeline_curate", "ta_pipeline_scrub", "ta_pipeline_full", "mm_pipeline_curate", "mm_pipeline_paired",
+      "mm_pipeline_full",
       "st_pipeline_monitor",
       "dd_span_scrub",
       "ta_dsir", "ta_quality_classifier", "ta_bpe_apply",

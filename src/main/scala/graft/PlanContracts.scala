@@ -503,6 +503,24 @@ object PlanContracts {
           "(anti/meta id-joins + the per-source shard window + the " +
           "cluster-derivation aggregations)",
         p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 10)),
+    "mm_pipeline_full" -> Seq(
+      noCartesian,
+      Contract(
+        "prune-before-decode END TO END: the single MapPartitions decode " +
+          "sits ABOVE the gate's anti-join in the executed plan — only " +
+          "surviving pairs are decoded; a dropped re-encode or " +
+          "junk-caption pair never reaches the decoder (at 100 TB this " +
+          "ordering is the pipeline's dominant cost term)",
+        p => {
+          val mp = p.finalSection.indexOf("MapPartitions")
+          val anti = p.finalSection.indexOf("LeftAnti")
+          mp >= 0 && anti >= 0 && mp < anti
+        }),
+      Contract(
+        "decode is ONE partition-batched pass (a single MapPartitions in " +
+          "the final plan); the variant payload regenerates map-side from " +
+          "the caption text, so payload bytes never cross a shuffle",
+        p => "MapPartitions".r.findAllIn(p.finalSection).length == 1)),
     "q_concurrency" -> Seq(
       noCartesian,
       Contract(

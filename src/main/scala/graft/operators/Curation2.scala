@@ -95,14 +95,54 @@ object Curation2 {
   private[graft] def bpeChainUncutForAudit(s: SparkSession, d: String): DataFrame =
     bpeChainImpl(s, d, cut = false, bpeIters, bpeBatch, bpeCand)._1
 
-  private def bpeChainImpl(s: SparkSession, d: String, cut: Boolean,
-      iters: Int, batch: Int, candK: Int): (DataFrame, DataFrame) = {
+  /** One candidate pool: top-candK adjacent-pair counts over the current
+    * vocabulary, rank-stamped (single-partition windows are fine: they
+    * rank over ≤ candK rows). Extracted so GenScaleSpec can replay the
+    * parallel-greedy rule against the REAL pool. */
+  private[graft] def bpeCandPool(syms: DataFrame, candK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = OpCache.memo(s, "bpewords|" + d)(
+    val pairsExpr =
+      "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
+        "ELSE transform(sequence(1, size(syms) - 1), " +
+        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
+    syms
+      .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(candK)
+      .withColumn("rk0", row_number().over(
+        Window.orderBy(col("cnt").desc, col("l"), col("r"))))
+  }
+
+  /** PARALLEL GREEDY batch selection: keep a candidate iff NO
+    * higher-ranked candidate shares a symbol with it — deterministic and
+    * fully declarative (a ≤candK-row self-anti-join, no sequential driver
+    * scan); disjoint symbol sets make the one-pass merge fold
+    * order-independent. Extracted for the same replay pin. */
+  private[graft] def bpeGreedyKeep(cand: DataFrame, batch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cand.as("a")
+      .join(cand.as("b"),
+        col("b.rk0") < col("a.rk0") && (col("b.l") === col("a.l")
+          || col("b.l") === col("a.r") || col("b.r") === col("a.l")
+          || col("b.r") === col("a.r")), "left_anti")
+      .orderBy(col("rk0")).limit(batch)
+      .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long"))
+  }
+
+  /** The word-count base vocabulary with its initial char split —
+    * iteration 0's `syms` input, shared with the GenScaleSpec replay. */
+  private[graft] def bpeInitSyms(s: SparkSession, d: String): DataFrame =
+    OpCache.memo(s, "bpewords|" + d)(
       docs(s, d)
         .select(explode(expr(toksExpr)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .persist())
+      .withColumn("syms", expr("split(word, '')"))
+
+  private def bpeChainImpl(s: SparkSession, d: String, cut: Boolean,
+      iters: Int, batch: Int, candK: Int): (DataFrame, DataFrame) = {
+    val initSyms = bpeInitSyms(s, d)
     // Lineage cut per iteration (the Components.scala snap discipline).
     // Without it, iteration i's plan embeds iteration i-1's chain TWICE —
     // once via kept (built from syms(i-1)) and once via the syms update
@@ -129,29 +169,11 @@ object Curation2 {
         "concat(slice(out, 1, size(out) - 1), " +
         "array(concat(element_at(out, size(out)), x))), " +
         "concat(out, array(x))))"
-    val pairsExpr =
-      "CASE WHEN size(syms) < 2 THEN cast(array() as array<struct<l:string,r:string>>) " +
-        "ELSE transform(sequence(1, size(syms) - 1), " +
-        "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r)) END"
-    var syms = words.withColumn("syms", expr("split(word, '')"))
+    var syms = initSyms
     var merges: DataFrame = null
     for (i <- 0 until iters) {
-      // single-partition windows are fine here: both rank over ≤ K rows
-      val cand = syms
-        .select(col("freq"), explode(expr(pairsExpr)).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(candK)
-        .withColumn("rk0", row_number().over(
-          Window.orderBy(col("cnt").desc, col("l"), col("r"))))
-      val kept = snap(cand.as("a")
-        .join(cand.as("b"),
-          col("b.rk0") < col("a.rk0") && (col("b.l") === col("a.l")
-            || col("b.l") === col("a.r") || col("b.r") === col("a.l")
-            || col("b.r") === col("a.r")), "left_anti")
-        .orderBy(col("rk0")).limit(batch)
-        .withColumn("rk", row_number().over(Window.orderBy(col("rk0"))).cast("long")),
-        vocabAxis = false)
+      val cand = bpeCandPool(syms, candK)
+      val kept = snap(bpeGreedyKeep(cand, batch), vocabAxis = false)
       val rows = kept.select(lit(i.toLong).as("it"), col("rk"),
         col("l"), col("r"), col("cnt"))
       merges = if (merges == null) rows else merges.unionAll(rows)

@@ -378,6 +378,75 @@ object Multimodal {
       |      + bit_count(xor(pa.b1, pb.b1)) + bit_count(xor(pa.b0, pb.b0))
       |      <= 8)""".stripMargin
 
+  /** SHARED stage constructor of the paired (LAION-shape) pipelines: the
+    * text+media JOIN gate — media near-dup collapse over the shared phash
+    * edge graph (canonical = the original: min non-negative member) +
+    * metadata gate, caption gate via the shared fastText-shape classifier
+    * (Curation2.classifierScores, score > 0). METADATA-ONLY: payload
+    * bytes are never read (re-encodes are length-preserving, so n_bytes
+    * comes from the scan's length column). Returns the surviving pair
+    * manifest (media_id, caption_id, source, n_bytes, cap_score,
+    * n_members); mm_pipeline_paired shards it directly, mm_pipeline_full
+    * chains it into the decode stage — one definition, two consumers. */
+  private def pairedGate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // A. media near-dup collapse over the shared index (canonical =
+    // the original: min non-negative member, else min)
+    val labels = Components.minLabel(s, phashEdges(s, d))
+    val realc = labels.groupBy("label")
+      .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
+        .as("canon"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val drop = labels.join(realc, "label")
+      .filter(col("id") =!= col("canon"))
+      .select(col("id").as("media_id"))
+    val meta = realc.select(col("canon").as("media_id"), col("n_members"))
+    // B. the paired manifest + media metadata gate fused to the scan
+    val base = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_bytes"))
+    val paired = base
+      .select(col("doc_id").as("media_id"), col("doc_id").as("caption_id"),
+        col("source"), col("n_bytes"))
+      .unionAll(base.filter(hasVariantCol(col("doc_id")))
+        .select(variantIdCol(col("doc_id")).as("media_id"),
+          col("doc_id").as("caption_id"), col("source"), col("n_bytes")))
+      .filter(col("n_bytes") >= 200L)
+    // C. caption gate: the shared classifier score, score > 0
+    val cap = Curation2.classifierScores(s, d)
+      .select(col("doc_id").as("caption_id"), col("score").as("cap_score"))
+    // D. both gates conjoin
+    paired.join(drop, Seq("media_id"), "left_anti")
+      .join(cap, Seq("caption_id"))
+      .filter(col("cap_score") > 0)
+      .join(meta, Seq("media_id"), "left")
+      .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+  }
+
+  /** DuckDB mirror of pairedGate: CTE block ending in `okp(media_id,
+    * caption_id, source, n_bytes, cap_score)` + `meta2(media_id,
+    * n_members)`; expects the phash chain prefix (pairs/am) upstream.
+    * Single-sourced for the same two consumers as pairedGate. */
+  private def pairedGateSqlCtes: String =
+    s"""${DuckSql.reachCc("pairs", "id", "label")},
+       |realc AS (SELECT label,
+       |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM cc GROUP BY label HAVING COUNT(*) >= 2),
+       |dropx AS (SELECT id AS media_id FROM cc JOIN realc USING (label)
+       |  WHERE id <> canon),
+       |meta2 AS (SELECT canon AS media_id, n_members FROM realc),
+       |${Curation2.classifierSqlCtes},
+       |pr AS (SELECT doc_id AS media_id, doc_id AS caption_id, source,
+       |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+       |  UNION ALL
+       |  SELECT -(doc_id + 1), doc_id, source, CAST(strlen(text) AS BIGINT)
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |gatedp AS (SELECT * FROM pr WHERE n_bytes >= 200),
+       |survp AS (SELECT g.* FROM gatedp g ANTI JOIN dropx USING (media_id)),
+       |okp AS (SELECT sp.*, sc.score AS cap_score
+       |  FROM survp sp JOIN sc ON sc.doc_id = sp.caption_id
+       |  WHERE sc.score > 0)""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
     // 52. binary column + metadata in, fixed-shape features out, batched
     // per partition; the stub's exact integer arithmetic makes even this
@@ -608,6 +677,9 @@ object Multimodal {
              |    / least(16, strlen(text) - 16 * j) AS pool_avg
              |FROM f""".stripMargin)),
 
+    // (shared stage constructors for the paired pipelines sit above defs:
+    // pairedGate / pairedGateSqlCtes)
+
     // 52i / SURVEY #184. the MEDIA CURATION CAPSTONE — one declarative
     // plan chaining the media preprocessing stack in production order
     // (the multimodal twin of ta_pipeline_curate): the crawl's media
@@ -724,70 +796,95 @@ object Multimodal {
     // manifest once per source.
     GraftQuery("mm_pipeline_paired", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // A. media near-dup collapse over the shared index (canonical =
-      // the original: min non-negative member, else min)
-      val labels = Components.minLabel(s, phashEdges(s, d))
-      val realc = labels.groupBy("label")
-        .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
-          .as("canon"), count(lit(1)).as("n_members"))
-        .filter(col("n_members") >= 2)
-      val drop = labels.join(realc, "label")
-        .filter(col("id") =!= col("canon"))
-        .select(col("id").as("media_id"))
-      val meta = realc.select(col("canon").as("media_id"), col("n_members"))
-      // B. the paired manifest + media metadata gate fused to the scan
-      val base = Tables.t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          length(col("text")).cast("long").as("n_bytes"))
-      val paired = base
-        .select(col("doc_id").as("media_id"), col("doc_id").as("caption_id"),
-          col("source"), col("n_bytes"))
-        .unionAll(base.filter(hasVariantCol(col("doc_id")))
-          .select(variantIdCol(col("doc_id")).as("media_id"),
-            col("doc_id").as("caption_id"), col("source"), col("n_bytes")))
-        .filter(col("n_bytes") >= 200L)
-      // C. caption gate: the shared classifier score, score > 0
-      val cap = Curation2.classifierScores(s, d)
-        .select(col("doc_id").as("caption_id"), col("score").as("cap_score"))
-      // D. both gates conjoin; E. per-source size-balanced shards
       val w = Window.partitionBy(col("source")).orderBy(col("media_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      paired.join(drop, Seq("media_id"), "left_anti")
-        .join(cap, Seq("caption_id"))
-        .filter(col("cap_score") > 0)
-        .join(meta, Seq("media_id"), "left")
-        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+      pairedGate(s, d)
         .withColumn("shard_id",
           floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / 4096L))
         .select("media_id", "caption_id", "source", "n_bytes", "cap_score",
           "n_members", "shard_id")
     },
       Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-             |${DuckSql.reachCc("pairs", "id", "label")},
-             |realc AS (SELECT label,
-             |    COALESCE(MIN(CASE WHEN id >= 0 THEN id END), MIN(id)) AS canon,
-             |    CAST(COUNT(*) AS BIGINT) AS n_members
-             |  FROM cc GROUP BY label HAVING COUNT(*) >= 2),
-             |dropx AS (SELECT id AS media_id FROM cc JOIN realc USING (label)
-             |  WHERE id <> canon),
-             |meta2 AS (SELECT canon AS media_id, n_members FROM realc),
-             |${Curation2.classifierSqlCtes},
-             |pr AS (SELECT doc_id AS media_id, doc_id AS caption_id, source,
-             |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
-             |  UNION ALL
-             |  SELECT -(doc_id + 1), doc_id, source, CAST(strlen(text) AS BIGINT)
-             |  FROM documents WHERE doc_id % 7 = 0),
-             |gatedp AS (SELECT * FROM pr WHERE n_bytes >= 200),
-             |survp AS (SELECT g.* FROM gatedp g ANTI JOIN dropx USING (media_id)),
-             |okp AS (SELECT sp.*, sc.score AS cap_score
-             |  FROM survp sp JOIN sc ON sc.doc_id = sp.caption_id
-             |  WHERE sc.score > 0)
+             |$pairedGateSqlCtes
              |SELECT o.media_id, o.caption_id, o.source, o.n_bytes, o.cap_score,
              |  CAST(COALESCE(m2.n_members, 1) AS BIGINT) AS n_members,
              |  CAST(FLOOR(COALESCE(SUM(o.n_bytes) OVER (PARTITION BY o.source
              |    ORDER BY o.media_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
              |    AS BIGINT) AS shard_id
-             |FROM okp o LEFT JOIN meta2 m2 USING (media_id)""".stripMargin))
+             |FROM okp o LEFT JOIN meta2 m2 USING (media_id)""".stripMargin)),
+
+    // 52k / SURVEY #196. the MULTIMODAL GRAND CAPSTONE — the LAION
+    // pipeline end to end in ONE plan (the twin of ta_pipeline_full):
+    // paired gate (pairedGate — METADATA-ONLY: shared phash near-dup
+    // collapse + metadata gate on media, shared classifier gate on
+    // captions; payload bytes never read) → decode ONLY the surviving
+    // pairs (mm_pipeline_curate's partition-batched variant-gen + feature
+    // decode, applied downstream of the gate) → the paired
+    // feature+shard manifest a contrastive training loader consumes.
+    //
+    // Scale shape — prune BEFORE decode, end to end: the gate output is a
+    // slim id-keyed manifest; caption text joins back ONCE (id-vs-id) and
+    // the variant payload regenerates MAP-SIDE from it (reencode is
+    // deterministic and length-preserving), so payload bytes never cross
+    // a shuffle and no decode work happens upstream of the gate — a
+    // dropped re-encode or junk-caption pair is never decoded. The plan
+    // contract pins that order (the MapPartitions decode sits ABOVE the
+    // gate's anti-join in the executed plan). At 100 TB this ordering is
+    // the pipeline's dominant cost term: decode(survivors) vs
+    // decode(corpus).
+    GraftQuery("mm_pipeline_full", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // A+B+C+D. the shared metadata-only pair gate
+      val surv = pairedGate(s, d)
+      // E. decode ONLY survivors: join the caption text back id-vs-id,
+      // regenerate the variant payload map-side, one batched decode pass
+      val feat = surv
+        .join(Tables.t(s, d, "documents")
+          .select(col("doc_id").as("caption_id"),
+            encode(col("text"), "UTF-8").as("payload")), Seq("caption_id"))
+        .select(col("media_id"), col("caption_id"), col("source"),
+          col("cap_score"), col("n_members"), col("payload"))
+        // cap_score is the classifier's EXACT-INTEGER margin (Long — see
+        // classifierScores' closed-form weight row); keep it integral so
+        // the oracle compare stays hash-exact
+        .as[(Long, Long, String, Long, Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (mid, cid, src, score, nm, payload) =>
+            val p = if (mid >= 0) payload else reencode(payload)
+            val f = decodeStub(p)
+            (mid, cid, src, p.length.toLong, score, nm,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+          }
+        }.toDF("media_id", "caption_id", "source", "n_bytes", "cap_score",
+          "n_members", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+      // F. per-source size-balanced shards over the decoded manifest
+      val w = Window.partitionBy(col("source")).orderBy(col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      feat.withColumn("shard_id",
+        floor(coalesce(sum(col("n_bytes")).over(w), lit(0L)) / 4096L))
+    },
+      // the oracle decodes from the phash chain's `am` CTE (media id →
+      // byte list, variants re-encoded) — the same bytes the engine's
+      // map-side regenerate produces, joined to the gate survivors only
+      Some(s"""${phashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+             |$pairedGateSqlCtes,
+             |fsrc AS (SELECT o.media_id, o.caption_id, o.source, o.cap_score,
+             |    CAST(COALESCE(m2.n_members, 1) AS BIGINT) AS n_members,
+             |    am.n, am.bytes
+             |  FROM okp o JOIN am ON am.doc_id = o.media_id
+             |  LEFT JOIN meta2 m2 USING (media_id)),
+             |featp AS (SELECT media_id, caption_id, source,
+             |  CAST(n AS BIGINT) AS n_bytes, cap_score, n_members,
+             |  ${(0 until 8).map(duckFB).mkString(",\n  ")}
+             |  FROM fsrc)
+             |SELECT media_id, caption_id, source, n_bytes, cap_score,
+             |  n_members, f0, f1, f2, f3, f4, f5, f6, f7,
+             |  CAST(FLOOR(COALESCE(SUM(n_bytes) OVER (PARTITION BY source
+             |    ORDER BY media_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096)
+             |    AS BIGINT) AS shard_id
+             |FROM featp""".stripMargin))
   )
 }

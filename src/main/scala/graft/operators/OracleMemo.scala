@@ -145,6 +145,7 @@ object OracleMemo {
       q("dd_rep_rank", s5 -> s5m, ccMh5Rank),
       q("mm_phash_cluster", ccPhashCluster),
       q("mm_pipeline_curate", ccPhashLabel),
-      q("mm_pipeline_paired", ccPhashLabel))
+      q("mm_pipeline_paired", ccPhashLabel),
+      q("mm_pipeline_full", ccPhashLabel))
   }
 }

@@ -498,6 +498,39 @@ class GenScaleSpec extends SparkSpec {
     info(s"overridden (7,3) run: ${rows.length} merges, tokens $base → $after")
   }
 
+  test("BPE parallel greedy matches a driver-side replay of the rule over " +
+      "the real candidate pool (conflict density IS the batch-yield bound)") {
+    import graft.operators.Curation2
+    val candK = 64
+    val batch = 32
+    val pool = Curation2.bpeCandPool(Curation2.bpeInitSyms(spark, sf), candK)
+      .orderBy("rk0").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(pool.nonEmpty && pool.length <= candK)
+    // pool ordering is (cnt desc, l, r) — the rank stamp must agree
+    assert(pool.zipWithIndex.forall { case ((_, _, _, rk0), i) => rk0 == i + 1 },
+      "rank stamps must be dense in pool order")
+    // replay the declarative rule EXACTLY: keep a candidate iff NO
+    // higher-ranked candidate (kept or not) shares a symbol with it
+    val expect = pool.zipWithIndex.collect {
+      case ((l, r, _, _), i) if !pool.take(i).exists { case (l2, r2, _, _) =>
+        l2 == l || l2 == r || r2 == l || r2 == r } => (l, r)
+    }.take(batch)
+    val got = Curation2
+      .bpeGreedyKeep(Curation2.bpeCandPool(Curation2.bpeInitSyms(spark, sf),
+        candK), batch)
+      .orderBy("rk").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == expect.toSeq,
+      s"parallel-greedy batch drifted from the rule replay: " +
+        s"got ${got.toSeq}, want ${expect.toSeq}")
+    // the conflict-density measurement the SURVEY §5 batch claim rests
+    // on: yield = kept / min(batch, pool) — high-frequency pairs chain-
+    // share symbols, so yield < 1 is expected and BOUNDS usable M
+    info(f"pool $candK → kept ${got.length} " +
+      f"(yield ${got.length.toDouble / math.min(batch, pool.length)}%.2f)")
+    assert(got.nonEmpty, "a non-empty pool must yield at least rank 1")
+  }
+
   test("two-level quantizer: clamps compose; fine split keeps pairwise linear") {
     import graft.operators.{Similarity, Similarity2}
     // coarse level: broadcastable at any N, population target 65536

@@ -67,6 +67,13 @@ doc = {
                for s in scales},
     "pooled_runs": {s: scales[s].get("pooled_runs", 1) for s in scales},
     "n_entries": len(rows),
+    "sf10_exclusions": (
+        "vt_* entries (21) are excluded from the sf10 register by design: "
+        "their plugin tables are fixed-size synthetic connector key-spaces "
+        "independent of sf — a 100x row would re-measure the same bytes "
+        "and read as fake flatness. Streaming st_* entries measure their "
+        "deterministic batch-analog replays at every scale like any other "
+        "entry. The register definition lives in tools/sf10_reg.sh."),
     "failed": failed,
     "totals_sec_min": totals,
     "entries": rows,

@@ -30,11 +30,13 @@ def run_sub(code, timeout):
     """Run python code in a subprocess; parse the MARKER-prefixed JSON line.
 
     One subprocess per oracle: DuckDB can't be interrupted in-process. The
-    result is printed on a dedicated marker line (not bare JSON) so an
-    oracle detail string that happens to contain '{"ok"' can't mis-slice
-    the scrape.
+    code is fed via STDIN, not `-c` — an oracle embedding a multi-hundred-KB
+    CTE chain (ann_lsh's plane literals, the memoized capstones) overflows
+    ARG_MAX as an argv element. The result is printed on a dedicated marker
+    line (not bare JSON) so an oracle detail string that happens to contain
+    '{"ok"' can't mis-slice the scrape.
     """
-    r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+    r = subprocess.run([sys.executable, "-"], input=code, cwd="/root/repo",
                        capture_output=True, text=True, timeout=timeout)
     line = next((l[len(MARKER):] for l in reversed(r.stdout.splitlines())
                  if l.startswith(MARKER)), "")
