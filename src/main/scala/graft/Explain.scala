@@ -21,7 +21,19 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // dd_lsh_funnel executes its stage counts at construction time and
+      // returns a one-row literal — explaining the entry would run the
+      // full corpus funnel and print a LocalRelation. Inspect the lazy
+      // chain instead (the same constructors, exposed for plan audits).
+      try {
+        val df =
+          if (n == "dd_lsh_funnel") {
+            println("(entry is eager-by-design; showing the lazy funnel " +
+              "chain — see PlanContracts 'dd_lsh_funnel (chain plan)')")
+            operators.Similarity.lshFunnelChainForAudit(spark, sfDir)
+          } else SparkEntry.queries(n)(spark, sfDir)
+        df.explain("formatted")
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
