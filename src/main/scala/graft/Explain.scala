@@ -26,12 +26,16 @@ object Explain {
       // full corpus funnel and print a LocalRelation. Inspect the lazy
       // chain instead (the same constructors, exposed for plan audits).
       try {
-        val df =
-          if (n == "dd_lsh_funnel") {
-            println("(entry is eager-by-design; showing the lazy funnel " +
-              "chain — see PlanContracts 'dd_lsh_funnel (chain plan)')")
-            operators.Similarity.lshFunnelChainForAudit(spark, sfDir)
-          } else SparkEntry.queries(n)(spark, sfDir)
+        // eager-by-design entries (stage counts at construction) would run
+        // the full corpus and print a LocalRelation — show the lazy
+        // substitute from the shared PlanContracts map instead
+        val df = PlanContracts.eagerEntryAlternatives.get(n) match {
+          case Some(alt) =>
+            println("(entry is eager-by-design; showing its lazy chain — " +
+              "see PlanContracts.eagerEntryAlternatives)")
+            alt(spark, sfDir)
+          case None => SparkEntry.queries(n)(spark, sfDir)
+        }
         df.explain("formatted")
       }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }

@@ -568,6 +568,16 @@ object PlanContracts {
       "dd_lsh_funnel (chain plan)" ->
         ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)))
 
+  /** Entries whose queries() DataFrame executes EAGERLY at construction
+    * time (stage counts taken so caches can be released mid-entry): plan
+    * tools (graft.Explain) must inspect this lazy substitute instead of
+    * silently running the entry and printing a LocalRelation. ONE map so
+    * Explain and the audit overrides can't drift. */
+  val eagerEntryAlternatives
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("dd_lsh_funnel" ->
+      ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)))
+
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {
     val df = auditOverrides.getOrElse(name, SparkEntry.queries(name))(s, d)

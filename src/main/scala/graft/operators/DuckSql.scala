@@ -84,14 +84,17 @@ object DuckSql {
 
   /** Per-sweep equivalence check of a signature memo parquet against the
     * plain sigCtes chain on a deterministic doc sample: returns one row
-    * (n_sampled, n_match); the sweep requires n_sampled = n_match > 0. */
+    * (n_sampled, n_match); the sweep requires n_sampled = n_match > 0.
+    * n_sampled counts the freshly-derived sample and the join is LEFT —
+    * a memo missing docs (stale tile, partial write) shows up as
+    * n_match < n_sampled instead of shrinking both counts in lockstep. */
   def slCheck(memoFile: String, n: Int, sampleMod: Int): String =
     s"""WITH d AS (SELECT * FROM (${shingles("documents", "doc_id", n)})
        |  WHERE doc_id % $sampleMod = 0),
        |${sigCtes("doc_id")}
        |SELECT COUNT(*) AS n_sampled,
        |  SUM(CASE WHEN m.sig = sl.sig THEN 1 ELSE 0 END) AS n_match
-       |FROM sl JOIN read_parquet('${OracleMemo.dirToken}/$memoFile.parquet') m
+       |FROM sl LEFT JOIN read_parquet('${OracleMemo.dirToken}/$memoFile.parquet') m
        |  USING (doc_id)""".stripMargin
 
   /** Recursive component-closure block `e, reach, cc` over a pair CTE

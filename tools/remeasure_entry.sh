@@ -10,8 +10,10 @@
 # Run with NO other sbt/spark process alive.
 set -e
 cd /root/repo
-REG=${1:?usage: remeasure_entry.sh '<nameRegex>'}
-TAG=$(echo "$REG" | tr -cd 'a-z0-9_')
+REG=${1:?usage: remeasure_entry.sh '<nameRegex>' [tag]}
+# optional second arg: short tag for the per-run files — a many-entry
+# regex collapses to a TAG longer than NAME_MAX and every rm/write fails
+TAG=${2:-$(echo "$REG" | tr -cd 'a-z0-9_' | cut -c1-120)}
 # TAG is lossy (two regexes can collapse to one TAG), and a previous
 # invocation that died mid-run under set -e can leave per-run files the
 # brace-expansion pool step would silently re-splice — always start clean

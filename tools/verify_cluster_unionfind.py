@@ -10,31 +10,18 @@ pairs-exact + this check together pin the cluster entry.
 Usage: verify_cluster_unionfind.py <verify_outdir>
   (after `sbt "runMain graft.Verify <sfdir> <outdir> mm_phash"`)
 """
-import sys, collections
+import os, sys, collections
 import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import unionfind  # the ONE min-label replay, shared with verify_sweep.py
 
 
 def main(outdir):
     pairs = pq.read_table(f"{outdir}/mm_phash", columns=["ia", "ib"]).to_pydict()
     clus = pq.read_table(f"{outdir}/mm_phash_cluster").to_pydict()
 
-    parent = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-id representative, matching Components.minLabel
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
+    find, union = unionfind.make()
     members = set(clus["media_id"])
     for a, b in zip(pairs["ia"], pairs["ib"]):
         union(a, b)

@@ -66,20 +66,78 @@ def table_views(sfdir):
         "        con.execute(f\"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'\")\n")
 
 
-def build_memos(sfdir, outdir, memo_spec, timeout):
-    """Materialize the memo side-files; returns (memo_dir, log list).
+def memo_needs(memo_spec, query_names):
+    """Transitive closure of memo names the selected memoized queries
+    reference (scanning for '<token>/<name>.parquet'), plus every check
+    whose payload reads a needed memo. A targeted single-query rerun must
+    not pay for the whole memo set."""
+    token = memo_spec["dir_token"]
+    by_name = {m["name"]: m for m in memo_spec["memos"]}
+
+    def refs(text):
+        return {m for m in by_name if f"{token}/{m}.parquet" in text}
+
+    need = set()
+    frontier = set()
+    for q in query_names:
+        frontier |= refs(memo_spec["queries"][q])
+    while frontier:
+        n = frontier.pop()
+        if n in need:
+            continue
+        need.add(n)
+        m = by_name[n]
+        if m["kind"] == "sql":
+            frontier |= refs(m["payload"])
+        elif m["kind"] == "unionfind":
+            frontier.add(m["payload"])
+    # checks ride with the memo they validate
+    for m in memo_spec["memos"]:
+        if m["kind"] == "check" and refs(m["payload"]) & need:
+            need.add(m["name"])
+    return need
+
+
+def build_memos(sfdir, outdir, memo_spec, timeout, need):
+    """Materialize the needed memo side-files; returns (memo_dir, log).
 
     Raises on any failure — a broken memo must fail the sweep loudly, not
-    fall through to 18 timeout rows."""
+    fall through to 18 timeout rows. Cache keys: a memo parquet is reused
+    ONLY if its recorded (payload sha256, sfdir) matches — a banding/knob
+    change rewrites the payload, a tile regen changes sfdir, and either
+    invalidates the cache instead of silently reusing stale signatures or
+    components."""
+    import hashlib
     memo_dir = os.path.join(outdir, "_memo")
     os.makedirs(memo_dir, exist_ok=True)
     token, log = memo_spec["dir_token"], []
+
+    def cache_ok(name, payload):
+        meta = os.path.join(memo_dir, f"{name}.meta.json")
+        dest = os.path.join(memo_dir, f"{name}.parquet")
+        key = {"sha": hashlib.sha256(payload.encode()).hexdigest(),
+               "sfdir": os.path.realpath(sfdir)}
+        if os.path.exists(dest) and os.path.exists(meta):
+            try:
+                if json.load(open(meta)) == key:
+                    return True, None
+            except Exception:
+                pass
+        return False, key
+
+    def stamp(name, key):
+        json.dump(key, open(os.path.join(memo_dir, f"{name}.meta.json"), "w"))
+
+    built = set()
     for m in memo_spec["memos"]:
         name, kind, payload = m["name"], m["kind"], m["payload"]
+        if name not in need:
+            continue
         dest = os.path.join(memo_dir, f"{name}.parquet")
         t0 = time.time()
         if kind == "sql":
-            if os.path.exists(dest):   # memos are per-(outdir, code round)
+            ok, key = cache_ok(name, payload)
+            if ok:
                 log.append(f"memo {name}: cached")
                 continue
             sql = payload.replace(token, memo_dir)
@@ -91,6 +149,8 @@ def build_memos(sfdir, outdir, memo_spec, timeout):
             if not line or not json.loads(line).get("ok"):
                 raise RuntimeError(f"memo {name} build failed: {err.strip()[-400:]}")
             os.replace(f"{dest}.tmp.parquet", dest)
+            stamp(name, key)
+            built.add(name)
         elif kind == "check":
             sql = payload.replace(token, memo_dir)
             code = (PRELUDE + table_views(sfdir) +
@@ -103,32 +163,18 @@ def build_memos(sfdir, outdir, memo_spec, timeout):
             log.append(f"memo {name}: {d['match']}/{d['sampled']} sample docs agree")
             continue
         elif kind == "unionfind":
-            if os.path.exists(dest):
-                log.append(f"memo {name}: cached")
-                continue
+            # ALWAYS rebuilt (seconds): a replay cached across a rebuilt
+            # pair memo would pin stale components — not worth a cache
             src = os.path.join(memo_dir, f"{payload}.parquet")
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import unionfind
             import pyarrow.parquet as pq, pyarrow as pa
             t = pq.read_table(src)
             ia, ib = t.column(0).to_pylist(), t.column(1).to_pylist()
-            parent = {}
-
-            def find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for a, b in zip(ia, ib):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo   # min-id representative (Components.minLabel)
-            nodes = sorted(set(ia) | set(ib))
-            labels = [find(n) for n in nodes]
+            nodes, labels = unionfind.labels(ia, ib)
             pq.write_table(pa.table({"id": pa.array(nodes, pa.int64()),
                                      "label": pa.array(labels, pa.int64())}), dest)
+            built.add(name)
             log.append(f"memo {name}: union-find over {len(ia)} pairs → "
                        f"{len(set(labels))} components of {len(nodes)} nodes")
         else:
@@ -143,15 +189,17 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     memo_spec = json.load(open(memo_path)) if os.path.exists(memo_path) else None
     memo_dir, memo_log, memo_sql = None, [], {}
     if memo_spec:
-        need = set(memo_spec["queries"]) & set(oracles)
+        memo_q = set(memo_spec["queries"]) & set(oracles)
         if only is not None:
-            need &= set(only)
-        if need:
-            memo_dir, memo_log = build_memos(sfdir, outdir, memo_spec, max(timeout, 1800))
+            memo_q &= set(only)
+        if memo_q:
+            need = memo_needs(memo_spec, memo_q)
+            memo_dir, memo_log = build_memos(sfdir, outdir, memo_spec,
+                                             max(timeout, 1800), need)
             for l in memo_log:
                 print(l, flush=True)
             memo_sql = {k: v.replace(memo_spec["dir_token"], memo_dir)
-                        for k, v in memo_spec["queries"].items()}
+                        for k, v in memo_spec["queries"].items() if k in memo_q}
     results, order = {}, sorted(oracles)
     if only:
         order = [n for n in order if n in only]
@@ -191,7 +239,7 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     n = {s: sum(1 for v in results.values() if v["status"] == s)
          for s in ("pass", "fail", "timeout", "oom", "regime")}
     tolerant = [k for k, v in results.items()
-                if "tolerant" in ((v["detail"] or "").replace("memoized", ""))]
+                if "tolerant" in (v["detail"] or "")]
     out = {"sfdir": sfdir, "timeout_sec": timeout, "total_sec": round(time.time() - t_all, 1),
            "n_pass": n["pass"], "n_fail": n["fail"], "n_timeout": n["timeout"],
            "n_oom": n["oom"], "n_regime": n["regime"],
