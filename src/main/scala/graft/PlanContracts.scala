@@ -547,7 +547,54 @@ object PlanContracts {
         "exchanges bounded: ≤ 6 hash-exchange mentions in the final plan " +
           "(the corpus (type, day) exchange, its reuse annotation, and " +
           "the day-/type-/report-level aggregate exchanges)",
-        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 6)))
+        p => "Exchange hashpartitioning".r.findAllIn(p.finalSection).length <= 6)),
+    "dq_checks" -> Seq(
+      noCartesian,
+      absent("Expand",
+        "no multi-distinct Expand — every non-referential rule folds per " +
+          "key inside the groupBy the uniqueness rule needs anyway"),
+      Contract(
+        "exactly THREE FileScans, by design: orders twice (the fused " +
+          "per-key rules pass and the referential probe side) plus the " +
+          "customer key side — adding the four row-level rules cost ZERO " +
+          "extra scans over what uniqueness + referential alone need",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 3),
+      Contract(
+        "referential integrity is a PARTITIONED anti-join (LeftAnti with " +
+          "no declared broadcast): at corpus scale the customer key side " +
+          "is itself corpus-sized and must never broadcast",
+        p => p.finalSection.contains("LeftAnti") &&
+          !p.finalSection.contains("BroadcastExchange"))),
+    "dq_profile" -> Seq(
+      noCartesian,
+      absent("Expand",
+        "distinct counts, null counts and min/max ALL fold from the same " +
+          "(col_name, value) level-1 partials — no distinct-aggregate " +
+          "Expand multiplying the corpus stream per aggregate"),
+      Contract(
+        "ONE FileScan: the corpus is read exactly once; the long pivot " +
+          "is a map-side Generate and both aggregation levels ride its " +
+          "output",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 1),
+      present("Generate explode",
+        "the (col_name, value) long pivot is a Generate evaluated " +
+          "map-side, upstream of the level-1 combine")),
+    "dq_drift" -> Seq(
+      noCartesian,
+      Contract(
+        "orders is scanned exactly ONCE: the fixed-bucket counts " +
+          "aggregate into an ~11-row cache (InMemoryTableScan) that every " +
+          "downstream normalizer reads",
+        p => p.finalSection.contains("InMemoryTableScan")),
+      Contract(
+        "the totals and TVD normalizers are one-row DECLARED broadcasts " +
+          "(BroadcastNestedLoopJoin over single-row aggregates — never a " +
+          "shuffle): checked on the FULL plan text because the nested " +
+          "cached-relation plan embeds its own Initial-Plan marker, which " +
+          "truncates the final-section split before the outer joins",
+        p => p.full.contains("BroadcastNestedLoopJoin") &&
+          p.full.contains("BroadcastExchange") &&
+          !p.full.contains("SortMergeJoin"))))
 
   /** Entries whose query plan is a scan over materialized snapshots
     * (iterative chains with per-round lineage cuts): the audit reads the

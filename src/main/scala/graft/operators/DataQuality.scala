@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — data-quality validation (round 12): the pre-ingestion
+  * gate a training pipeline runs BEFORE any curation operator touches a
+  * new snapshot. Published shape: AWS Deequ's declarative constraint
+  * checks / column profiles (Schelter et al., "Automating Large-Scale
+  * Data Quality Verification", VLDB 2018) and Great Expectations'
+  * expectation suites; the drift check is the two-sample histogram
+  * comparison every feature-store monitor runs (population-stability
+  * family), scored as total-variation distance so the arithmetic stays
+  * exact-rational until one final division.
+  *
+  * Reference analog: the reference engine surfaces connector data as
+  * queryable tables (table.go) and leaves validation to hand SQL; a
+  * 100 TB ingest needs the rule table AS an operator with one defined
+  * output schema per family.
+  *
+  * Scale posture (the design constraint for every entry here):
+  *  - dq_checks: every non-referential rule folds into ONE scan — the
+  *    row-level conditional counts aggregate per key inside the groupBy
+  *    the uniqueness rule needs anyway (map-side combine keeps the
+  *    shuffle distinct-key-proportional; never a multi-distinct Expand,
+  *    which would multiply the corpus stream per distinct aggregate);
+  *    referential integrity is one left-anti equi-join on the key — both
+  *    sides shuffle-partitioned, nothing corpus-sized is broadcast.
+  *  - dq_profile: one explode pass pivots the row long (col_name, value),
+  *    then a TWO-LEVEL aggregation: level 1 groups by (col_name, value) so
+  *    the map-side combine shrinks the shuffle to distinct-proportional;
+  *    level 2 folds the value partials into per-column stats. Distinct
+  *    counts, null counts, min/max all come from the same partials — the
+  *    corpus is read exactly once and no row crosses the wire twice.
+  *  - dq_drift: one groupBy over a FIXED bucket space (map-side combine
+  *    reduces to ~11 rows per task), cached once; the totals and the
+  *    TVD normalizer ride one-row declared broadcasts.
+  *
+  * Cross-engine float discipline: TVD's per-bucket term is
+  * |n_i·M − m_i·N| — exact int64 (counts ≤ 1.5e7 at sf10, products
+  * ≤ ~1e14 < 2^53) — and the single final division of two
+  * exactly-representable doubles is correctly rounded identically in
+  * Spark and DuckDB. No logarithms (PSI's ln is libm-dependent); no
+  * double accumulation order anywhere.
+  */
+object DataQuality {
+
+  private def ord(s: SparkSession, d: String)  = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+
+  /** dq_drift's fixed-width price histogram: bucket i covers
+    * [i·60000, (i+1)·60000). Width chosen so the TPC-H totalprice range
+    * spans ~10 buckets at every sf. */
+  private val bucketWidth = 60000.0
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 197. declarative constraint checks (the Deequ/Great-Expectations
+    // surface): a fixed rule table over the orders snapshot — not-null,
+    // value-range, accepted-values, min-rows (one conditional-agg scan),
+    // key uniqueness (per-key partial counts; violations = surplus
+    // copies), referential integrity into customer (left-anti join).
+    // Output: (rule, n_violations, pass) — the report a pipeline gates
+    // ingestion on. All-pass on the driver's tables is the expected
+    // result; DataQualitySpec injects crafted violations and pins each
+    // rule's exact count.
+    GraftQuery("dq_checks", (s, d) => {
+      val o = ord(s, d)
+      // ONE pass over orders for all non-referential rules: the row-level
+      // conditional counts fold per key inside the groupBy the uniqueness
+      // rule needs anyway, so the extra rules cost zero additional scans
+      // and zero additional shuffle (the per-key partials ride the same
+      // map-side combine).
+      val perKey = o.groupBy("o_orderkey").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("k_notnull"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0.0,
+          1L).otherwise(0L)).as("k_pos"),
+        sum(when(col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("k_vals"))
+      val scan = perKey.agg(
+        coalesce(sum("k_notnull"), lit(0L)).as("v_notnull"),
+        coalesce(sum("k_pos"), lit(0L)).as("v_pos"),
+        coalesce(sum("k_vals"), lit(0L)).as("v_vals"),
+        coalesce(sum("n"), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("n") > 1L, col("n") - lit(1L))), lit(0L))
+          .as("v_uniq"))
+      val rowRules = scan.select(explode(array(
+          struct(lit("not_null:o_custkey").as("rule"),
+            col("v_notnull").as("n_violations")),
+          struct(lit("positive:o_totalprice").as("rule"),
+            col("v_pos").as("n_violations")),
+          struct(lit("accepted_values:o_orderstatus").as("rule"),
+            col("v_vals").as("n_violations")),
+          struct(lit("min_rows:orders").as("rule"),
+            when(col("n_rows") >= 1L, lit(0L)).otherwise(lit(1L))
+              .as("n_violations")),
+          struct(lit("unique:o_orderkey").as("rule"),
+            col("v_uniq").as("n_violations")))).as("x"))
+        .select(col("x.rule").as("rule"), col("x.n_violations").as("n_violations"))
+      val refv = o.select("o_custkey")
+        .join(cust(s, d).select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("ref:o_custkey->customer").as("rule"), col("n_violations"))
+      rowRules.union(refv)
+        .withColumn("pass", col("n_violations") === lit(0L))
+    },
+      Some("""WITH r AS (SELECT
+             |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+             |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+             |        THEN 1 ELSE 0 END) AS v_pos,
+             |    SUM(CASE WHEN o_orderstatus IS NULL
+             |        OR o_orderstatus NOT IN ('O','F','P')
+             |        THEN 1 ELSE 0 END) AS v_vals,
+             |    COUNT(*) AS n_rows
+             |  FROM orders),
+             |u AS (SELECT COALESCE(SUM(n - 1), 0) AS v
+             |  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+             |  WHERE n > 1),
+             |f AS (SELECT COUNT(*) AS v FROM orders o
+             |  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+             |  WHERE c.c_custkey IS NULL),
+             |rules AS (
+             |  SELECT 'not_null:o_custkey' AS rule,
+             |    CAST(v_notnull AS BIGINT) AS n_violations FROM r
+             |  UNION ALL SELECT 'positive:o_totalprice',
+             |    CAST(v_pos AS BIGINT) FROM r
+             |  UNION ALL SELECT 'accepted_values:o_orderstatus',
+             |    CAST(v_vals AS BIGINT) FROM r
+             |  UNION ALL SELECT 'min_rows:orders',
+             |    CASE WHEN n_rows >= 1 THEN CAST(0 AS BIGINT)
+             |         ELSE CAST(1 AS BIGINT) END FROM r
+             |  UNION ALL SELECT 'unique:o_orderkey', CAST(v AS BIGINT) FROM u
+             |  UNION ALL SELECT 'ref:o_custkey->customer',
+             |    CAST(v AS BIGINT) FROM f)
+             |SELECT rule, n_violations, n_violations = 0 AS pass
+             |FROM rules""".stripMargin)),
+
+    // 198. per-column profile (the Deequ profiler surface): row count,
+    // null count, exact distinct count, min/max per column of the orders
+    // snapshot — numerics surface as DOUBLE (min_n/max_n), strings and
+    // the zero-pad-formatted timestamp as VARCHAR (min_s/max_s); double
+    // values never pass through a string representation (Spark's
+    // shortest-round-trip formatting disagrees with DuckDB's on exponent
+    // forms). One explode pass + two-level aggregation — see the object
+    // Scaladoc for why this shape (and not countDistinct's Expand) is
+    // the 100 TB plan.
+    GraftQuery("dq_profile", (s, d) => {
+      val o = ord(s, d)
+      def num(name: String) = struct(lit(name).as("col_name"),
+        col(name).cast("double").as("v_n"), lit(null).cast("string").as("v_s"))
+      def str(name: String) = struct(lit(name).as("col_name"),
+        lit(null).cast("double").as("v_n"), col(name).as("v_s"))
+      val dateCol = struct(lit("o_orderdate").as("col_name"),
+        lit(null).cast("double").as("v_n"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("v_s"))
+      val long = o.select(explode(array(
+          num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+          str("o_orderstatus"), str("o_orderpriority"), dateCol)).as("x"))
+        .select(col("x.col_name").as("col_name"),
+          col("x.v_n").as("v_n"), col("x.v_s").as("v_s"))
+      long.groupBy("col_name", "v_n", "v_s").agg(count(lit(1)).as("cnt"))
+        .groupBy("col_name").agg(
+          sum("cnt").as("n_rows"),
+          coalesce(sum(when(col("v_n").isNull && col("v_s").isNull,
+            col("cnt"))), lit(0L)).as("n_nulls"),
+          sum(when(col("v_n").isNotNull || col("v_s").isNotNull, 1L)
+            .otherwise(0L)).as("n_distinct"),
+          min("v_n").as("min_n"), max("v_n").as("max_n"),
+          min("v_s").as("min_s"), max("v_s").as("max_s"))
+    },
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_n, CAST(MAX($c) AS DOUBLE) AS max_n,
+             |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin
+        def str(c: String, expr: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($expr) AS n_nulls,
+             |  COUNT(DISTINCT $expr) AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS min_n, CAST(NULL AS DOUBLE) AS max_n,
+             |  MIN($expr) AS min_s, MAX($expr) AS max_s
+             |FROM orders""".stripMargin
+        Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+          str("o_orderstatus", "o_orderstatus"),
+          str("o_orderpriority", "o_orderpriority"),
+          str("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"))
+          .mkString("\nUNION ALL\n")
+      }),
+
+    // 199. snapshot drift (the feature-store monitor): split the orders
+    // snapshot into baseline (even o_orderkey) and current (odd), bucket
+    // o_totalprice into the fixed-width histogram, and score the
+    // distribution shift as total-variation distance
+    // TVD = Σ|n_i/N − m_i/M| / 2, computed as the exact int64 numerator
+    // Σ|n_i·M − m_i·N| with ONE final double division (identical IEEE
+    // result in both engines — the reason TVD and not PSI: no ln).
+    // Output: per-bucket counts + the exact contribution numerator, with
+    // the tvd score and the drift flag (tvd > 0.1) denormalized onto
+    // every row. The bucket table is cached once (11 rows) so orders is
+    // scanned exactly once.
+    GraftQuery("dq_drift", (s, d) => {
+      val o = ord(s, d).select(
+        when(col("o_totalprice").isNull, lit(-1L))
+          .otherwise(floor(col("o_totalprice") / lit(bucketWidth))).as("bucket"),
+        (col("o_orderkey") % 2 === 0).as("is_base"))
+      val cts = OpCache.track(s, o.groupBy("bucket").agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr")).persist())
+      val tot = cts.agg(sum("n_base").as("nb"), sum("n_curr").as("nc"))
+      val contrib = cts.crossJoin(broadcast(tot))
+        .withColumn("contrib_num",
+          abs(col("n_base") * col("nc") - col("n_curr") * col("nb")))
+      val norm = contrib.agg(sum("contrib_num").as("sc"),
+        max("nb").as("nbt"), max("nc").as("nct"))
+      contrib.select("bucket", "n_base", "n_curr", "contrib_num")
+        .crossJoin(broadcast(norm))
+        .withColumn("tvd", col("sc").cast("double") /
+          (lit(2L) * col("nbt") * col("nct")).cast("double"))
+        .withColumn("drift", col("tvd") > lit(0.1))
+        .select("bucket", "n_base", "n_curr", "contrib_num", "tvd", "drift")
+    },
+      Some(s"""WITH b AS (SELECT
+             |    CASE WHEN o_totalprice IS NULL THEN -1
+             |         ELSE CAST(FLOOR(o_totalprice / $bucketWidth) AS BIGINT)
+             |    END AS bucket,
+             |    (o_orderkey % 2 = 0) AS is_base
+             |  FROM orders),
+             |c AS (SELECT bucket,
+             |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+             |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+             |  FROM b GROUP BY bucket),
+             |t AS (SELECT SUM(n_base) AS nb, SUM(n_curr) AS nc FROM c),
+             |x AS (SELECT c.bucket, c.n_base, c.n_curr,
+             |    ABS(c.n_base * t.nc - c.n_curr * t.nb) AS contrib_num
+             |  FROM c, t),
+             |n AS (SELECT SUM(contrib_num) AS sc FROM x)
+             |SELECT x.bucket,
+             |  CAST(x.n_base AS BIGINT) AS n_base,
+             |  CAST(x.n_curr AS BIGINT) AS n_curr,
+             |  CAST(x.contrib_num AS BIGINT) AS contrib_num,
+             |  CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE) AS tvd,
+             |  (CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE)) > 0.1
+             |    AS drift
+             |FROM x, t, n""".stripMargin)))
+}
