@@ -21,10 +21,6 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      // dd_lsh_funnel executes its stage counts at construction time and
-      // returns a one-row literal — explaining the entry would run the
-      // full corpus funnel and print a LocalRelation. Inspect the lazy
-      // chain instead (the same constructors, exposed for plan audits).
       try {
         // eager-by-design entries (stage counts at construction) would run
         // the full corpus and print a LocalRelation — show the lazy

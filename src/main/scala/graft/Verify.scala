@@ -53,16 +53,26 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // the sf1+ sweep's memoized-oracle plan (tools/verify_sweep.py):
     // shared-signature memo builds + per-query swapped SQL. The driver's
-    // own gate never reads this file — it compares oracle_sql.json as-is.
-    val memoJson = {
-      val ms = operators.OracleMemo.memos.map { case (n, kind, payload) =>
-        s"""{"name": ${q(n)}, "kind": ${q(kind)}, "payload": ${q(payload)}}"""
-      }.mkString("[", ",", "]")
-      val qs = operators.OracleMemo.memoizedQueries.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      s"""{"dir_token": ${q(operators.OracleMemo.dirToken)}, "memos": $ms, "queries": $qs}"""
+    // own gate never reads this file — it compares oracle_sql.json as-is —
+    // so a memo-assembly failure (OracleMemo's require() drift guards
+    // firing after a chain-text refactor) must NOT abort the gate dump:
+    // log loud, skip the file, and let the SWEEP fail loudly on its
+    // absence instead.
+    try {
+      val memoJson = {
+        val ms = operators.OracleMemo.memos.map { case (n, kind, payload) =>
+          s"""{"name": ${q(n)}, "kind": ${q(kind)}, "payload": ${q(payload)}}"""
+        }.mkString("[", ",", "]")
+        val qs = operators.OracleMemo.memoizedQueries.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+        s"""{"dir_token": ${q(operators.OracleMemo.dirToken)}, "memos": $ms, "queries": $qs}"""
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_memos.json"), memoJson)
+    } catch {
+      case e: Throwable =>
+        println(s"[verify] ORACLE MEMO BUILD FAILED (sweep plan not " +
+          s"written; the driver gate is unaffected): ${e.getMessage}")
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_memos.json"), memoJson)
     Files.writeString(Paths.get(s"$outDir/_failed.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     operators.OpCache.release(spark) // feature-store lifecycle: free every pinned table

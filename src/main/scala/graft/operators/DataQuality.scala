@@ -162,7 +162,8 @@ object DataQuality {
           str("o_orderstatus"), str("o_orderpriority"), dateCol)).as("x"))
         .select(col("x.col_name").as("col_name"),
           col("x.v_n").as("v_n"), col("x.v_s").as("v_s"))
-      long.groupBy("col_name", "v_n", "v_s").agg(count(lit(1)).as("cnt"))
+      val prof = long
+        .groupBy("col_name", "v_n", "v_s").agg(count(lit(1)).as("cnt"))
         .groupBy("col_name").agg(
           sum("cnt").as("n_rows"),
           coalesce(sum(when(col("v_n").isNull && col("v_s").isNull,
@@ -171,6 +172,20 @@ object DataQuality {
             .otherwise(0L)).as("n_distinct"),
           min("v_n").as("min_n"), max("v_n").as("max_n"),
           min("v_s").as("min_s"), max("v_s").as("max_s"))
+      // anchor on the static column list: on an EMPTY snapshot the agg
+      // yields no groups but the oracle's six global aggregates each
+      // return one zero row — the anchor keeps both engines at one row
+      // per column. prof's OUTPUT is ≤ |columns| rows at any corpus
+      // size, so the declared broadcast is scale-safe.
+      val anchor = s.createDataset(Seq("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderstatus", "o_orderpriority", "o_orderdate"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("col_name")
+      anchor.join(broadcast(prof), Seq("col_name"), "left")
+        .select(col("col_name"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_n"), col("max_n"), col("min_s"), col("max_s"))
     },
       Some {
         def num(c: String) =
@@ -206,9 +221,12 @@ object DataQuality {
     // every row. The bucket table is cached once (11 rows) so orders is
     // scanned exactly once.
     GraftQuery("dq_drift", (s, d) => {
+      // NULL prices propagate to the NULL bucket naturally (floor(NULL) =
+      // NULL, and both engines group NULLs together); negatives land in
+      // their true negative buckets — no sentinel that could conflate the
+      // two classes.
       val o = ord(s, d).select(
-        when(col("o_totalprice").isNull, lit(-1L))
-          .otherwise(floor(col("o_totalprice") / lit(bucketWidth))).as("bucket"),
+        floor(col("o_totalprice") / lit(bucketWidth)).as("bucket"),
         (col("o_orderkey") % 2 === 0).as("is_base"))
       val cts = OpCache.track(s, o.groupBy("bucket").agg(
         sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
@@ -227,9 +245,7 @@ object DataQuality {
         .select("bucket", "n_base", "n_curr", "contrib_num", "tvd", "drift")
     },
       Some(s"""WITH b AS (SELECT
-             |    CASE WHEN o_totalprice IS NULL THEN -1
-             |         ELSE CAST(FLOOR(o_totalprice / $bucketWidth) AS BIGINT)
-             |    END AS bucket,
+             |    CAST(FLOOR(o_totalprice / $bucketWidth) AS BIGINT) AS bucket,
              |    (o_orderkey % 2 = 0) AS is_base
              |  FROM orders),
              |c AS (SELECT bucket,

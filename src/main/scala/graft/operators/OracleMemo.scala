@@ -110,8 +110,13 @@ object OracleMemo {
       sql.replace(from, to)
     }
 
+  /** Built once per memoizedQueries call: SparkEntry.oracleSql is a def
+    * that folds the full ~200-entry map — rebuilding it per q() lookup
+    * would construct it once per memoized entry. */
+  private lazy val allOracles: Map[String, String] = graft.SparkEntry.oracleSql
+
   private def q(name: String, subs: (String, String)*): (String, String) =
-    name -> swapAll(name, graft.SparkEntry.oracleSql(name), subs.toSeq)
+    name -> swapAll(name, allOracles(name), subs.toSeq)
 
   /** Memoized sweep variants, one per scale-heavy oracle. Built lazily so
     * module init can't recurse through SparkEntry. */

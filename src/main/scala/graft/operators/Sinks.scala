@@ -11,8 +11,20 @@ import org.apache.spark.sql.functions._
 object Sinks {
   import Exact._
 
+  /** FIXED sink dir per (dataset, format), reused via Overwrite: a fresh
+    * temp dir per call leaks one full dump per bench iteration — at the
+    * sf10 tile that filled the disk mid-run (17 entries died on "No space
+    * left" before this). Overwrite keeps the footprint at exactly one
+    * dump per (dataset, format) no matter how often the entry runs. */
+  private def sinkDir(d: String, kind: String): String = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sink_${kind}_${java.lang.Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
+  }
+
   private def roundTrip(s: SparkSession, d: String, format: String) = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$format").toString
+    val dir = sinkDir(d, format)
     val src = Tables.t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     src.coalesce(4).write.mode(SaveMode.Overwrite)
@@ -73,7 +85,7 @@ object Sinks {
     // one partition back — the plan's PartitionFilters prove directory
     // pruning (only that partition's files are listed/scanned).
     GraftQuery("q_partitioned_scan", (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = sinkDir(d, "part")
       Tables.t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .write.mode(SaveMode.Overwrite)

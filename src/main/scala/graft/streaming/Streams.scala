@@ -105,17 +105,40 @@ object Streams {
     * times out and flushes through the NORMAL timeout path — the finite
     * replay ends exactly like an infinite stream would, with no
     * special-case end-of-stream logic in the operator. */
+  /** Fixed scratch dir per (dataset, kind), WIPED before reuse. Fresh
+    * createTempDirectory scratch leaked one full staged replay per JVM
+    * run — 37 GB of /tmp after a round of sf10 tooling runs, until
+    * entries started dying with "No space left on device". A fixed path
+    * bounds the footprint to ONE live copy per (dataset, kind); the wipe
+    * keeps re-staging correct across code rounds (a stale checkpoint or
+    * replay from an older plan must never be resumed). Bench/Verify
+    * discipline is single-JVM (concurrent JVMs contaminate timings
+    * anyway), so cross-process clobbering is out of contract. */
+  private def scratchDir(d: String, kind: String): java.nio.file.Path = {
+    import java.nio.file._
+    val p = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${kind}_${java.lang.Integer.toHexString(d.hashCode)}")
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach((q: Path) => Files.delete(q))
+      finally walk.close()
+    }
+    Files.createDirectories(p)
+    p
+  }
+
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageWithSentinel(s: SparkSession, d: String): String =
     stagedDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_sess_src")
+      val staged = scratchDir(d, "sess_src")
       val dst = staged.resolve("events.parquet")
       Files.copy(Paths.get(s"$d/events.parquet"), dst)
       Files.setLastModifiedTime(dst,
         attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
       // sentinel: one event in year 2100, written in the raw ts layout
-      val tmp = Files.createTempDirectory("graft_sess_sentinel")
+      val tmp = scratchDir(d, "sess_sentinel")
       val raw = s.read.parquet(s"$d/events.parquet")
       raw.limit(1)
         .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
@@ -143,10 +166,10 @@ object Streams {
   private def stageLate(s: SparkSession, d: String): String =
     lateDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_late_src")
+      val staged = scratchDir(d, "late_src")
       val raw = s.read.parquet(s"$d/events.parquet") // ts in raw on-disk layout
       def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_late_part")
+        val tmp = scratchDir(d, "late_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
@@ -382,10 +405,10 @@ object Streams {
     // contract, not a trust-me.
     GraftQuery("st_update_mode", (s, d) => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_upd_src")
+      val staged = scratchDir(d, "upd_src")
       val raw = s.read.parquet(s"$d/events.parquet")
       def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_upd_part")
+        val tmp = scratchDir(d, "upd_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
@@ -433,12 +456,12 @@ object Streams {
     // lost) or double-reads (offsets lost); either breaks the hash.
     GraftQuery("st_recovery", (s, d) => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_recov_src")
-      val ckpt = Files.createTempDirectory("graft_recov_ckpt").toString
-      val outDir = Files.createTempDirectory("graft_recov_out").toString
+      val staged = scratchDir(d, "recov_src")
+      val ckpt = scratchDir(d, "recov_ckpt").toString
+      val outDir = scratchDir(d, "recov_out").toString
       val raw = s.read.parquet(s"$d/events.parquet")
       def put(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-        val tmp = Files.createTempDirectory("graft_recov_part")
+        val tmp = scratchDir(d, "recov_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
@@ -680,7 +703,7 @@ object Streams {
     GraftQuery("st_foreach_batch", (s, d) => {
       import java.nio.file._
       val staged = stageEvensOdds(s, d)
-      val tgt = Files.createTempDirectory("graft_fb_tgt")
+      val tgt = scratchDir(d, "fb_tgt")
       val cur = tgt.resolve("cur")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val q = s.readStream.schema(schema)
@@ -793,10 +816,10 @@ object Streams {
   private def stageEvensOdds(s: SparkSession, d: String): String =
     eoDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_eo_src")
+      val staged = scratchDir(d, "eo_src")
       val raw = s.read.parquet(s"$d/events.parquet")
       def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_eo_part")
+        val tmp = scratchDir(d, "eo_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
@@ -819,9 +842,9 @@ object Streams {
   private def stageBothSentinel(s: SparkSession, d: String): String =
     bothDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_lj_src")
+      val staged = scratchDir(d, "lj_src")
       Files.copy(Paths.get(s"$d/events.parquet"), staged.resolve("events.parquet"))
-      val tmp = Files.createTempDirectory("graft_lj_sentinel")
+      val tmp = scratchDir(d, "lj_sentinel")
       val raw = s.read.parquet(s"$d/events.parquet")
       raw.limit(1)
         .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
@@ -844,10 +867,10 @@ object Streams {
   private def stageYearReplay(s: SparkSession, d: String): String =
     replayDirs.computeIfAbsent(d, _ => {
       import java.nio.file._
-      val staged = Files.createTempDirectory("graft_ttl_src")
+      val staged = scratchDir(d, "ttl_src")
       val raw = s.read.parquet(s"$d/events.parquet")
       def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_ttl_part")
+        val tmp = scratchDir(d, "ttl_part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()

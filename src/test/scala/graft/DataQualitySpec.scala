@@ -35,6 +35,39 @@ class DataQualitySpec extends SparkSpec {
     dir
   }
 
+  /** The crafted snapshot with zero rows (same schema): the family must
+    * keep its output contract on an empty ingest, not vanish. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("dqempty").toString
+    Tables.t(spark, craftedDir, "orders").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Tables.t(spark, craftedDir, "customer").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("empty snapshot: checks still report all rules, profile keeps one row per column") {
+    val checks = run("dq_checks", emptyDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.size == 6)
+    assert(checks("min_rows:orders") == 1L, "min_rows must fire on an empty snapshot")
+    assert(checks.filterNot(_._1 == "min_rows:orders").values.forall(_ == 0L))
+    val prof = run("dq_profile", emptyDir).collect()
+    assert(prof.length == 6, "one profile row per column even with zero input rows")
+    assert(prof.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.isNullAt(4) && r.isNullAt(6)))
+    // drift on an empty snapshot is an empty (bucketless) report in BOTH
+    // engines — pinned here so the agreement is a contract, not luck
+    assert(run("dq_drift", emptyDir).count() == 0L)
+  }
+
+  test("dq_drift: negative prices land in their true negative bucket, not a sentinel") {
+    val rows = run("dq_drift", craftedDir).collect()
+    val buckets = rows.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(buckets.contains(Some(-1L)),
+      s"the crafted -5.0 price must bucket to -1 (floor(-5/60000)); got $buckets")
+  }
+
   test("dq_checks: each crafted violation is counted exactly once") {
     val rows = run("dq_checks", craftedDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap

@@ -20,6 +20,10 @@ artifact (q_approx_topk's designed sketch-capacity boundary).
 
 Usage: verify_sweep.py <sfdir> <outdir> <artifact.json> [timeout_sec] [only,names]
 (after `sbt "runMain graft.Verify <sfdir> <outdir> <regex>"`)
+
+The artifact is re-dumped atomically after EVERY row, and the special
+only-value RESUME continues an interrupted sweep: rows already in the
+artifact are kept, only queries with no row yet run.
 """
 import json, os, subprocess, sys, time
 
@@ -103,20 +107,27 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
 
     Raises on any failure — a broken memo must fail the sweep loudly, not
     fall through to 18 timeout rows. Cache keys: a memo parquet is reused
-    ONLY if its recorded (payload sha256, sfdir) matches — a banding/knob
-    change rewrites the payload, a tile regen changes sfdir, and either
-    invalidates the cache instead of silently reusing stale signatures or
-    components."""
+    ONLY if its recorded (payload sha256, sfdir, tile fingerprint)
+    matches — a banding/knob change rewrites the payload, a tile regen
+    changes the fingerprint even at the SAME path (size+mtime of every
+    table parquet), and any mismatch invalidates the cache instead of
+    silently reusing stale signatures or components."""
     import hashlib
     memo_dir = os.path.join(outdir, "_memo")
     os.makedirs(memo_dir, exist_ok=True)
     token, log = memo_spec["dir_token"], []
 
+    tile_fp = sorted(
+        (f, os.path.getsize(os.path.join(sfdir, f)),
+         int(os.path.getmtime(os.path.join(sfdir, f))))
+        for f in os.listdir(sfdir) if f.endswith(".parquet"))
+
     def cache_ok(name, payload):
         meta = os.path.join(memo_dir, f"{name}.meta.json")
         dest = os.path.join(memo_dir, f"{name}.parquet")
         key = {"sha": hashlib.sha256(payload.encode()).hexdigest(),
-               "sfdir": os.path.realpath(sfdir)}
+               "sfdir": os.path.realpath(sfdir),
+               "tile": [list(t) for t in tile_fp]}
         if os.path.exists(dest) and os.path.exists(meta):
             try:
                 if json.load(open(meta)) == key:
@@ -128,7 +139,7 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
     def stamp(name, key):
         json.dump(key, open(os.path.join(memo_dir, f"{name}.meta.json"), "w"))
 
-    built = set()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     for m in memo_spec["memos"]:
         name, kind, payload = m["name"], m["kind"], m["payload"]
         if name not in need:
@@ -150,7 +161,6 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
                 raise RuntimeError(f"memo {name} build failed: {err.strip()[-400:]}")
             os.replace(f"{dest}.tmp.parquet", dest)
             stamp(name, key)
-            built.add(name)
         elif kind == "check":
             sql = payload.replace(token, memo_dir)
             code = (PRELUDE + table_views(sfdir) +
@@ -166,7 +176,6 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
             # ALWAYS rebuilt (seconds): a replay cached across a rebuilt
             # pair memo would pin stale components — not worth a cache
             src = os.path.join(memo_dir, f"{payload}.parquet")
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             import unionfind
             import pyarrow.parquet as pq, pyarrow as pa
             t = pq.read_table(src)
@@ -174,7 +183,6 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
             nodes, labels = unionfind.labels(ia, ib)
             pq.write_table(pa.table({"id": pa.array(nodes, pa.int64()),
                                      "label": pa.array(labels, pa.int64())}), dest)
-            built.add(name)
             log.append(f"memo {name}: union-find over {len(ia)} pairs → "
                        f"{len(set(labels))} components of {len(nodes)} nodes")
         else:
@@ -185,6 +193,11 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
 
 def main(sfdir, outdir, artifact, timeout, only=None):
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # only={"RESUME"}: continue an interrupted sweep — keep every row the
+    # artifact already has and run just the queries with no row yet
+    resume = only == {"RESUME"}
+    if resume:
+        only = None
     memo_path = os.path.join(outdir, "oracle_memos.json")
     memo_spec = json.load(open(memo_path)) if os.path.exists(memo_path) else None
     memo_dir, memo_log, memo_sql = None, [], {}
@@ -203,8 +216,10 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     results, order = {}, sorted(oracles)
     if only:
         order = [n for n in order if n in only]
-        if os.path.exists(artifact):  # merge mode: keep prior results
-            results = json.load(open(artifact))["results"]
+    if (only or resume) and os.path.exists(artifact):
+        results = json.load(open(artifact))["results"]  # merge mode
+        if resume:
+            order = [n for n in order if n not in results]
     t_all = time.time()
     for name in order:
         t0 = time.time()
@@ -236,6 +251,17 @@ def main(sfdir, outdir, artifact, timeout, only=None):
                          "sec": round(time.time() - t0, 1)}
         print(f"{status.upper():7s} {name}  {results[name]['sec']}s"
               + (f"  {detail}" if detail else ""), flush=True)
+        # crash-resilient: dump the artifact after EVERY row (atomic
+        # rename) so a killed multi-hour sweep keeps its verdicts and a
+        # RESUME run picks up at the first missing query
+        dump_artifact(artifact, sfdir, timeout, t_all, memo_log, results)
+    n = dump_artifact(artifact, sfdir, timeout, t_all, memo_log, results)
+    print(f"\n{n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
+          f"{n['oom']} oom, {n['regime']} regime -> {artifact}")
+    return 1 if n["fail"] else 0
+
+
+def dump_artifact(artifact, sfdir, timeout, t_all, memo_log, results):
     n = {s: sum(1 for v in results.values() if v["status"] == s)
          for s in ("pass", "fail", "timeout", "oom", "regime")}
     tolerant = [k for k, v in results.items()
@@ -245,10 +271,9 @@ def main(sfdir, outdir, artifact, timeout, only=None):
            "n_oom": n["oom"], "n_regime": n["regime"],
            "memo_log": memo_log,
            "tolerant_only": tolerant, "results": results}
-    json.dump(out, open(artifact, "w"), indent=1)
-    print(f"\n{n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
-          f"{n['oom']} oom, {n['regime']} regime -> {artifact}")
-    return 1 if n["fail"] else 0
+    json.dump(out, open(artifact + ".tmp", "w"), indent=1)
+    os.replace(artifact + ".tmp", artifact)
+    return n
 
 
 if __name__ == "__main__":
