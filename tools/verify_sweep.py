@@ -217,7 +217,11 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     if only:
         order = [n for n in order if n in only]
     if (only or resume) and os.path.exists(artifact):
-        results = json.load(open(artifact))["results"]  # merge mode
+        prior = json.load(open(artifact))  # merge mode
+        results = prior["results"]
+        # a merge run that built no memos must not clobber the artifact's
+        # record of how the memoized rows were produced
+        memo_log = memo_log or prior.get("memo_log", [])
         if resume:
             order = [n for n in order if n not in results]
     t_all = time.time()
