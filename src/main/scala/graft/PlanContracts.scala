@@ -594,7 +594,69 @@ object PlanContracts {
           "truncates the final-section split before the outer joins",
         p => p.full.contains("BroadcastNestedLoopJoin") &&
           p.full.contains("BroadcastExchange") &&
-          !p.full.contains("SortMergeJoin"))))
+          !p.full.contains("SortMergeJoin"))),
+    "dq_anomaly" -> Seq(
+      noCartesian,
+      absent("Expand", "no multi-distinct Expand"),
+      Contract(
+        "ONE corpus scan: the (type, hour) buckets cache " +
+          "(InMemoryTableScan) and both the totals fold and the flag " +
+          "join read the cache — checked on the FULL text because the " +
+          "embedded cached-relation plan truncates the final-section " +
+          "split (the dq_drift note)",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "the per-type totals ride a DECLARED BroadcastHashJoin back " +
+          "onto the buckets — never a corpus-keyed SortMergeJoin",
+        p => p.full.contains("BroadcastHashJoin") &&
+          !p.full.contains("SortMergeJoin"))),
+    "dq_freshness" -> Seq(
+      noCartesian,
+      Contract(
+        "ONE corpus scan: the |types|-row watermark table caches " +
+          "(InMemoryTableScan) and the global fold + lag projection " +
+          "both read it (FULL-text check, the dq_drift note)",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "the global watermark is a one-row DECLARED broadcast " +
+          "(BroadcastNestedLoopJoin over a single-row aggregate)",
+        p => p.full.contains("BroadcastNestedLoopJoin") &&
+          p.full.contains("BroadcastExchange") &&
+          !p.full.contains("SortMergeJoin"))),
+    "er_blocked_match" -> Seq(
+      noCartesian,
+      Contract(
+        "ONE corpus scan: the vocabulary-bounded dictionary caches " +
+          "(InMemoryTableScan) and every consumer — both token sides " +
+          "and both frequency joins — reads the cache (FULL-text " +
+          "check, the dq_drift note)",
+        p => p.full.contains("InMemoryTableScan")),
+      present("Generate explode",
+        "token blocking is a map-side Generate over the cached " +
+          "dictionary, never over corpus rows"),
+      Contract(
+        "candidate generation + verify is ONE dictionary-scale " +
+          "BroadcastHashJoin with the levenshtein verify FUSED into " +
+          "the join condition (no separate all-pairs stage), and no " +
+          "join in the entry falls back to SortMergeJoin",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("levenshtein")) &&
+          !p.full.contains("SortMergeJoin"))),
+    "er_survivor" -> Seq(
+      noCartesian,
+      absent("Expand",
+        "the distinct-brand census folds from (name, brand) level-1 " +
+          "partials — no multi-distinct Expand multiplying the corpus " +
+          "stream"),
+      Contract(
+        "ONE FileScan: the golden record is a pure two-level aggregate " +
+          "over a single corpus pass",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 1),
+      Contract(
+        "exchanges bounded: ≤ 2 hash exchanges (the (name, brand) " +
+          "level-1 shuffle and the per-name fold)",
+        p => "Exchange hashpartitioning".r
+          .findAllIn(p.finalSection).length <= 2)))
 
   /** Entries whose query plan is a scan over materialized snapshots
     * (iterative chains with per-round lineage cuts): the audit reads the

@@ -12,6 +12,7 @@ object SparkEntry {
       operators.TextOps.defs ++ operators.TextOps2.defs ++
       operators.Curation.defs ++ operators.Curation2.defs ++
       operators.Curation3.defs ++ operators.DataQuality.defs ++
+      operators.Entity.defs ++
       operators.Similarity.defs ++ operators.Similarity2.defs ++
       operators.VTab.defs ++
       operators.Multimodal.defs ++ operators.Sinks.defs ++

@@ -264,5 +264,84 @@ object DataQuality {
              |  CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE) AS tvd,
              |  (CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE)) > 0.1
              |    AS drift
-             |FROM x, t, n""".stripMargin)))
+             |FROM x, t, n""".stripMargin)),
+
+    // 202. volume-anomaly detection (the ingest-monitor surface next to
+    // dq_drift's distribution monitor): per (event_type, hour) arrival
+    // counts, flagged where the hour's count exceeds 2× the type's mean
+    // over its ACTIVE hours with a min-support floor. The comparison is
+    // the cross-multiplied int64 `n·H > 2·T` — no mean is ever
+    // materialized as a double, so both engines decide every flag with
+    // exact integer arithmetic (n ≤ 1e7 and H ≤ 1e4 at sf10: the product
+    // stays far under 2^63). Scale posture: ONE corpus scan into the
+    // (type, hour) groupBy — map-side combine shrinks the shuffle to
+    // distinct-bucket-proportional — and the per-type totals fold from
+    // those ~|types|·|hours| partials, never from a second scan; the
+    // totals table (|types| rows) rides a declared broadcast back onto
+    // the buckets.
+    GraftQuery("dq_anomaly", (s, d) => {
+      val ev = Tables.t(s, d, "events")
+      // ONE corpus scan: the (type, hour) buckets are
+      // distinct-bucket-proportional (|types|·|hours|) — cache them so the
+      // totals fold and the flag join both read the cache
+      val hourly = OpCache.track(s, ev.select(col("event_type"),
+          date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour_s"))
+        .groupBy("event_type", "hour_s").agg(count(lit(1)).as("n"))
+        .persist())
+      val tot = hourly.groupBy("event_type").agg(
+        sum("n").as("n_total"), count(lit(1)).as("n_hours"))
+      hourly.join(broadcast(tot), Seq("event_type"))
+        .withColumn("spike",
+          col("n") * col("n_hours") > lit(2L) * col("n_total") &&
+            col("n") >= lit(5L))
+        .select("event_type", "hour_s", "n", "n_total", "n_hours", "spike")
+    },
+      Some("""WITH h AS (SELECT event_type,
+             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |      AS hour_s,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, SUM(n) AS n_total, COUNT(*) AS n_hours
+             |  FROM h GROUP BY 1)
+             |SELECT h.event_type, h.hour_s, CAST(h.n AS BIGINT) AS n,
+             |  CAST(t.n_total AS BIGINT) AS n_total,
+             |  CAST(t.n_hours AS BIGINT) AS n_hours,
+             |  (h.n * t.n_hours > 2 * t.n_total AND h.n >= 5) AS spike
+             |FROM h JOIN t ON t.event_type = h.event_type""".stripMargin)),
+
+    // 203. freshness SLA check (the third leg of the monitor family:
+    // dq_drift watches the distribution, dq_anomaly the volume, this the
+    // CLOCK): per event_type, row count and high-watermark timestamp,
+    // with the lag behind the snapshot's global watermark in exact
+    // microseconds (unix_micros/epoch_us — int64 in both engines, no
+    // float time math) and the stale flag at a 1-hour SLA. Scale
+    // posture: one scan into a |types|-row aggregate; the global
+    // watermark folds from those partials (never a second scan) and
+    // rides a one-row declared broadcast.
+    GraftQuery("dq_freshness", (s, d) => {
+      // ONE corpus scan: the per-type watermarks (|types| rows) are cached
+      // so the global fold and the lag projection share one pass
+      val perType = OpCache.track(s, Tables.t(s, d, "events")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("max_us"))
+        .persist())
+      val global = perType.agg(max("max_us").as("g_us"))
+      perType.crossJoin(broadcast(global))
+        .withColumn("lag_us", col("g_us") - col("max_us"))
+        .withColumn("stale", col("lag_us") > lit(3600000000L))
+        .withColumn("max_ts_s", date_format(
+          timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss"))
+        .select("event_type", "n", "max_ts_s", "lag_us", "stale")
+    },
+      Some("""WITH p AS (SELECT event_type, COUNT(*) AS n,
+             |    MAX(epoch_us(ts)) AS max_us
+             |  FROM events GROUP BY 1),
+             |g AS (SELECT MAX(max_us) AS g_us FROM p)
+             |SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+             |  strftime(make_timestamp(p.max_us), '%Y-%m-%d %H:%M:%S')
+             |    AS max_ts_s,
+             |  CAST(g.g_us - p.max_us AS BIGINT) AS lag_us,
+             |  (g.g_us - p.max_us) > 3600000000 AS stale
+             |FROM p, g""".stripMargin)))
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — entity resolution (round 12): the record-linkage pass a
+  * catalog/metadata pipeline runs before joining feeds that spell the
+  * same real-world entity differently. Published shape: blocking +
+  * pairwise compare + survivorship (Fellegi & Sunter 1969; Christen,
+  * "Data Matching", 2012; Papadakis et al., "Blocking and Filtering
+  * Techniques for Entity Resolution", ACM CSUR 2020). The reference
+  * engine exposes connector rows as SQL tables and leaves linkage to
+  * hand queries; at 100 TB the blocked pipeline has to BE the operator,
+  * because the naive all-pairs compare is the canonical scale killer.
+  *
+  * Scale posture (the design constraint for both entries):
+  *  - er_blocked_match resolves on the DISTINCT normalized-name table,
+  *    not the row table: names are vocabulary-bounded (64 at every sf
+  *    here; brands/vendors/skus in a real catalog), so the token-block
+  *    self-join runs on a dictionary that stays small while the corpus
+  *    grows — the row count only feeds the per-name frequency aggregate
+  *    (one map-side-combined groupBy, the only corpus-sized shuffle).
+  *    Candidate generation is token blocking (pairs must share a full
+  *    token), so the quadratic term is per-block on the DICTIONARY —
+  *    never all-pairs, never on rows. The edit-distance verify runs
+  *    only on surviving candidates.
+  *  - er_survivor builds the golden record with a TWO-LEVEL aggregate
+  *    (per (name, brand) partials, then per name), so the distinct-brand
+  *    count never plans as an Expand multi-distinct and the shuffle is
+  *    distinct-pair-proportional — the same 100 TB shape dq_profile
+  *    documents.
+  *
+  * Cross-engine discipline: levenshtein is the classic unit-cost edit
+  * distance in both Spark (functions.levenshtein) and DuckDB
+  * (levenshtein()); counts/keys/distances are int64 end to end; the one
+  * double column (max_price) is a MAX — order-independent, no
+  * accumulation.
+  */
+object Entity {
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 200. blocked fuzzy match over the normalized part-name dictionary:
+    // normalize (lower/trim), aggregate per name (frequency + min key),
+    // token-block the DISTINCT names, and verify candidates that share a
+    // token with levenshtein ≤ 3. Output: the matched pair table a
+    // linkage reviewer consumes — both names, the distance, and each
+    // side's row support.
+    GraftQuery("er_blocked_match", (s, d) => {
+      // ONE corpus scan: the dictionary (vocabulary-bounded) is cached and
+      // every downstream consumer — both token sides and both frequency
+      // joins — reads the cache, never the corpus again
+      val names = OpCache.track(s, Tables.t(s, d, "part")
+        .select(lower(trim(col("p_name"))).as("name"))
+        .groupBy("name").agg(count(lit(1)).as("n_rows")).persist())
+      // the dictionary is vocabulary-bounded: broadcast it through the
+      // token self-join so candidate generation never shuffles
+      val toks = names.select(col("name"), explode(split(col("name"), " "))
+        .as("tok")).where(length(col("tok")) > 0)
+      val cand = toks.as("a")
+        .join(broadcast(toks.as("b")),
+          col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .distinct()
+      val matched = cand
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+          .cast("long"))
+        .where(col("dist") <= 3)
+      matched
+        .join(broadcast(names.withColumnRenamed("name", "name_a")
+          .withColumnRenamed("n_rows", "n_rows_a")), Seq("name_a"))
+        .join(broadcast(names.withColumnRenamed("name", "name_b")
+          .withColumnRenamed("n_rows", "n_rows_b")), Seq("name_b"))
+        .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+    },
+      Some("""WITH names AS (SELECT lower(trim(p_name)) AS name,
+             |    COUNT(*) AS n_rows
+             |  FROM part GROUP BY 1),
+             |tok AS (SELECT name, unnest(string_split(name, ' ')) AS tok
+             |  FROM names),
+             |tok2 AS (SELECT name, tok FROM tok WHERE length(tok) > 0),
+             |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+             |  FROM tok2 a JOIN tok2 b
+             |    ON a.tok = b.tok AND a.name < b.name),
+             |m AS (SELECT name_a, name_b,
+             |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+             |  FROM cand WHERE levenshtein(name_a, name_b) <= 3)
+             |SELECT m.name_a, m.name_b, m.dist,
+             |  CAST(na.n_rows AS BIGINT) AS n_rows_a,
+             |  CAST(nb.n_rows AS BIGINT) AS n_rows_b
+             |FROM m
+             |JOIN names na ON na.name = m.name_a
+             |JOIN names nb ON nb.name = m.name_b""".stripMargin)),
+
+    // 201. survivorship / golden record: one consolidated row per
+    // resolved entity (the exact-normalized name) with the standard MDM
+    // merge policies — stable id = MIN key, value completeness = COUNT,
+    // conflict census = DISTINCT brands, attribute merges MAX(price) /
+    // MIN(size). Two-level aggregate (see object Scaladoc).
+    GraftQuery("er_survivor", (s, d) => {
+      val perBrand = Tables.t(s, d, "part")
+        .select(lower(trim(col("p_name"))).as("name"), col("p_brand"),
+          col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .groupBy("name", "p_brand").agg(
+          count(lit(1)).as("n"), min("p_partkey").as("mk"),
+          max("p_retailprice").as("mp"), min("p_size").as("ms"))
+      perBrand.groupBy("name").agg(
+        min("mk").as("canonical_key"), sum("n").as("n_rows"),
+        count(lit(1)).as("n_brands"), max("mp").as("max_price"),
+        min("ms").cast("long").as("min_size"))
+    },
+      Some("""WITH pb AS (SELECT lower(trim(p_name)) AS name, p_brand,
+             |    COUNT(*) AS n, MIN(p_partkey) AS mk,
+             |    MAX(p_retailprice) AS mp, MIN(p_size) AS ms
+             |  FROM part GROUP BY 1, 2)
+             |SELECT name, MIN(mk) AS canonical_key,
+             |  CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_brands,
+             |  MAX(mp) AS max_price, CAST(MIN(ms) AS BIGINT) AS min_size
+             |FROM pb GROUP BY name""".stripMargin)))
+}

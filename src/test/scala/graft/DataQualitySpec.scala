@@ -132,4 +132,65 @@ class DataQualitySpec extends SparkSpec {
       assert(r.getLong(3) == math.abs(r.getLong(1) * nc - r.getLong(2) * nb))
     }
   }
+
+  /** Events crafted so every spike decision sits on a known side of the
+    * exact-integer rule `n·H > 2·T ∧ n ≥ 5`:
+    *  - type a: ten 5-event hours + one 50-event hour  -> only the burst spikes
+    *  - type b: nine 1-event hours + one 4-event hour  -> over 2× mean but
+    *    UNDER min-support -> not a spike
+    *  - type c: hours (2, 2, 8): 8·3 == 2·12 exactly   -> boundary is NOT
+    *    a spike (strict >)
+    * and freshness types with lags 0 / exactly 1 h / 2 h against the
+    * global watermark (strict > 1 h SLA). */
+  private lazy val eventsDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dqevents").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val a = (0 until 10).flatMap(h => (0 until 5).map(m => ("a", ts(h, m)))) ++
+      (0 until 50).map(m => ("a", ts(10, m)))
+    val b = (0 until 9).map(h => ("b", ts(h, 0))) ++
+      (0 until 4).map(m => ("b", ts(9, m)))
+    val c = Seq(("c", ts(0, 0)), ("c", ts(0, 1)), ("c", ts(1, 0)),
+      ("c", ts(1, 1))) ++ (0 until 8).map(m => ("c", ts(2, m)))
+    // freshness: global watermark is type a's 10:49; "edge" trails by
+    // exactly 3600s, "stale" by 7200s
+    val f = Seq(("edge", ts(9, 49)), ("stale", ts(8, 49)))
+    (a ++ b ++ c ++ f).toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("dq_anomaly: spike rule fires exactly where the crafted data says") {
+    val rows = run("dq_anomaly", eventsDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rows(("a", "2024-03-01 10:00:00")) == ((50L, 100L, 11L, true)),
+      "the 50-event burst against a 100/11 baseline must flag")
+    assert((0 until 10).forall(h =>
+      !rows(("a", f"2024-03-01 $h%02d:00:00"))._4), "baseline hours stay quiet")
+    assert(rows(("b", "2024-03-01 09:00:00")) == ((4L, 13L, 10L, false)),
+      "over 2x mean but under min-support must NOT flag")
+    assert(rows(("c", "2024-03-01 02:00:00")) == ((8L, 12L, 3L, false)),
+      "n*H == 2*T exactly is the boundary — strict > must NOT flag")
+  }
+
+  test("dq_freshness: lag is exact microseconds against the global watermark") {
+    val rows = run("dq_freshness", eventsDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows("a")._3 == 0L && !rows("a")._4, "the watermark type has zero lag")
+    assert(rows("a")._2 == "2024-03-01 10:49:00")
+    assert(rows("edge") == ((1L, "2024-03-01 09:49:00", 3600000000L, false)),
+      "exactly-1h lag is NOT stale under the strict > SLA")
+    assert(rows("stale") == ((1L, "2024-03-01 08:49:00", 7200000000L, true)))
+  }
+
+  test("dq_anomaly / dq_freshness: empty stream keeps the (empty) output contract") {
+    val dir = java.nio.file.Files.createTempDirectory("dqevempty").toString
+    Tables.t(spark, eventsDir, "events").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(run("dq_anomaly", dir).count() == 0L)
+    assert(run("dq_freshness", dir).count() == 0L)
+  }
 }
