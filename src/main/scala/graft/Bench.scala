@@ -93,6 +93,7 @@ object Bench {
       "q_timeseries_fill", "q_concurrency", "dd_lsh_curve", "dd_lsh_funnel",
       "dq_checks", "dq_profile", "dq_drift",
       "dq_anomaly", "dq_freshness", "er_blocked_match", "er_survivor",
+      "st_anomaly",
       "vt_scan", "vt_runtime_filter", "vt_retry")
     val qs = jsonMap(results.filter(r => headline(r._1)))
     // "sf" as a NUMBER when the dir name encodes one (sf0.1 → 0.1): a

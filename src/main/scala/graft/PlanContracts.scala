@@ -606,10 +606,13 @@ object PlanContracts {
           "split (the dq_drift note)",
         p => p.full.contains("InMemoryTableScan")),
       Contract(
-        "the per-type totals ride a DECLARED BroadcastHashJoin back " +
-          "onto the buckets — never a corpus-keyed SortMergeJoin",
-        p => p.full.contains("BroadcastHashJoin") &&
-          !p.full.contains("SortMergeJoin"))),
+        "the per-type totals are a PARTITIONED window over the cached " +
+          "buckets (partitionBy event_type — shared anomalyFlag tail " +
+          "with st_anomaly): a Window node keyed by event_type, never " +
+          "an unpartitioned window and never any join back to the corpus",
+        p => p.full.contains("Window") &&
+          p.full.contains("windowspecdefinition(event_type") &&
+          !p.full.contains("SortMergeJoin") && !p.full.contains("Join"))),
     "dq_freshness" -> Seq(
       noCartesian,
       Contract(

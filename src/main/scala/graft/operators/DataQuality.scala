@@ -54,6 +54,46 @@ object DataQuality {
     * spans ~10 buckets at every sf. */
   private val bucketWidth = 60000.0
 
+  /** dq_anomaly's decision tail over a materialized (event_type, hour_s,
+    * n) bucket table — SHARED with streaming.Streams' st_anomaly so the
+    * batch and streaming monitors flag by the SAME exact-int64 rule
+    * (`n·H > 2·T ∧ n ≥ 5`); a threshold change cannot drift between the
+    * two. The per-type totals are a WINDOW over the bucket table
+    * (partitionBy event_type — never an unpartitioned window, never the
+    * corpus: the buckets are distinct-bucket-proportional so the one
+    * window shuffle moves |types|·|hours| rows). A window, not a
+    * totals-join: the streaming twin hands this a materialized VIEW, and
+    * a view joined with an aggregate of itself trips Spark's
+    * conflicting-reference resolution — the window expresses the same
+    * per-type fold with no self-join to disambiguate. */
+  def anomalyFlag(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    hourly
+      .withColumn("n_total", sum("n").over(w))
+      .withColumn("n_hours", count(lit(1)).over(w))
+      .withColumn("spike",
+        col("n") * col("n_hours") > lit(2L) * col("n_total") &&
+          col("n") >= lit(5L))
+      .select("event_type", "hour_s", "n", "n_total", "n_hours", "spike")
+  }
+
+  /** The full anomaly oracle — one SQL source for dq_anomaly AND
+    * st_anomaly (the streaming complete-mode materialization of the same
+    * hourly buckets is definitionally the batch bucket table). */
+  val anomalySql: String =
+    """WITH h AS (SELECT event_type,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |      AS hour_s,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n) AS n_total, COUNT(*) AS n_hours
+      |  FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour_s, CAST(h.n AS BIGINT) AS n,
+      |  CAST(t.n_total AS BIGINT) AS n_total,
+      |  CAST(t.n_hours AS BIGINT) AS n_hours,
+      |  (h.n * t.n_hours > 2 * t.n_total AND h.n >= 5) AS spike
+      |FROM h JOIN t ON t.event_type = h.event_type""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 197. declarative constraint checks (the Deequ/Great-Expectations
@@ -276,9 +316,8 @@ object DataQuality {
     // stays far under 2^63). Scale posture: ONE corpus scan into the
     // (type, hour) groupBy — map-side combine shrinks the shuffle to
     // distinct-bucket-proportional — and the per-type totals fold from
-    // those ~|types|·|hours| partials, never from a second scan; the
-    // totals table (|types| rows) rides a declared broadcast back onto
-    // the buckets.
+    // those ~|types|·|hours| partials via anomalyFlag's per-type window,
+    // never from a second scan.
     GraftQuery("dq_anomaly", (s, d) => {
       val ev = Tables.t(s, d, "events")
       // ONE corpus scan: the (type, hour) buckets are
@@ -289,26 +328,9 @@ object DataQuality {
             "yyyy-MM-dd HH:mm:ss").as("hour_s"))
         .groupBy("event_type", "hour_s").agg(count(lit(1)).as("n"))
         .persist())
-      val tot = hourly.groupBy("event_type").agg(
-        sum("n").as("n_total"), count(lit(1)).as("n_hours"))
-      hourly.join(broadcast(tot), Seq("event_type"))
-        .withColumn("spike",
-          col("n") * col("n_hours") > lit(2L) * col("n_total") &&
-            col("n") >= lit(5L))
-        .select("event_type", "hour_s", "n", "n_total", "n_hours", "spike")
+      anomalyFlag(hourly)
     },
-      Some("""WITH h AS (SELECT event_type,
-             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-             |      AS hour_s,
-             |    COUNT(*) AS n
-             |  FROM events GROUP BY 1, 2),
-             |t AS (SELECT event_type, SUM(n) AS n_total, COUNT(*) AS n_hours
-             |  FROM h GROUP BY 1)
-             |SELECT h.event_type, h.hour_s, CAST(h.n AS BIGINT) AS n,
-             |  CAST(t.n_total AS BIGINT) AS n_total,
-             |  CAST(t.n_hours AS BIGINT) AS n_hours,
-             |  (h.n * t.n_hours > 2 * t.n_total AND h.n >= 5) AS spike
-             |FROM h JOIN t ON t.event_type = h.event_type""".stripMargin)),
+      Some(anomalySql)),
 
     // 203. freshness SLA check (the third leg of the monitor family:
     // dq_drift watches the distribution, dq_anomaly the volume, this the

@@ -807,7 +807,32 @@ object Streams {
              |    AS DOUBLE) AS total
              |FROM events
              |WHERE event_type <> 'error' AND value >= 0.05
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // 204 (§2.3 #202's streaming twin): the volume-anomaly monitor over
+    // the LIVE stream. The streaming leg aggregates (event_type, hour)
+    // arrival counts in Complete mode — for the finite replay the final
+    // complete output IS the batch bucket table — and the flag pass is
+    // operators.DataQuality.anomalyFlag, the SAME decision tail
+    // dq_anomaly uses (single-sourced: the exact-int64 spike rule cannot
+    // drift between the batch gate and the live monitor). This split is
+    // the production shape: the stream maintains the standing bucket
+    // store; flagging is a cheap read over it each evaluation, because a
+    // streaming aggregate cannot join against its own global totals
+    // within one plan (the totals are a second aggregation over the
+    // aggregate — Spark correctly refuses stacked streaming aggs in one
+    // query, and at 100 TB/day you want the baseline read amortized, not
+    // recomputed per micro-batch).
+    GraftQuery("st_anomaly", (s, d) => {
+      val hourly = eventsStream(s, d)
+        .select(col("event_type"),
+          date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour_s"))
+        .groupBy("event_type", "hour_s").agg(count(lit(1)).as("n"))
+      graft.operators.DataQuality.anomalyFlag(
+        runToTable(s, hourly, OutputMode.Complete()))
+    },
+      Some(graft.operators.DataQuality.anomalySql))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;

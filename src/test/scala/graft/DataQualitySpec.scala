@@ -186,6 +186,14 @@ class DataQualitySpec extends SparkSpec {
     assert(rows("stale") == ((1L, "2024-03-01 08:49:00", 7200000000L, true)))
   }
 
+  test("st_anomaly is dq_anomaly row-for-row (the single-sourced spike rule cannot drift)") {
+    val batch = run("dq_anomaly", sf).collect().map(_.toSeq).toSet
+    val stream = run("st_anomaly", sf).collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
   test("dq_anomaly / dq_freshness: empty stream keeps the (empty) output contract") {
     val dir = java.nio.file.Files.createTempDirectory("dqevempty").toString
     Tables.t(spark, eventsDir, "events").limit(0)
