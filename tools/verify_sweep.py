@@ -58,7 +58,16 @@ PRELUDE = (
     "con = duckdb.connect()\n"
     # slow queries emit a progress bar to stdout that would corrupt the
     # marker line — disable it
-    "con.execute('PRAGMA disable_progress_bar')\n")
+    "con.execute('PRAGMA disable_progress_bar')\n"
+    # resource guards for sf10+ tiles: cap RSS well under the box (an
+    # uncapped heavy oracle grew to 109 GB RSS on a 128 GB host) and give
+    # the spill a BOUNDED home on /tmp — an sf10 ann oracle spilled >70 GB
+    # into the repo cwd and filled the device. Exceeding either cap fails
+    # THAT oracle cleanly (recorded as the oracle-resource class) instead
+    # of destabilizing the host or the repo filesystem.\n
+    "con.execute(\"SET memory_limit='48GB'\")\n"
+    "con.execute(\"SET temp_directory='/tmp/duck_spill'\")\n"
+    "con.execute(\"SET max_temp_directory_size='40GB'\")\n")
 
 
 def table_views(sfdir):
