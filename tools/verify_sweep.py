@@ -47,6 +47,32 @@ def run_sub(code, timeout):
     return line, r.stderr
 
 
+def _guards():
+    """Resource guards for sf10+ tiles: cap RSS well under the box (an
+    uncapped heavy oracle grew to 109 GB RSS on a 128 GB host) and give
+    the spill a BOUNDED home on /tmp — an sf10 ann oracle spilled >70 GB
+    into the repo cwd and filled the device. Exceeding either cap fails
+    THAT oracle cleanly (recorded as the oracle-resource class) instead
+    of destabilizing the host or the repo filesystem.
+
+    Caps adapt to the host (≤40% of RAM, ≤half of free /tmp; the historic
+    48 GB / 40 GB figures are upper bounds, not assumptions) and the spill
+    dir is per-process so concurrent sweeps can't evict each other's
+    blocks. Env overrides: GRAFT_DUCK_MEM, GRAFT_DUCK_SPILL_DIR,
+    GRAFT_DUCK_SPILL_CAP (DuckDB size strings, e.g. '32GB')."""
+    ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    tmp = os.statvfs("/tmp")
+    tmp_free_gb = tmp.f_bavail * tmp.f_frsize / 2**30
+    mem = os.environ.get("GRAFT_DUCK_MEM", f"{min(48, int(ram_gb * 0.4))}GB")
+    spill_dir = os.environ.get("GRAFT_DUCK_SPILL_DIR",
+                               f"/tmp/duck_spill_{os.getpid()}")
+    spill = os.environ.get("GRAFT_DUCK_SPILL_CAP",
+                           f"{min(40, max(4, int(tmp_free_gb * 0.5)))}GB")
+    return (f"con.execute(\"SET memory_limit='{mem}'\")\n"
+            f"con.execute(\"SET temp_directory='{spill_dir}'\")\n"
+            f"con.execute(\"SET max_temp_directory_size='{spill}'\")\n")
+
+
 PRELUDE = (
     "import sys, json\n"
     "sys.path.insert(0, 'tools')\n"
@@ -59,15 +85,7 @@ PRELUDE = (
     # slow queries emit a progress bar to stdout that would corrupt the
     # marker line — disable it
     "con.execute('PRAGMA disable_progress_bar')\n"
-    # resource guards for sf10+ tiles: cap RSS well under the box (an
-    # uncapped heavy oracle grew to 109 GB RSS on a 128 GB host) and give
-    # the spill a BOUNDED home on /tmp — an sf10 ann oracle spilled >70 GB
-    # into the repo cwd and filled the device. Exceeding either cap fails
-    # THAT oracle cleanly (recorded as the oracle-resource class) instead
-    # of destabilizing the host or the repo filesystem.\n
-    "con.execute(\"SET memory_limit='48GB'\")\n"
-    "con.execute(\"SET temp_directory='/tmp/duck_spill'\")\n"
-    "con.execute(\"SET max_temp_directory_size='40GB'\")\n")
+    + _guards())
 
 
 def table_views(sfdir):
@@ -216,8 +234,12 @@ def main(sfdir, outdir, artifact, timeout, only=None):
             memo_q &= set(only)
         if memo_q:
             need = memo_needs(memo_spec, memo_q)
+            # a memo is built once and amortized over the whole chain
+            # class, so its budget is larger than a single row's
+            memo_timeout = int(os.environ.get("GRAFT_MEMO_TIMEOUT",
+                                              max(timeout * 4, 1800)))
             memo_dir, memo_log = build_memos(sfdir, outdir, memo_spec,
-                                             max(timeout, 1800), need)
+                                             memo_timeout, need)
             for l in memo_log:
                 print(l, flush=True)
             memo_sql = {k: v.replace(memo_spec["dir_token"], memo_dir)
@@ -228,9 +250,12 @@ def main(sfdir, outdir, artifact, timeout, only=None):
     if (only or resume) and os.path.exists(artifact):
         prior = json.load(open(artifact))  # merge mode
         results = prior["results"]
-        # a merge run that built no memos must not clobber the artifact's
-        # record of how the memoized rows were produced
-        memo_log = memo_log or prior.get("memo_log", [])
+        # a merge run must not clobber the artifact's record of how prior
+        # memoized rows were produced — append this run's memo log to the
+        # prior one (deduplicated, prior order first) so provenance covers
+        # every memoized row still present in `results`
+        prior_log = prior.get("memo_log", [])
+        memo_log = prior_log + [l for l in memo_log if l not in prior_log]
         if resume:
             order = [n for n in order if n not in results]
     t_all = time.time()
