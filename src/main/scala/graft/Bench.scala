@@ -19,6 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark) // the standard session: functions + TopK strategy/rewrite + catalog
 
     // JVM/codegen/IO warmup (not timed): touch every table so page cache
     // and file listings are hot, then run one full query. q_bucketed_join's

@@ -47,6 +47,7 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark) // the standard session: functions + TopK strategy/rewrite + catalog
 
     // same warmup as Bench: hot page cache + built shared indexes +
     // bucketed tables + streaming staging, so the timed region measures

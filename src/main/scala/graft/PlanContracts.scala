@@ -293,6 +293,27 @@ object PlanContracts {
         "the per-dim DECIMAL sum partial-aggregates map-side — 64 rows per " +
           "task cross the one shuffle"),
       absent("SortMergeJoin", "no join anywhere: quantize + fold + one agg")),
+    // the default-on TopKRewrite pair: the SAME window DataFrame form,
+    // audited on the standard session (rule on → bounded heap) and on
+    // the explicit-flag baseline sub-session (rule off → window sort)
+    "q_topk_auto" -> Seq(
+      noCartesian,
+      Contract(
+        "the row_number window form REWRITES to the two-phase bounded-heap " +
+          "operator on the standard session (partial+final TopKPerGroup; " +
+          "k rows per group per partition cross the shuffle, not sorted " +
+          "partitions)",
+        p => "TopKPerGroup".r.findAllIn(p.finalSection).length >= 2),
+      absent("windowspecdefinition",
+        "no window sort survives: the rewrite removed the Window node " +
+          "entirely")),
+    "q_topk_per_group" -> Seq(
+      noCartesian,
+      present("windowspecdefinition(o_orderpriority",
+        "the measured window BASELINE keeps its per-partition sort plan " +
+          "(spark.graft.topk.rewrite=false on its sub-session)"),
+      absent("TopKPerGroup",
+        "the explicit off-switch holds: no bounded-heap operator here")),
     "ann_nndescent" -> Seq(
       noCartesian,
       codegen("dot_product"),
@@ -599,14 +620,14 @@ object PlanContracts {
       noCartesian,
       absent("Expand", "no multi-distinct Expand"),
       Contract(
-        "ONE corpus scan: the (type, hour) buckets cache " +
-          "(InMemoryTableScan) and both the totals fold and the flag " +
-          "join read the cache — checked on the FULL text because the " +
-          "embedded cached-relation plan truncates the final-section " +
-          "split (the dq_drift note)",
-        p => p.full.contains("InMemoryTableScan")),
+        "ONE FileScan and NO cache: the bucket aggregate has exactly one " +
+          "consumer (anomalyFlag's window tail), so the corpus is read " +
+          "once and nothing is persisted — a persist here would be a " +
+          "pure materialization tax",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 1 &&
+          !p.full.contains("InMemoryTableScan")),
       Contract(
-        "the per-type totals are a PARTITIONED window over the cached " +
+        "the per-type totals are a PARTITIONED window over the " +
           "buckets (partitionBy event_type — shared anomalyFlag tail " +
           "with st_anomaly): a Window node keyed by event_type, never " +
           "an unpartitioned window and never any join back to the corpus",

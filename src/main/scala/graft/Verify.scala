@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark) // the standard session: functions + TopK strategy/rewrite + catalog
     new java.io.File(outDir).mkdirs()
     // An entry that throws leaves no parquet, and a downstream compare
     // that iterates the out dir would silently shrink — record every

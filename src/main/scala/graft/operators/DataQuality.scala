@@ -320,14 +320,15 @@ object DataQuality {
     // never from a second scan.
     GraftQuery("dq_anomaly", (s, d) => {
       val ev = Tables.t(s, d, "events")
-      // ONE corpus scan: the (type, hour) buckets are
-      // distinct-bucket-proportional (|types|·|hours|) — cache them so the
-      // totals fold and the flag join both read the cache
-      val hourly = OpCache.track(s, ev.select(col("event_type"),
+      // ONE corpus scan, no cache: anomalyFlag's decision tail is a
+      // per-type WINDOW over the bucket table — a single consumer of a
+      // single aggregate, so there is nothing to reuse and a persist
+      // here would only add a materialization pass (the streaming twin
+      // st_anomaly hands anomalyFlag its complete-mode view instead)
+      val hourly = ev.select(col("event_type"),
           date_format(date_trunc("hour", col("ts")),
             "yyyy-MM-dd HH:mm:ss").as("hour_s"))
         .groupBy("event_type", "hour_s").agg(count(lit(1)).as("n"))
-        .persist())
       anomalyFlag(hourly)
     },
       Some(anomalySql)),

@@ -351,11 +351,25 @@ object Relational {
              |       mov AS (PARTITION BY user_id ORDER BY ts, event_id
              |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
-    // 26. top-k per group (window + filter; no global sort).
+    // 26. top-k per group (window + filter; no global sort). This entry
+    // is the MEASURED WINDOW BASELINE: the standard session installs
+    // TopKRewrite (which would swap in the bounded-heap operator — see
+    // q_topk_auto for that path), so this runs on a sub-session with the
+    // rule's explicit off-switch to keep Spark's sort-based
+    // WindowGroupLimit plan benchmarkable next to the custom operator.
     GraftQuery("q_topk_per_group", (s, d) => {
+      val s2 = s.newSession()
+      // newSession starts from the SparkConf, not the parent's runtime
+      // conf — carry the result-affecting settings over explicitly
+      for (k <- Seq("spark.sql.shuffle.partitions",
+          "spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong",
+          "spark.sql.adaptive.enabled", "spark.sql.parquet.outputTimestampType",
+          "spark.sql.autoBroadcastJoinThreshold"))
+        if (s.conf.getOption(k).isDefined) s2.conf.set(k, s.conf.get(k))
+      s2.conf.set(graft.plans.TopKRewrite.confKey, "false")
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      ord(s, d)
+      ord(s2, d)
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")

@@ -336,6 +336,29 @@ object Relational2 {
              |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
              |  FROM orders) WHERE rn <= 3""".stripMargin)),
 
+    // 67d. the window DataFrame form EXACTLY as q_topk_per_group writes
+    // it, but on the STANDARD session (TopKRewrite installed and on, the
+    // Graft.init default): the rule sees through the `.cast("long")`
+    // oracle-parity idiom and swaps in the two-phase bounded-heap
+    // operator automatically — any user's row_number()-rank-filter gets
+    // the 9.7×-at-sf10 plan with no code change. Plan-contract-pinned
+    // (partial+final TopKPerGroup, no Window sort).
+    GraftQuery("q_topk_auto", (s, d) => {
+      graft.plans.GraftOps.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
     // 65. IPADDR/CIDR semantics over the connector's network columns
     // (native cidr_contains/ip_to_long expressions; the reference carries
     // these types as TEXT, mapping.go:107-131).

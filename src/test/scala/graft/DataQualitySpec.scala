@@ -17,7 +17,7 @@ class DataQualitySpec extends SparkSpec {
     * two rows whose custkey has no customer (the NULL one and an orphan). */
   private lazy val craftedDir: String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("dqspec").toString
+    val dir = specTempDir("dqspec")
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     Seq(
       (1L, Option(10L), "O", 100.0, "1-URGENT"),
@@ -38,7 +38,7 @@ class DataQualitySpec extends SparkSpec {
   /** The crafted snapshot with zero rows (same schema): the family must
     * keep its output contract on an empty ingest, not vanish. */
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("dqempty").toString
+    val dir = specTempDir("dqempty")
     Tables.t(spark, craftedDir, "orders").limit(0)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     Tables.t(spark, craftedDir, "customer").limit(0)
@@ -144,7 +144,7 @@ class DataQualitySpec extends SparkSpec {
     * global watermark (strict > 1 h SLA). */
   private lazy val eventsDir: String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("dqevents").toString
+    val dir = specTempDir("dqevents")
     def ts(h: Int, m: Int) =
       java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
     val a = (0 until 10).flatMap(h => (0 until 5).map(m => ("a", ts(h, m)))) ++
@@ -195,7 +195,7 @@ class DataQualitySpec extends SparkSpec {
   }
 
   test("dq_anomaly / dq_freshness: empty stream keeps the (empty) output contract") {
-    val dir = java.nio.file.Files.createTempDirectory("dqevempty").toString
+    val dir = specTempDir("dqevempty")
     Tables.t(spark, eventsDir, "events").limit(0)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(run("dq_anomaly", dir).count() == 0L)

@@ -21,7 +21,7 @@ class EntitySpec extends SparkSpec {
     * normalization must consolidate BEFORE matching. */
   private lazy val craftedDir: String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("erspec").toString
+    val dir = specTempDir("erspec")
     Seq(
       (1L, "acme widget", "Brand#1", 10, 5.0),
       (2L, "acmee widget", "Brand#2", 20, 7.0),
@@ -72,7 +72,7 @@ class EntitySpec extends SparkSpec {
   }
 
   test("empty catalog: both entries keep their (empty) output contract") {
-    val dir = java.nio.file.Files.createTempDirectory("erempty").toString
+    val dir = specTempDir("erempty")
     Tables.t(spark, craftedDir, "part").limit(0)
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     assert(run("er_blocked_match", dir).count() == 0L)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class GenScaleSpec extends SparkSpec {
 
   private lazy val out: String = {
-    val dir = java.nio.file.Files.createTempDirectory("genscale").toString
+    val dir = specTempDir("genscale")
     GenScale.run(spark, sf, dir, 2)
     dir
   }
@@ -618,7 +618,7 @@ class GenScaleSpec extends SparkSpec {
   }
 
   test("vector-heavy mode: table subset; sign flips extend past the rotation family") {
-    val dir = java.nio.file.Files.createTempDirectory("genvec").toString
+    val dir = specTempDir("genvec")
     GenScale.run(spark, sf, dir, 66, Set("embeddings"))
     val files = new java.io.File(dir).list().toSet
     assert(files == Set("embeddings.parquet"), s"subset mode wrote $files")
@@ -647,8 +647,8 @@ class GenScaleSpec extends SparkSpec {
 
   test("empty documents survive the replica rotation unchanged") {
     import spark.implicits._
-    val srcDir = java.nio.file.Files.createTempDirectory("gensrc").toString
-    val outDir = java.nio.file.Files.createTempDirectory("genout").toString
+    val srcDir = specTempDir("gensrc")
+    val outDir = specTempDir("genout")
     Seq((0L, "web", "en", "hello world 42", 14L), (1L, "web", "en", "", 0L))
       .toDF("doc_id", "source", "lang", "text", "n_chars")
       .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")

@@ -40,8 +40,8 @@ class StreamingSpec extends SparkSpec {
 
   test("dedup state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ckpt = specTempDir("graft_ckpt")
+    val out = specTempDir("graft_out")
     val input = MemoryStream[Long]
     def start() = input.toDF().toDF("k")
       .dropDuplicates("k")

@@ -51,8 +51,7 @@ class TablesSpec extends SparkSpec {
 
   test("both layouts round-trip parquet to identical normalized values") {
     import spark.implicits._
-    import java.nio.file.Files
-    val dir = Files.createTempDirectory("graft_tables_spec")
+    val dir = specTempDir("graft_tables_spec")
     val nanosPath = s"$dir/nanos.parquet"
     val ntzPath = s"$dir/ntz.parquet"
     micros.map(_ * 1000L).toDF("ts").write.mode("overwrite").parquet(nanosPath)

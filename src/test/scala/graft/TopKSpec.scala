@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{GraftOps, TopKPerGroupExec}
+import graft.plans.{GraftOps, TopKPerGroupExec, TopKRewrite}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,44 @@ class TopKSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(df.collect().map(r =>
       Seq(r.getString(0), r.getInt(1).toLong, r.getLong(2))).toSet == viaWindow)
+  }
+
+  test("rewrite sees through the .cast(long) idiom and obeys the off-switch") {
+    import org.apache.spark.sql.functions._
+    GraftOps.register(spark)
+    def windowForm() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.t(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey")
+    }
+    val on = windowForm()
+    val planOn = on.queryExecution.executedPlan.toString
+    assert(planOn.contains("TopKPerGroup"),
+      s"rewrite did not fire through the cast:\n$planOn")
+    assert(!planOn.contains("windowspecdefinition"),
+      s"window survived the cast-form rewrite:\n$planOn")
+    // the explicit flag restores the window baseline — and both plans
+    // return the same rows
+    val prev = spark.conf.getOption(TopKRewrite.confKey)
+    spark.conf.set(TopKRewrite.confKey, "false")
+    try {
+      val off = windowForm()
+      val planOff = off.queryExecution.executedPlan.toString
+      assert(!planOff.contains("TopKPerGroup"),
+        s"off-switch ignored:\n$planOff")
+      assert(planOff.contains("windowspecdefinition"),
+        s"baseline lost its window plan:\n$planOff")
+      assert(on.collect().map(_.toSeq).toSet == off.collect().map(_.toSeq).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopKRewrite.confKey, v)
+        case None => spark.conf.unset(TopKRewrite.confKey)
+      }
+    }
   }
 
   test("ties and small groups: k larger than group size emits whole group") {
