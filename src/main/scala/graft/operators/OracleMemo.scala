@@ -138,6 +138,7 @@ object OracleMemo {
       q("dd_lsh_funnel", s5 -> s5m),
       q("dd_pipeline_indexed", s5 -> s5m),
       q("dd_incremental", s5 -> s5m),
+      q("st_incremental", s5 -> s5m),
       q("dd_split_leak", s5 -> s5m),
       q("ta_pipeline_curate", s5 -> s5m),
       q("ta_pipeline_full", s5 -> s5m),

@@ -823,6 +823,128 @@ object Streams {
     // aggregate — Spark correctly refuses stacked streaming aggs in one
     // query, and at 100 TB/day you want the baseline read amortized, not
     // recomputed per micro-batch).
+    // 206 (§2.3 #118 dd_incremental's streaming twin): the LIVE near-dup
+    // ingest gate. A production crawl dedups the arriving stream against
+    // the STANDING MinHash index of everything already admitted: each
+    // micro-batch computes its docs' signatures, LSH-bands them against
+    // the persisted index (band equijoin batch×index only — never
+    // index×index, so per-trigger cost scales with the batch), prefilters
+    // by 64-long signature agreement, verifies candidates with exact
+    // Jaccard over 5-gram shingles (index-side shingles re-read from the
+    // corpus for the candidate-bounded verify set only), emits the
+    // matched pairs, and APPENDS the survivors' signatures to the index —
+    // so later batches dedup against earlier admissions, the exact
+    // semantics a standing gate must have. foreachBatch (the
+    // st_foreach_batch discipline): the index append + pair emit are a
+    // transactional batch step no built-in streaming sink expresses.
+    // Deterministic 2-batch replay (doc_id%20==0, then the rest of the
+    // delta, mtime-ordered); the oracle replays the same two rounds in
+    // SQL — batch-2 candidates may match batch-1 SURVIVORS (appended)
+    // but never batch-1 dups (not appended). Same md5 chain as
+    // dd_minhash_lsh → memoizable in the sf1+/sf10 sweeps (OracleMemo).
+    GraftQuery("st_incremental", (s, d) => {
+      import java.nio.file._
+      graft.functions.F.register(s)
+      val staged = stageDeltaDocs(s, d)
+      val idxDir = scratchDir(d, "si_idx").toString
+      val outDir = scratchDir(d, "si_out").toString
+      val corpus = graft.Tables.widened(s, d, "documents")
+      def sigs(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), expr("char_shingles(text, 5)").as("sh"))
+          .withColumn("sig", expr("minhash_sig(sh)"))
+      def banded(df: DataFrame, id: String): DataFrame =
+        df.select(col("doc_id").as(id), posexplode(expr(
+          "transform(sequence(0, 15), b -> slice(sig, 4 * b + 1, 4))"))
+          .as(Seq("band", "bk")))
+      // the standing index: the persisted artifact of the previous dedup
+      // run over the admitted corpus (doc_id % 10 <> 0)
+      sigs(corpus.filter(col("doc_id") % 10 =!= 0)).select("doc_id", "sig")
+        .write.mode("overwrite").parquet(idxDir)
+      // pair sink starts as an empty typed table so a no-match replay
+      // still reads back with the right schema
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "nid BIGINT, oid BIGINT, jacc DOUBLE"))
+        .write.mode("overwrite").parquet(outDir)
+      val schema = s.read.parquet(s"$staged/00_b1.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // delta batch 1, then batch 2
+        .parquet(s"$staged/*.parquet")
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+          val ss = batch.sparkSession
+          graft.functions.F.register(ss)
+          val b = sigs(batch.toDF()).persist()
+          val idx = ss.read.parquet(idxDir)
+          val cand = banded(b, "nid")
+            .join(banded(idx, "oid"), Seq("band", "bk"))
+            .select("nid", "oid").distinct()
+          val pre = cand
+            .join(b.select(col("doc_id").as("nid"), col("sig").as("sa")), "nid")
+            .join(idx.select(col("doc_id").as("oid"), col("sig").as("sb")), "oid")
+            .filter(expr("sig_agree(sa, sb) / CAST(64 AS DOUBLE)") >= 0.55)
+            .select("nid", "oid")
+          // candidate-bounded verify: re-read corpus text only for the
+          // oids that survived the prefilter (a DECLARED broadcast semi-
+          // join — candidates per batch are banding-bounded), and only
+          // then pay the shingle recompute
+          val verifySide = corpus.join(
+            broadcast(pre.select(col("oid").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          val pairs = pre
+            .join(b.select(col("doc_id").as("nid"), col("sh").as("sha")), "nid")
+            .join(sigs(verifySide)
+              .select(col("doc_id").as("oid"), col("sh").as("shb")), "oid")
+            .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
+            .filter(col("jacc") >= 0.7)
+            .select("nid", "oid", "jacc").persist()
+          pairs.write.mode("append").parquet(outDir)
+          // survivors (no match) join the standing index for later batches
+          b.select(col("doc_id"), col("sig"))
+            .join(pairs.select(col("nid").as("doc_id")), Seq("doc_id"),
+              "left_anti")
+            .write.mode("append").parquet(idxDir)
+          pairs.unpersist(); b.unpersist()
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+    },
+      Some(s"""WITH d AS (${graft.operators.DuckSql.shingles("documents", "doc_id", 5)}),
+             |${graft.operators.DuckSql.sigCtes("doc_id")},
+             |bands AS (SELECT doc_id, b, list_slice(sig, 4*b+1, 4*b+4) AS bk
+             |  FROM sl, range(0, 16) r(b)),
+             |cand1 AS (SELECT DISTINCT a.doc_id AS nid, bb.doc_id AS oid
+             |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.bk = bb.bk
+             |  WHERE a.doc_id % 20 = 0 AND bb.doc_id % 10 <> 0),
+             |pre1 AS (SELECT nid, oid FROM cand1
+             |  JOIN sl sa ON sa.doc_id = cand1.nid
+             |  JOIN sl sb ON sb.doc_id = cand1.oid
+             |  WHERE ${graft.operators.DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.55),
+             |p1 AS (SELECT nid, oid, jacc FROM (
+             |  SELECT nid, oid, ${graft.operators.DuckSql.jacc("da.sh", "db.sh")} AS jacc
+             |  FROM pre1 JOIN d da ON da.doc_id = pre1.nid
+             |  JOIN d db ON db.doc_id = pre1.oid) WHERE jacc >= 0.7),
+             |surv1 AS (SELECT doc_id FROM sl
+             |  WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT nid FROM p1)),
+             |cand2 AS (SELECT DISTINCT a.doc_id AS nid, bb.doc_id AS oid
+             |  FROM bands a JOIN bands bb ON a.b = bb.b AND a.bk = bb.bk
+             |  WHERE a.doc_id % 10 = 0 AND a.doc_id % 20 <> 0
+             |    AND (bb.doc_id % 10 <> 0
+             |         OR bb.doc_id IN (SELECT doc_id FROM surv1))),
+             |pre2 AS (SELECT nid, oid FROM cand2
+             |  JOIN sl sa ON sa.doc_id = cand2.nid
+             |  JOIN sl sb ON sb.doc_id = cand2.oid
+             |  WHERE ${graft.operators.DuckSql.sigAgree("sa.sig", "sb.sig")} >= 0.55),
+             |p2 AS (SELECT nid, oid, jacc FROM (
+             |  SELECT nid, oid, ${graft.operators.DuckSql.jacc("da.sh", "db.sh")} AS jacc
+             |  FROM pre2 JOIN d da ON da.doc_id = pre2.nid
+             |  JOIN d db ON db.doc_id = pre2.oid) WHERE jacc >= 0.7)
+             |SELECT nid, oid, jacc FROM p1
+             |UNION ALL SELECT nid, oid, jacc FROM p2""".stripMargin)),
+
     GraftQuery("st_anomaly", (s, d) => {
       val hourly = eventsStream(s, d)
         .select(col("event_type"),
@@ -837,6 +959,33 @@ object Streams {
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;
     * mtime-ordered for maxFilesPerTrigger=1). */
+  /** Stage the crawl delta (doc_id % 10 == 0, dd_incremental's split) as
+    * a deterministic 2-batch document replay: 00 = doc_id % 20 == 0,
+    * 01 = the rest, mtime-ordered for maxFilesPerTrigger=1 — so the
+    * standing-index append between the batches is observable (batch 2
+    * can match batch-1 survivors). */
+  private val deltaDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageDeltaDocs(s: SparkSession, d: String): String =
+    deltaDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = scratchDir(d, "si_src")
+      val delta = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text").filter(col("doc_id") % 10 === 0)
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = scratchDir(d, "si_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      put(delta.filter(col("doc_id") % 20 === 0), "00_b1.parquet", 120000)
+      put(delta.filter(col("doc_id") % 20 =!= 0), "01_b2.parquet", 60000)
+      staged.toString
+    })
+
   private val eoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageEvensOdds(s: SparkSession, d: String): String =
     eoDirs.computeIfAbsent(d, _ => {

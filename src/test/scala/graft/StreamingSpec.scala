@@ -108,4 +108,36 @@ class StreamingSpec extends SparkSpec {
       s"state rows $stateRows exceed user count $nUsers — state is not O(1)/user")
     assert(stateRows < nEvents / 2, s"state rows $stateRows scale with events $nEvents")
   }
+
+  test("st_incremental: survivors join the index, dups never do") {
+    // crafted corpus pinning the standing-index append semantics:
+    //   index  A=1 (base text), 2/3 unique
+    //   batch1 B=20 unique → SURVIVOR (appended), E=40 ≈ A → dup (NOT appended)
+    //   batch2 C=30 ≈ B → must match the appended survivor
+    //          F=50 ≡ E → matches A via the index, but NEVER oid=40
+    val base = (0 until 40).map(i => s"w${i % 7}x$i").mkString(" ")
+    val uniq1 = (0 until 40).map(i => s"q${i % 5}z$i").mkString(" ")
+    val uniq2 = (0 until 40).map(i => s"m${i % 3}k$i").mkString(" ")
+    val bText = (0 until 40).map(i => s"b${i % 6}y$i").mkString(" ")
+    val eText = base + " extra tail edit"
+    val rows = Seq(
+      (1L, base), (2L, uniq1), (3L, uniq2),            // standing index
+      (20L, bText), (40L, eText),                      // delta batch 1
+      (30L, bText + " later crawl copy"), (50L, eText) // delta batch 2
+    )
+    val dir = specTempDir("si_spec")
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("st_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((40L, 1L)), s"batch-1 dup vs index missing: $out")
+    assert(out.contains((30L, 20L)),
+      s"batch-2 doc must match the APPENDED batch-1 survivor: $out")
+    assert(out.contains((50L, 1L)),
+      s"batch-2 copy of the dup still matches the original index doc: $out")
+    assert(!out.exists(_._2 == 40L),
+      s"a batch-1 DUP must never be appended to the index: $out")
+    assert(out.map(_._1) == Set(30L, 40L, 50L), s"unexpected extra pairs: $out")
+  }
 }
