@@ -126,7 +126,8 @@ object Relational3 {
     // partitioning/merge order (QueriesSpec pins this precondition per
     // source so corpus growth can't silently break the contract); the
     // over-capacity bound (cnt - err ≤ true ≤ cnt, err ≤ n/capacity) is
-    // spec-tested separately.
+    // spec-tested AND machine-checked by the scale sweeps against exact
+    // DuckDB counts (tools/verify_sweep.py EPS_BOUND).
     GraftQuery("q_approx_topk", (s, d) => {
       graft.functions.F.register(s)
       Tables.widened(s, d, "documents")

@@ -15,8 +15,10 @@ oracle runs in DuckDB over the replayed labels. Memoized/replayed passes
 are marked in the row's detail, never silently.
 
 Statuses: pass / fail / timeout / oom / regime. "regime" is never produced
-by this script — it survives only via merge mode from a hand-adjudicated
-artifact (q_approx_topk's designed sketch-capacity boundary).
+by this script — it can only survive via merge mode from a hand-adjudicated
+artifact. (q_approx_topk, formerly the one regime row, is now machine-
+checked: when its exact oracle fails over sketch capacity, the sweep
+verifies the Space-Saving guarantees against exact counts — see EPS_BOUND.)
 
 Usage: verify_sweep.py <sfdir> <outdir> <artifact.json> [timeout_sec] [only,names]
 (after `sbt "runMain graft.Verify <sfdir> <outdir> <regex>"`)
@@ -86,6 +88,58 @@ PRELUDE = (
     # marker line — disable it
     "con.execute('PRAGMA disable_progress_bar')\n"
     + _guards())
+
+
+# Sketch-bound oracles: entries whose exact oracle is only valid in a
+# designed regime (q_approx_topk's Space-Saving sketch is exact-count/
+# err=0 only while distinct(tokens-per-source) <= capacity=256). When the
+# exact compare fails at a scale where the sketch is over capacity, the
+# sweep verifies the sketch's PUBLISHED guarantees against exact DuckDB
+# counts instead of hand-recording a "regime" row: for every reported
+# (source, token) row, cnt - err <= true count <= cnt (Space-Saving
+# over-estimate bound), err <= n/capacity (Metwally et al. 2005), the
+# token exists in the source at all, and cnt is non-increasing in rk.
+# A row that passes is recorded as pass with an "eps-bound" detail.
+EPS_BOUND = {
+    "q_approx_topk": """
+WITH res AS (SELECT * FROM read_parquet('{outdir}/q_approx_topk/*.parquet')),
+tok AS (SELECT source,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+exact AS (SELECT source, token, COUNT(*) AS tc FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+j AS (SELECT r.source, r.rk, r.cnt, r.err, e.tc, t.n
+  FROM res r JOIN exact e ON e.source = r.source AND e.token = r.token
+  JOIN tot t ON t.source = r.source),
+mono AS (SELECT source, rk, cnt,
+    LAG(cnt) OVER (PARTITION BY source ORDER BY rk) AS prev
+  FROM res)
+SELECT (SELECT COUNT(*) FROM res) AS n_res,
+  (SELECT COUNT(*) FROM j) AS n_join,
+  (SELECT COUNT(*) FROM j
+    WHERE NOT (cnt - err <= tc AND tc <= cnt
+               AND CAST(err AS DOUBLE) <= CAST(n AS DOUBLE) / 256)) AS n_bad,
+  (SELECT COUNT(*) FROM mono
+    WHERE prev IS NOT NULL AND cnt > prev) AS n_unsorted"""}
+
+
+def eps_bound_check(name, sfdir, outdir, timeout):
+    """Returns (ok, detail) for an EPS_BOUND entry."""
+    sql = EPS_BOUND[name].format(outdir=outdir)
+    code = (PRELUDE + table_views(sfdir) +
+            f"row = con.execute({sql!r}).fetchone()\n"
+            f"print({MARKER!r} + json.dumps({{'n_res': row[0], 'n_join': row[1],"
+            f" 'n_bad': row[2], 'n_unsorted': row[3]}}))\n")
+    line, err = run_sub(code, timeout)
+    if not line:
+        return False, f"eps-bound oracle produced no result: {err.strip()[-300:]}"
+    d = json.loads(line)
+    ok = (d["n_res"] > 0 and d["n_join"] == d["n_res"] and d["n_bad"] == 0
+          and d["n_unsorted"] == 0)
+    return ok, (f"eps-bound: sketch over-capacity regime, guarantees "
+                f"machine-checked against exact counts — {d['n_res']} rows, "
+                f"{d['n_bad']} bound violations, {d['n_res'] - d['n_join']} "
+                f"phantom tokens, {d['n_unsorted']} order violations")
 
 
 def table_views(sfdir):
@@ -279,6 +333,12 @@ def main(sfdir, outdir, artifact, timeout, only=None):
                 # this scale, not about engine agreement
                 if status == "fail" and "Out of Memory" in (detail or ""):
                     status = "oom"
+                # sketch entries: exact oracle failed → verify the sketch's
+                # published error bounds instead (see EPS_BOUND)
+                if status == "fail" and name in EPS_BOUND:
+                    ok2, det2 = eps_bound_check(name, sfdir, outdir, timeout)
+                    status = "pass" if ok2 else "fail"
+                    detail = det2 + f" [exact-oracle detail: {detail}]"
             except Exception:
                 status, detail = "fail", (err.strip()[-400:] or "no output")
         except subprocess.TimeoutExpired:
