@@ -293,6 +293,20 @@ object PlanContracts {
         "the per-dim DECIMAL sum partial-aggregates map-side — 64 rows per " +
           "task cross the one shuffle"),
       absent("SortMergeJoin", "no join anywhere: quantize + fold + one agg")),
+    "dd_decontaminate" -> Seq(
+      noCartesian,
+      codegen("gram_hits"),
+      Contract(
+        "the corpus gram stream is IN-EXPRESSION (native gram_hits over a " +
+          "one-row broadcast of the sorted benchmark gram set): exactly ONE " +
+          "Generate survives — the benchmark-side explode that builds the " +
+          "set — and the corpus side is a single map pass with no exploded " +
+          "row stream",
+        p => "Generate".r.findAllIn(p.finalSection).length == 1),
+      Contract(
+        "the benchmark gram array rides a DECLARED one-row broadcast " +
+          "(BroadcastNestedLoopJoin) — nothing about the corpus shuffles",
+        p => p.full.contains("BroadcastNestedLoopJoin"))),
     // the default-on TopKRewrite pair: the SAME window DataFrame form,
     // audited on the standard session (rule on → bounded heap) and on
     // the explicit-flag baseline sub-session (rule off → window sort)

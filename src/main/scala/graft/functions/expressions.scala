@@ -492,6 +492,34 @@ case class BloomFlagCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact contamination probe: count of DISTINCT codepoint n-grams of
+  * `text` present in the SORTED broadcast gram array (binary-ordered
+  * UTF8String binary search — sort_array's string order). Folds the whole
+  * probe side of dd_decontaminate — explode, broadcast semi-join, groupBy
+  * doc_id, left join back — into one map pass per document: the corpus
+  * gram stream is never materialized as rows, nothing about the corpus
+  * shuffles, and semantics stay EXACT string membership (no hashing, no
+  * false-positive caveat — the Bloom variant dd_bloom_gate remains the
+  * even-cheaper inexact gate). */
+case class GramHits(first: Expression, n: Int, third: Expression)
+    extends BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = third
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gram_hits"
+
+  override def nullSafeEval(text: Any, grams: Any): Any =
+    java.lang.Long.valueOf(HashOps.gramHits(
+      text.asInstanceOf[UTF8String], n, grams.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashOps.gramHits($a, $n, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GramHits =
+    copy(first = l, third = r)
+}
+
 /** Content-defined chunking: md5 hex of each chunk of a text, boundaries
   * where the 16-CODEPOINT rolling polynomial hash
   * fold((acc·257 + codepoint) mod 2^20) over the trailing window ≡ 0
@@ -1028,6 +1056,42 @@ object HashOps {
     flagged
   }
 
+  /** Count of distinct codepoint n-grams of `str` present in the SORTED
+    * (binary string order) gram array — exact membership via binary
+    * search, no hashing. See GramHits. */
+  def gramHits(str: UTF8String, n: Int, grams: ArrayData): Long = {
+    val s = str.toString
+    val ncp = s.codePointCount(0, s.length)
+    if (ncp < n) return 0L
+    val off = new Array[Int](ncp + 1)
+    var ci = 0
+    var si = 0
+    while (ci < ncp) { off(ci) = si; si = s.offsetByCodePoints(si, 1); ci += 1 }
+    off(ncp) = s.length
+    val ng = grams.numElements()
+    def present(u: UTF8String): Boolean = {
+      var lo = 0
+      var hi = ng - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = grams.getUTF8String(mid).compareTo(u)
+        if (c == 0) return true
+        if (c < 0) lo = mid + 1 else hi = mid - 1
+      }
+      false
+    }
+    val seen = new java.util.HashSet[String]()
+    var hits = 0L
+    var i = 0
+    val last = ncp - n
+    while (i <= last) {
+      val g = s.substring(off(i), off(i + n))
+      if (seen.add(g) && present(UTF8String.fromString(g))) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
   /** One-pass char + token frequency squared sums (SimpsonStats). Token
     * split matches filter(split(text, ' '), t -> t <> ''); char counting
     * matches length()/replace() arithmetic on the corpus's ASCII text. */
@@ -1113,6 +1177,8 @@ object F {
     ("argmin_l2", (es: Seq[Expression]) => ArgMinL2(es(0), es(1))),
     ("adc_dist", (es: Seq[Expression]) => AdcDist(es(0), es(1), es(2))),
     ("bloom_flag_count", (es: Seq[Expression]) => BloomFlagCount(es(0), es(1))),
+    ("gram_hits", (es: Seq[Expression]) => GramHits(es(0),
+      es(1).eval().asInstanceOf[Int], es(2))),
     ("cdc_chunks", (es: Seq[Expression]) => CdcChunks(es.head)),
     ("json_tree_walk", (es: Seq[Expression]) => JsonTreeWalk(es.head)),
     ("top_bigram_stats", (es: Seq[Expression]) => TopBigramStats(es.head)),

@@ -534,4 +534,34 @@ class OpInvariantsSpec extends SparkSpec {
       assert(broken == 0, "media→caption pairing broken")
     } finally { out.unpersist(); () }
   }
+
+  test("gram_hits equals the explode+semi-join formulation (incl. non-BMP)") {
+    graft.functions.F.register(spark)
+    import spark.implicits._
+    // corpus text plus crafted rows: short (<8 cp), exact 8 cp,
+    // supplementary characters (codepoint-indexed gram boundaries), and
+    // repeated grams (distinctness of the hit count)
+    val crafted = Seq(
+      (9000001L, "short"), (9000002L, "exactly8"),
+      (9000003L, "a😀bcdefgh😀xyz abcdefgh"),
+      (9000004L, "abcdefgh abcdefgh abcdefgh zzzz"))
+      .toDF("doc_id", "text")
+    val all = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .union(crafted)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+      .select(explode(expr("char_shingles(text, 8)")).as("sg")).distinct()
+    val viaJoin = all
+      .select(col("doc_id"), explode(expr("char_shingles(text, 8)")).as("sg"))
+      .join(broadcast(bench), Seq("sg"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val expected = all.select("doc_id").join(viaJoin, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val benchRow = bench.agg(sort_array(collect_list(col("sg"))).as("bgs"))
+    val got = all.crossJoin(broadcast(benchRow))
+      .select(col("doc_id"), expr("gram_hits(text, 8, bgs)").as("n_hits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(9000001L) == 0L, "sub-gram-width text must count zero")
+  }
 }
