@@ -82,6 +82,118 @@ object OracleMemo {
          |  GROUP BY src, j),
          |sl AS (SELECT src, list(sig ORDER BY j) AS sig FROM sigs GROUP BY src)""".stripMargin
 
+  // ---- ANN assignment memos (the N×K window class) -------------------
+  //
+  // The exact oracles of the centroid-quantizer family (ann_ivf,
+  // ann_ivf_pq, ann_kmeans_refine, dd_semantic, and the recall evals that
+  // embed the same chains) all contain an N×K nearest-centroid window
+  // (`n CROSS JOIN c` → ROW_NUMBER per vec_id) and, for the PQ members,
+  // an N×(8·K2) code-assignment window. At sf10 (200k vectors × 781
+  // cells) DuckDB OOMs on the monolithic window even with 48 GB + spill —
+  // the r12 oracle-resource class. The memo plan rebuilds both tables
+  // BOUNDED: centroids once (one corpus window), then the assignment in
+  // $CHUNK_MOD chunks of vec_id % — each chunk a small window — COPY'd
+  // into a parquet DIRECTORY ("sql_chunked" kind). Every swapped oracle
+  // then reads the memo and keeps its remaining (candidate-bounded)
+  // stages in DuckDB verbatim, so the sf10 verdict stays a FULL exact
+  // verdict, not a sampled one. The checks recompute a deterministic
+  // md5-sampled slice of each memo through the PLAIN inline formulation
+  // (centroids included) and require exact agreement.
+
+  /** e/n prelude for memo payloads (memo-only text — swaps never match
+    * against it), with an optional chunk predicate on the corpus scan. */
+  private def vecN(where: String): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings$where),
+       |n AS (SELECT vec_id, v, ${Similarity.duckDot("v", "v")} AS n2 FROM e)""".stripMargin
+
+  private val chunkPred = " WHERE vec_id % $CHUNK_MOD = $CHUNK_IDX"
+
+  private val ivfCentsBuild =
+    s"WITH ${vecN("")}\n${Similarity.centroidsSql}"
+
+  private val ivfAsgBuild =
+    s"""WITH ${vecN(chunkPred)},
+       |c AS (SELECT cid, cv, cn2 FROM read_parquet('$dirToken/ivf_cents.parquet'))
+       |SELECT vec_id, cell FROM (
+       |  SELECT n.vec_id, c.cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${Similarity.duckL2("n.v", "c.cv")}, c.cid) AS arn
+       |  FROM n CROSS JOIN c) WHERE arn = 1""".stripMargin
+
+  private val ivfAsgCheck =
+    s"""WITH ${vecN("")},
+       |c AS (${Similarity.centroidsSql}),
+       |samp AS (SELECT * FROM n WHERE md5(CAST(vec_id AS VARCHAR)) LIKE '00%'),
+       |plain AS (SELECT vec_id, cid FROM (
+       |  SELECT samp.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY samp.vec_id
+       |      ORDER BY ${Similarity.duckL2("samp.v", "c.cv")}, c.cid) AS arn
+       |  FROM samp CROSS JOIN c) WHERE arn = 1)
+       |SELECT COUNT(*) AS sampled,
+       |  SUM(CASE WHEN m.cell = plain.cid THEN 1 ELSE 0 END) AS n_match
+       |FROM plain JOIN read_parquet('$dirToken/ivf_asg.parquet/*.parquet') m
+       |  ON m.vec_id = plain.vec_id""".stripMargin
+
+  private val pqSubBuild =
+    s"""WITH ${vecN("")},
+       |${Similarity2.pqCodebookSql}
+       |SELECT m, crank, sub FROM sub""".stripMargin
+
+  private val pqCodesBuild =
+    s"""WITH ${vecN(chunkPred)},
+       |sub AS (SELECT m, crank, sub FROM read_parquet('$dirToken/pq_sub.parquet')),
+       |${Similarity2.pqCodesSqlCtes}
+       |SELECT n_id, codes FROM codes""".stripMargin
+
+  private val pqCodesCheck =
+    s"""WITH ${vecN("")},
+       |${Similarity2.pqCodebookSql},
+       |samp AS (SELECT * FROM n WHERE md5(CAST(vec_id AS VARCHAR)) LIKE '00%'),
+       |${Similarity2.pqCodesSqlCtes.replace(
+          "FROM n CROSS JOIN sub s", "FROM samp n CROSS JOIN sub s")}
+       |SELECT COUNT(*) AS sampled,
+       |  SUM(CASE WHEN m.codes = codes.codes THEN 1 ELSE 0 END) AS n_match
+       |FROM codes JOIN read_parquet('$dirToken/pq_codes.parquet/*.parquet') m
+       |  ON m.n_id = codes.n_id""".stripMargin
+
+  /** Memo-read replacement fragments for the swapped oracles. */
+  private val centsM =
+    s"c AS (SELECT cid, cv, cn2 FROM read_parquet('$dirToken/ivf_cents.parquet')),\n"
+  private val ivfAsgM = centsM +
+    s"""asg AS (SELECT a.vec_id AS n_id, a.cell, n.v AS nv, n.n2 AS nn2
+       |  FROM read_parquet('$dirToken/ivf_asg.parquet/*.parquet') a
+       |  JOIN n ON n.vec_id = a.vec_id),
+       |""".stripMargin
+  private val kmAsgM = centsM +
+    s"""asg AS (SELECT a.vec_id, a.cell, n.v
+       |  FROM read_parquet('$dirToken/ivf_asg.parquet/*.parquet') a
+       |  JOIN n ON n.vec_id = a.vec_id),
+       |""".stripMargin
+  private val semAsgM = centsM +
+    s"""asgn AS (SELECT vec_id, cell AS cluster_id
+       |  FROM read_parquet('$dirToken/ivf_asg.parquet/*.parquet')),
+       |""".stripMargin
+  private val pqAsgM = centsM +
+    s"""asg AS (SELECT vec_id AS n_id, cell
+       |  FROM read_parquet('$dirToken/ivf_asg.parquet/*.parquet')),
+       |""".stripMargin
+  private val codesM =
+    s"""codes AS (SELECT n_id, codes
+       |  FROM read_parquet('$dirToken/pq_codes.parquet/*.parquet')),
+       |""".stripMargin
+
+  /** The exact fragment to swap out, SLICED from the oracle's own text
+    * between two CTE-name markers — robust to formatting, and a marker
+    * that stops matching fails loudly (swapAll re-requires containment). */
+  private def slice(name: String, sql: String, from: String, until: String): String = {
+    val a = sql.indexOf(from)
+    require(a >= 0, s"OracleMemo: $name lost its '$from' marker")
+    val b = sql.indexOf(until, a)
+    require(b > a, s"OracleMemo: $name lost its '$until' marker after '$from'")
+    sql.substring(a, b)
+  }
+
   // ---- memo builds (ordered: later entries may read earlier memos) ----
 
   /** (name, kind, payload): kind "sql" = COPY the SELECT to
@@ -99,7 +211,13 @@ object OracleMemo {
     ("phash_pairs", "sql",
       s"${Multimodal.phashPairsSql}\nSELECT ia, ib FROM pairs"),
     ("cc_mh5", "unionfind", "mh5_p"),
-    ("cc_phash", "unionfind", "phash_pairs"))
+    ("cc_phash", "unionfind", "phash_pairs"),
+    ("ivf_cents", "sql", ivfCentsBuild),
+    ("ivf_asg", "sql_chunked:8", ivfAsgBuild),
+    ("ivf_asg_check", "check", ivfAsgCheck),
+    ("pq_sub", "sql", pqSubBuild),
+    ("pq_codes", "sql_chunked:8", pqCodesBuild),
+    ("pq_codes_check", "check", pqCodesCheck))
 
   private def swapAll(name: String, sql0: String,
       subs: Seq[(String, String)]): String =
@@ -152,6 +270,45 @@ object OracleMemo {
       q("mm_phash_cluster", ccPhashCluster),
       q("mm_pipeline_curate", ccPhashLabel),
       q("mm_pipeline_paired", ccPhashLabel),
-      q("mm_pipeline_full", ccPhashLabel))
+      q("mm_pipeline_full", ccPhashLabel),
+      // ANN assignment-memo class: each swap replaces exactly the
+      // centroid + N×K-assignment CTEs (sliced between CTE markers from
+      // the oracle's own text) with memo reads; every downstream stage —
+      // probes, candidate ranking, pairwise verify, Lloyd fold — runs in
+      // DuckDB unchanged, so these remain FULL exact verdicts
+      annQ("ann_ivf", "probes AS (" -> ivfAsgM),
+      annQ("emb_recall_eval", "probes AS (" -> ivfAsgM),
+      annQ("ann_kmeans_refine", "g AS (" -> kmAsgM),
+      annQ("dd_semantic", "j AS (" -> semAsgM),
+      annQ("ann_ivf_pq", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
+      annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM))
+  }
+
+  /** ANN-class swap: for each (untilMarker, replacement), slice the
+    * fragment starting at its opening CTE out of the oracle text and swap
+    * in the memo read. The codes fragment opens at "dists AS ("; the
+    * assignment fragments all open at "c AS (". ALL markers are matched
+    * NEWLINE-ANCHORED — bare "c AS (" / "g AS (" are substrings of
+    * "pq_adc AS (" / "asg AS (" and a mid-token match silently slices the
+    * wrong span (the r13 duplicate-CTE bug). */
+  private def annQ(name: String,
+      swaps: (String, String)*): (String, String) = {
+    val sql0 = allOracles(name)
+    def anchored(m: String) = "\n" + m
+    val subs = swaps.map { case (until, repl) =>
+      val from = if (until == "dists AS (") "dists AS (" else "c AS ("
+      // the codes fragment is sliced from "dists AS (" to the CTE that
+      // follows pqCodesSqlCtes in THIS oracle ("ct AS (" in the pq chain,
+      // "c AS (" in ann_ivf_pq's layout)
+      val untilM =
+        if (from == "dists AS (") {
+          val d = sql0.indexOf(anchored("dists AS ("))
+          if (sql0.indexOf(anchored("ct AS ("), d) >= 0) "ct AS (" else "c AS ("
+        } else until
+      // keep the leading newline of the slice and prepend one to the
+      // replacement so the joined text stays line-aligned
+      slice(name, sql0, anchored(from), anchored(untilM)) -> ("\n" + repl)
+    }
+    q(name, subs: _*)
   }
 }

@@ -54,7 +54,7 @@ object Similarity2 {
     * emits CTEs `sq`, `sub`, `cb(cb, k)`. `crank` is the sample rank —
     * exactly the codeword's index in the flat Spark-side codebook, so the
     * oracle's codes are positionally identical to pq_encode's. */
-  private def pqCodebookSql: String =
+  private[operators] def pqCodebookSql: String =
     s"""sq AS (SELECT vec_id, v, crank FROM (
        |    SELECT vec_id, v,
        |      CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -202,7 +202,7 @@ object Similarity2 {
   /** PQ code assignment (expects `n` and the codebook CTEs): `dists`,
     * `asgn`, `codes` ending in codes(n_id, codes) — the oracle mirror of
     * pq_encode, shared by every ADC consumer. */
-  private def pqCodesSqlCtes: String =
+  private[operators] def pqCodesSqlCtes: String =
     s"""dists AS (SELECT n.vec_id, s.m, s.crank,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
        |      i -> (n.v[CAST(8 * s.m + i AS INTEGER)] - s.sub[CAST(i AS INTEGER)])

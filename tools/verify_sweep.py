@@ -172,7 +172,7 @@ def memo_needs(memo_spec, query_names):
             continue
         need.add(n)
         m = by_name[n]
-        if m["kind"] == "sql":
+        if m["kind"] == "sql" or m["kind"].startswith("sql_chunked"):
             frontier |= refs(m["payload"])
         elif m["kind"] == "unionfind":
             frontier.add(m["payload"])
@@ -242,6 +242,41 @@ def build_memos(sfdir, outdir, memo_spec, timeout, need):
                 raise RuntimeError(f"memo {name} build failed: {err.strip()[-400:]}")
             os.replace(f"{dest}.tmp.parquet", dest)
             stamp(name, key)
+        elif kind.startswith("sql_chunked:"):
+            # bounded-memory build of an N-per-corpus-row memo whose
+            # monolithic query OOMs (the N x K assignment windows of the
+            # ANN family at sf10): the payload runs once per chunk with
+            # $CHUNK_IDX/$CHUNK_MOD substituted, each chunk COPYs into one
+            # file of a <name>.parquet DIRECTORY, referenced by oracles as
+            # read_parquet('<dir>/<name>.parquet/*.parquet')
+            nchunks = int(kind.split(":", 1)[1])
+            ok, key = cache_ok(name, f"{nchunks}|{payload}")
+            if ok:
+                log.append(f"memo {name}: cached")
+                continue
+            tmp_dir = f"{dest}.tmp"
+            import shutil
+            for p in (tmp_dir, dest):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            os.makedirs(tmp_dir)
+            for ci in range(nchunks):
+                sql = (payload.replace(token, memo_dir)
+                       .replace("$CHUNK_IDX", str(ci))
+                       .replace("$CHUNK_MOD", str(nchunks)))
+                copy_stmt = (f"COPY ({sql}) TO '{tmp_dir}/chunk_{ci}.parquet' "
+                             f"(FORMAT PARQUET)")
+                code = (PRELUDE + table_views(sfdir) +
+                        f"con.execute({copy_stmt!r})\n"
+                        f"print({MARKER!r} + json.dumps({{'ok': True}}))\n")
+                line, err = run_sub(code, timeout)
+                if not line or not json.loads(line).get("ok"):
+                    raise RuntimeError(
+                        f"memo {name} chunk {ci}/{nchunks} build failed: "
+                        f"{err.strip()[-400:]}")
+            os.replace(tmp_dir, dest)
+            stamp(name, key)
+            log.append(f"memo {name}: {nchunks} chunks")
         elif kind == "check":
             sql = payload.replace(token, memo_dir)
             code = (PRELUDE + table_views(sfdir) +
