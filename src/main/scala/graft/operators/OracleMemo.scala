@@ -183,6 +183,63 @@ object OracleMemo {
        |  FROM read_parquet('$dirToken/pq_codes.parquet/*.parquet')),
        |""".stripMargin
 
+  // ---- phash signature memo (chunked) --------------------------------
+  //
+  // phashPairsSql's per-doc chain (raw → am → m → v → bitv → bl → ph)
+  // materializes several full per-character lists per document; the
+  // monolithic build exhausted even an 80 GB cap at sf10. The chain is
+  // doc-local, so it chunks on doc_id exactly like the ANN assignment
+  // (each planted re-encode variant derives from its original's raw row
+  // and stays in the same chunk); the band join + hamming verify then
+  // run over the 4-longs-per-doc memo, which is cheap at any scale. The
+  // chunked text IS the oracle's own chain (sliced, chunk predicate on
+  // the one corpus scan) — same formulation, so no reformulation check
+  // is needed (the slCheck discipline guards REFORMULATED builds).
+  private val phashPhBuild: String = {
+    val sql = Multimodal.phashPairsSql
+    val cut = sql.indexOf("\nbands AS (")
+    require(cut > 0, "OracleMemo: phashPairsSql lost its bands marker")
+    val head = sql.substring(0, cut).stripSuffix(",")
+    val rawMark = "  FROM documents),\nam AS ("
+    require(head.contains(rawMark),
+      "OracleMemo: phashPairsSql lost its raw-scan marker")
+    head.replace(rawMark,
+      s"  FROM documents WHERE doc_id % $$CHUNK_MOD = $$CHUNK_IDX),\nam AS (") +
+      "\nSELECT doc_id, b3, b2, b1, b0 FROM ph"
+  }
+
+  private val phashPairsFromPh: String = {
+    val sql = Multimodal.phashPairsSql
+    val cut = sql.indexOf("\nbands AS (")
+    s"""WITH ph AS (SELECT * FROM read_parquet('$dirToken/phash_ph.parquet/*.parquet')),
+       |${sql.substring(cut + 1)}
+       |SELECT ia, ib FROM pairs""".stripMargin
+  }
+
+  // ---- CDC chunk-hash memo (chunked) ---------------------------------
+  //
+  // dd_chunk_dedup's oracle folds a 16-codepoint rolling hash per
+  // character position — doc-local like the phash chain, but CPU-bound
+  // enough that the monolithic query exceeds the sf10 row timeout. The
+  // chunked build is the oracle's own b0→b→c text (sliced) with a chunk
+  // predicate on the one corpus scan; each chunk gets its own (larger)
+  // memo-build budget, and the swapped oracle reads (doc_id, ch) and
+  // keeps the dup/per-doc aggregation in DuckDB unchanged.
+  private lazy val cdcChainSlice: String =
+    slice("dd_chunk_dedup", allOracles("dd_chunk_dedup"), "b0 AS (", "\ndup AS (")
+
+  private lazy val cdcChBuild: String = {
+    val rawMark = "  FROM documents),\n"
+    require(cdcChainSlice.contains(rawMark),
+      "OracleMemo: dd_chunk_dedup lost its corpus-scan marker")
+    val chunked = cdcChainSlice.replace(rawMark,
+      s"  FROM documents WHERE doc_id % $$CHUNK_MOD = $$CHUNK_IDX),\n")
+    s"WITH ${chunked.stripSuffix(",")}\nSELECT doc_id, ch FROM c"
+  }
+
+  private val cdcChM =
+    s"c AS (SELECT doc_id, ch FROM read_parquet('$dirToken/cdc_ch.parquet/*.parquet')),"
+
   /** The exact fragment to swap out, SLICED from the oracle's own text
     * between two CTE-name markers — robust to formatting, and a marker
     * that stops matching fails loudly (swapAll re-requires containment). */
@@ -208,8 +265,8 @@ object OracleMemo {
     ("mh5_p", "sql",
       swapAll("mh5_p", s"${Similarity.minhashPairsSql}\nSELECT ia, ib, jacc FROM p",
         Seq(s5 -> s5m))),
-    ("phash_pairs", "sql",
-      s"${Multimodal.phashPairsSql}\nSELECT ia, ib FROM pairs"),
+    ("phash_ph", "sql_chunked:16", phashPhBuild),
+    ("phash_pairs", "sql", phashPairsFromPh),
     ("cc_mh5", "unionfind", "mh5_p"),
     ("cc_phash", "unionfind", "phash_pairs"),
     ("ivf_cents", "sql", ivfCentsBuild),
@@ -217,7 +274,8 @@ object OracleMemo {
     ("ivf_asg_check", "check", ivfAsgCheck),
     ("pq_sub", "sql", pqSubBuild),
     ("pq_codes", "sql_chunked:8", pqCodesBuild),
-    ("pq_codes_check", "check", pqCodesCheck))
+    ("pq_codes_check", "check", pqCodesCheck),
+    ("cdc_ch", "sql_chunked:16", cdcChBuild))
 
   private def swapAll(name: String, sql0: String,
       subs: Seq[(String, String)]): String =
@@ -281,7 +339,8 @@ object OracleMemo {
       annQ("ann_kmeans_refine", "g AS (" -> kmAsgM),
       annQ("dd_semantic", "j AS (" -> semAsgM),
       annQ("ann_ivf_pq", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
-      annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM))
+      annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
+      q("dd_chunk_dedup", cdcChainSlice -> cdcChM))
   }
 
   /** ANN-class swap: for each (untilMarker, replacement), slice the
