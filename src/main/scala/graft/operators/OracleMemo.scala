@@ -240,6 +240,32 @@ object OracleMemo {
   private val cdcChM =
     s"c AS (SELECT doc_id, ch FROM read_parquet('$dirToken/cdc_ch.parquet/*.parquet')),"
 
+  // ---- SimHash fingerprint memo (chunked) ----------------------------
+  //
+  // dd_simhash's oracle streams token-md5 bit votes through a
+  // (doc, 64-bit-position) aggregate — corpus-token-stream × 64 rows,
+  // which exhausts the sf10 memory guard as one query. Doc-local like
+  // the phash/CDC chains → same chunked-slice treatment (the oracle's
+  // own t→tok→hx→votes→bl→fp text, chunk predicate on the one scan).
+  private lazy val shFpSlice: String =
+    slice("dd_simhash", allOracles("dd_simhash"), "t AS (", "\nSELECT doc_id,")
+
+  private lazy val shFpBuild: String = {
+    val rawMark = "  FROM documents),\n"
+    require(shFpSlice.contains(rawMark),
+      "OracleMemo: dd_simhash lost its corpus-scan marker")
+    val chunked = shFpSlice.replace(rawMark,
+      s"  FROM documents WHERE doc_id % $$CHUNK_MOD = $$CHUNK_IDX),\n")
+    // ufp is HUGEINT (unsigned 64-bit fingerprint): parquet has no int128,
+    // so it round-trips through VARCHAR (exact for integers) and the
+    // swapped fp CTE casts back
+    s"WITH $chunked\nSELECT doc_id, CAST(ufp AS VARCHAR) AS ufp_s FROM fp"
+  }
+
+  private val shFpM =
+    s"fp AS (SELECT doc_id, CAST(ufp_s AS HUGEINT) AS ufp " +
+      s"FROM read_parquet('$dirToken/sh_fp.parquet/*.parquet'))"
+
   /** The exact fragment to swap out, SLICED from the oracle's own text
     * between two CTE-name markers — robust to formatting, and a marker
     * that stops matching fails loudly (swapAll re-requires containment). */
@@ -275,7 +301,8 @@ object OracleMemo {
     ("pq_sub", "sql", pqSubBuild),
     ("pq_codes", "sql_chunked:8", pqCodesBuild),
     ("pq_codes_check", "check", pqCodesCheck),
-    ("cdc_ch", "sql_chunked:16", cdcChBuild))
+    ("cdc_ch", "sql_chunked:16", cdcChBuild),
+    ("sh_fp", "sql_chunked:16", shFpBuild))
 
   private def swapAll(name: String, sql0: String,
       subs: Seq[(String, String)]): String =
@@ -340,7 +367,8 @@ object OracleMemo {
       annQ("dd_semantic", "j AS (" -> semAsgM),
       annQ("ann_ivf_pq", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
       annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
-      q("dd_chunk_dedup", cdcChainSlice -> cdcChM))
+      q("dd_chunk_dedup", cdcChainSlice -> cdcChM),
+      q("dd_simhash", shFpSlice -> shFpM))
   }
 
   /** ANN-class swap: for each (untilMarker, replacement), slice the
