@@ -213,8 +213,14 @@ object OracleMemo {
     val cut = sql.indexOf("\nbands AS (")
     s"""WITH ph AS (SELECT * FROM read_parquet('$dirToken/phash_ph.parquet/*.parquet')),
        |${sql.substring(cut + 1)}
-       |SELECT ia, ib FROM pairs""".stripMargin
+       |SELECT ia, ib, hamming FROM pairs""".stripMargin
   }
+
+  /** mm_phash reads the pair memo directly (its plain oracle recomputes
+    * the whole per-doc chain monolithically — the sf10 OOM class). */
+  private val phashPairsM =
+    s"WITH pairs AS (SELECT ia, ib, hamming " +
+      s"FROM read_parquet('$dirToken/phash_pairs.parquet'))"
 
   // ---- CDC chunk-hash memo (chunked) ---------------------------------
   //
@@ -368,7 +374,8 @@ object OracleMemo {
       annQ("ann_ivf_pq", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
       annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
       q("dd_chunk_dedup", cdcChainSlice -> cdcChM),
-      q("dd_simhash", shFpSlice -> shFpM))
+      q("dd_simhash", shFpSlice -> shFpM),
+      q("mm_phash", Multimodal.phashPairsSql -> phashPairsM))
   }
 
   /** ANN-class swap: for each (untilMarker, replacement), slice the
