@@ -677,13 +677,23 @@ object Streams {
       // the watermark node — see st_left_join)
       runToTable(s, evs, OutputMode.Append()).filter(col("event_id") >= 0L)
     },
+      // the oracle models BOTH watermark legs of the replay batch:
+      //  - EVICTION (one commit back): a key re-emits only if its base
+      //    expiry ts+1h passed the tick-commit watermark w1 = max(ts)-1h;
+      //  - the LATE FILTER (current watermark): the replayed row itself
+      //    must sit at-or-after w1, or the operator drops it before dedup
+      //    ever sees it. Below a 366-day corpus span the second leg is
+      //    vacuous (every +365d row clears w1), which is why it only
+      //    became observable at sf10's multi-year span (8.2y: 88% of the
+      //    replay is late — the sf10 FAIL this clause closes).
       Some("""WITH wm AS (
              |  SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) AS w1ms FROM events)
              |SELECT event_id, epoch_us(ts) AS us FROM events
              |UNION ALL
              |SELECT e.event_id, epoch_us(e.ts + INTERVAL 365 DAYS) AS us
              |FROM events e, wm
-             |WHERE epoch_us(e.ts) // 1000 + 3600000 < wm.w1ms""".stripMargin)),
+             |WHERE epoch_us(e.ts) // 1000 + 3600000 < wm.w1ms
+             |  AND epoch_us(e.ts + INTERVAL 365 DAYS) >= wm.w1ms * 1000""".stripMargin)),
 
     // 55m. foreachBatch MERGE sink: the production pattern for
     // materializing a stream into an upsert target (key-value store,
