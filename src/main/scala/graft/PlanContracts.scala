@@ -295,18 +295,16 @@ object PlanContracts {
       absent("SortMergeJoin", "no join anywhere: quantize + fold + one agg")),
     "dd_decontaminate" -> Seq(
       noCartesian,
-      codegen("gram_hits"),
+      codegen("char_shingles"),
       Contract(
-        "the corpus gram stream is IN-EXPRESSION (native gram_hits over a " +
-          "one-row broadcast of the sorted benchmark gram set): exactly ONE " +
-          "Generate survives — the benchmark-side explode that builds the " +
-          "set — and the corpus side is a single map pass with no exploded " +
-          "row stream",
-        p => "Generate".r.findAllIn(p.finalSection).length == 1),
-      Contract(
-        "the benchmark gram array rides a DECLARED one-row broadcast " +
-          "(BroadcastNestedLoopJoin) — nothing about the corpus shuffles",
-        p => p.full.contains("BroadcastNestedLoopJoin"))),
+        "the benchmark gram set rides a DECLARED broadcast and the corpus " +
+          "gram stream passes a map-side semi-join (BroadcastHashJoin " +
+          "LeftSemi) — corpus text never shuffles (the hit-count join " +
+          "back moves only hit-proportional (doc_id, n_hits) rows); " +
+          "measured 3.3× faster at sf10 than the in-expression " +
+          "binary-search variant (§5)",
+        p => p.full.contains("BroadcastHashJoin") &&
+          p.full.contains("LeftSemi"))),
     // the default-on TopKRewrite pair: the SAME window DataFrame form,
     // audited on the standard session (rule on → bounded heap) and on
     // the explicit-flag baseline sub-session (rule off → window sort)

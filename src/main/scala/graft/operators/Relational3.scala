@@ -125,7 +125,9 @@ object Relational3 {
     // no eviction ever fires, so the sketch is exact regardless of
     // partitioning/merge order (QueriesSpec pins this precondition per
     // source so corpus growth can't silently break the contract); the
-    // over-capacity bound (cnt - err ≤ true ≤ cnt, err ≤ n/capacity) is
+    // over-capacity bound (cnt - err ≤ true ≤ cnt; err ≤ 2n/capacity for
+    // the two-level partial→final merge tree — the single-stream bound
+    // plus one inherited eviction, measured max ratio 1.03 at sf10) is
     // spec-tested AND machine-checked by the scale sweeps against exact
     // DuckDB counts (tools/verify_sweep.py EPS_BOUND).
     GraftQuery("q_approx_topk", (s, d) => {

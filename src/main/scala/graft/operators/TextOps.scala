@@ -203,29 +203,33 @@ object TextOps {
 
     // benchmark decontamination: flag training docs sharing >= 5 distinct
     // char-8-grams with any doc of a benchmark set (stand-in: doc_id % 97
-    // == 0 — in production the eval suites, a SMALL fixed set). The
-    // benchmark gram set rides as ONE sorted-array row on a declared
-    // broadcast, and the corpus side is a single map pass: the native
-    // gram_hits expression streams each doc's distinct 8-grams through a
-    // binary search of the broadcast array — exact string membership, no
-    // hashing — so the corpus gram stream is NEVER materialized as rows
-    // (the r12-measured dominant cost: the explode+semi-join formulation
-    // pushed ~10^9 gram rows through the aggregation at sf10, r100=71;
-    // this shape is scan-bound). dd_bloom_gate remains the even-cheaper
-    // inexact gate. This is the standard eval-contamination gate every
-    // training pipeline runs.
+    // == 0 — in production the eval suites). The benchmark shingle set is
+    // small → broadcast semi-join: the corpus-side scan streams through
+    // map-side containment checks, nothing shuffles the corpus. This is
+    // the standard eval-contamination gate every training pipeline runs.
+    //
+    // MEASURED ALTERNATIVE (r13, kept as a negative result — SURVEY §5):
+    // an in-expression fold (native gram_hits: per-doc distinct grams
+    // binary-searched in a one-row broadcast of the sorted bench array,
+    // never materializing the gram row stream) was hypothesized to beat
+    // this shape at sf10 and measured 3.3× SLOWER (132 s vs 40.5 s pooled
+    // min): log2(7.4M) ≈ 23 cache-missing probes per gram lose to the
+    // broadcast hash join's single hash probe, and the row-stream
+    // materialization this avoids was never the dominant term. The
+    // expression ships (spec-pinned parity incl. non-BMP) for callers
+    // with SMALL gram sets; this entry keeps the measured-faster join.
     GraftQuery("dd_decontaminate", (s, d) => {
       graft.functions.F.register(s)
       val all = docs(s, d)
-      val benchRow = all.filter(col("doc_id") % 97 === 0)
+      val bench = all.filter(col("doc_id") % 97 === 0)
         .select(explode(expr("char_shingles(text, 8)")).as("sg")).distinct()
-        .agg(sort_array(collect_list(col("sg"))).as("bgs"))
-      all.crossJoin(broadcast(benchRow))
-        .select(col("doc_id"), expr("gram_hits(text, 8, bgs)").as("n_hits"))
-        // separate project: CollapseProject keeps the non-cheap gram_hits
-        // computed ONCE (inlining it into the flag would re-run the scan)
-        .select(col("doc_id"), col("n_hits"),
-          (col("n_hits") >= 5).as("contaminated"))
+      val hits = all.select(col("doc_id"), explode(expr("char_shingles(text, 8)")).as("sg"))
+        .join(broadcast(bench), Seq("sg"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      all.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) >= 5).as("contaminated"))
     },
       Some("""WITH sh AS (SELECT doc_id,
              |    list_distinct(list_transform(range(1, length(text) - 6),

@@ -97,9 +97,14 @@ PRELUDE = (
 # sweep verifies the sketch's PUBLISHED guarantees against exact DuckDB
 # counts instead of hand-recording a "regime" row: for every reported
 # (source, token) row, cnt - err <= true count <= cnt (Space-Saving
-# over-estimate bound), err <= n/capacity (Metwally et al. 2005), the
-# token exists in the source at all, and cnt is non-increasing in rk.
-# A row that passes is recorded as pass with an "eps-bound" detail.
+# over-estimate bound), err <= 2n/capacity — the single-stream bound is
+# n/capacity (Metwally et al. 2005); Spark's two-level partial->final
+# merge tree adds at most one more n/capacity term (per-partial errors
+# are each n_p/capacity and sum pointwise to <= n/capacity; a final-level
+# eviction inherits <= n/capacity once) — measured max ratio 1.03 at
+# sf10 — plus the token must exist in the source at all and cnt be
+# non-increasing in rk. A row that passes is recorded as pass with an
+# "eps-bound" detail carrying the worst observed err/(n/capacity) ratio.
 EPS_BOUND = {
     "q_approx_topk": """
 WITH res AS (SELECT * FROM read_parquet('{outdir}/q_approx_topk/*.parquet')),
@@ -118,9 +123,11 @@ SELECT (SELECT COUNT(*) FROM res) AS n_res,
   (SELECT COUNT(*) FROM j) AS n_join,
   (SELECT COUNT(*) FROM j
     WHERE NOT (cnt - err <= tc AND tc <= cnt
-               AND CAST(err AS DOUBLE) <= CAST(n AS DOUBLE) / 256)) AS n_bad,
+               AND CAST(err AS DOUBLE) <= 2 * CAST(n AS DOUBLE) / 256)) AS n_bad,
   (SELECT COUNT(*) FROM mono
-    WHERE prev IS NOT NULL AND cnt > prev) AS n_unsorted"""}
+    WHERE prev IS NOT NULL AND cnt > prev) AS n_unsorted,
+  (SELECT COALESCE(MAX(CAST(err AS DOUBLE) / (CAST(n AS DOUBLE) / 256)), 0)
+    FROM j) AS max_err_ratio"""}
 
 
 def eps_bound_check(name, sfdir, outdir, timeout):
@@ -129,7 +136,7 @@ def eps_bound_check(name, sfdir, outdir, timeout):
     code = (PRELUDE + table_views(sfdir) +
             f"row = con.execute({sql!r}).fetchone()\n"
             f"print({MARKER!r} + json.dumps({{'n_res': row[0], 'n_join': row[1],"
-            f" 'n_bad': row[2], 'n_unsorted': row[3]}}))\n")
+            f" 'n_bad': row[2], 'n_unsorted': row[3], 'max_ratio': row[4]}}))\n")
     line, err = run_sub(code, timeout)
     if not line:
         return False, f"eps-bound oracle produced no result: {err.strip()[-300:]}"
@@ -139,7 +146,9 @@ def eps_bound_check(name, sfdir, outdir, timeout):
     return ok, (f"eps-bound: sketch over-capacity regime, guarantees "
                 f"machine-checked against exact counts — {d['n_res']} rows, "
                 f"{d['n_bad']} bound violations, {d['n_res'] - d['n_join']} "
-                f"phantom tokens, {d['n_unsorted']} order violations")
+                f"phantom tokens, {d['n_unsorted']} order violations, "
+                f"max err/(n/cap) = {round(d['max_ratio'], 3)} (merge-tree "
+                f"bound 2.0)")
 
 
 def table_views(sfdir):
@@ -363,10 +372,12 @@ def main(sfdir, outdir, artifact, timeout, only=None):
                 d = json.loads(line)
                 status = "pass" if d["ok"] else "fail"
                 detail = d["detail"]
-                # a DuckDB allocation failure is the oracle-RESOURCE class
-                # (like a timeout): a statement about the oracle's cost at
-                # this scale, not about engine agreement
-                if status == "fail" and "Out of Memory" in (detail or ""):
+                # a DuckDB allocation/spill failure is the oracle-RESOURCE
+                # class (like a timeout): a statement about the oracle's
+                # cost at this scale, not about engine agreement
+                if status == "fail" and any(m in (detail or "") for m in
+                        ("Out of Memory", "No space left on device",
+                         "max_temp_directory_size")):
                     status = "oom"
                 # sketch entries: exact oracle failed → verify the sketch's
                 # published error bounds instead (see EPS_BOUND)
