@@ -357,7 +357,16 @@ object OracleMemo {
       // component-closure class: signature memo + union-find replay
       q("dd_cluster", s5 -> s5m, ccMh5Cluster),
       q("dd_canonical", s5 -> s5m, ccMh5Label),
-      q("dd_rep_rank", s5 -> s5m, ccMh5Rank),
+      // dd_rep_rank: the unrolled PageRank rounds reference the pair CTE
+      // through `ed` in EVERY round, and DuckDB re-inlines the whole
+      // banding+verify chain per reference (54 GiB spill at sf10) — swap
+      // the entire chain for the standing mh5_p pair memo, keeping the
+      // rounds and the rank/representative tail in DuckDB unchanged
+      q("dd_rep_rank",
+        Similarity.minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") ->
+          (s"WITH RECURSIVE p AS (SELECT ia, ib, jacc " +
+            s"FROM read_parquet('$dirToken/mh5_p.parquet'))"),
+        ccMh5Rank),
       q("mm_phash_cluster", ccPhashCluster),
       q("mm_pipeline_curate", ccPhashLabel),
       q("mm_pipeline_paired", ccPhashLabel),
