@@ -678,6 +678,31 @@ object PlanContracts {
         p => p.full.linesIterator.exists(l =>
           l.contains("BroadcastHashJoin") && l.contains("levenshtein")) &&
           !p.full.contains("SortMergeJoin"))),
+    "dq_referential" -> Seq(
+      noCartesian,
+      absent("Expand", "no multi-distinct Expand — the per-relationship " +
+        "orphan counts are conditional sums folding in one aggregate"),
+      Contract(
+        "exactly FOUR FileScans: the fact table ONCE (the 100 TB design " +
+          "point — one lineitem pass probes all three FKs through " +
+          "chained key joins on a slim 3-key projection) plus the three " +
+          "column-pruned parent key sides",
+        p => "FileScan".r.findAllIn(p.finalSection).length == 4),
+      Contract(
+        "every probe is an equi-join (hash-partitioned or broadcast by " +
+          "stats — dimensions may be corpus-sized, so nothing is " +
+          "DECLARED broadcast): no nested-loop join anywhere",
+        p => !p.full.contains("BroadcastNestedLoopJoin"))),
+    "er_cluster" -> Seq(
+      noCartesian,
+      Contract(
+        "ONE corpus scan: the dictionary caches (InMemoryTableScan) and " +
+          "both the match stage and the entity fold read the cache",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "the canonical-name policy is a window PARTITIONED by entity_id " +
+          "(never unpartitioned)",
+        p => p.full.contains("windowspecdefinition(entity_id"))),
     "er_survivor" -> Seq(
       noCartesian,
       absent("Expand",

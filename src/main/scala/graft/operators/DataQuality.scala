@@ -77,6 +77,52 @@ object DataQuality {
       .select("event_type", "hour_s", "n", "n_total", "n_hours", "spike")
   }
 
+  /** dq_drift's decision tail over a materialized bucket-count table
+    * `cts(bucket, n_base, n_curr)` — SHARED with streaming.Streams'
+    * st_drift so the batch gate and the live monitor score distribution
+    * shift by the SAME exact-int64 TVD rule (numerator Σ|n_i·M − m_i·N|,
+    * ONE final double division; threshold 0.1). The bucket table is
+    * cached once (≈|buckets| rows at any corpus size) because the tail
+    * reads it three times: totals, contributions, normalizer — all
+    * riding one-row declared broadcasts. */
+  def driftTail(s: SparkSession, cts0: DataFrame): DataFrame = {
+    val cts = OpCache.track(s, cts0.persist())
+    val tot = cts.agg(sum("n_base").as("nb"), sum("n_curr").as("nc"))
+    val contrib = cts.crossJoin(broadcast(tot))
+      .withColumn("contrib_num",
+        abs(col("n_base") * col("nc") - col("n_curr") * col("nb")))
+    val norm = contrib.agg(sum("contrib_num").as("sc"),
+      max("nb").as("nbt"), max("nc").as("nct"))
+    contrib.select("bucket", "n_base", "n_curr", "contrib_num")
+      .crossJoin(broadcast(norm))
+      .withColumn("tvd", col("sc").cast("double") /
+        (lit(2L) * col("nbt") * col("nct")).cast("double"))
+      .withColumn("drift", col("tvd") > lit(0.1))
+      .select("bucket", "n_base", "n_curr", "contrib_num", "tvd", "drift")
+  }
+
+  /** The tail's oracle SQL given CTEs ending at `c(bucket, n_base,
+    * n_curr)` — one SQL source for dq_drift AND st_drift. */
+  def driftTailSql(ctes: String): String =
+    s"""WITH $ctes,
+       |t AS (SELECT SUM(n_base) AS nb, SUM(n_curr) AS nc FROM c),
+       |x AS (SELECT c.bucket, c.n_base, c.n_curr,
+       |    ABS(c.n_base * t.nc - c.n_curr * t.nb) AS contrib_num
+       |  FROM c, t),
+       |n AS (SELECT SUM(contrib_num) AS sc FROM x)
+       |SELECT x.bucket,
+       |  CAST(x.n_base AS BIGINT) AS n_base,
+       |  CAST(x.n_curr AS BIGINT) AS n_curr,
+       |  CAST(x.contrib_num AS BIGINT) AS contrib_num,
+       |  CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE) AS tvd,
+       |  (CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE)) > 0.1
+       |    AS drift
+       |FROM x, t, n""".stripMargin
+
+  /** st_drift's bucket width over events.value (range ≈ [0, 560] at every
+    * sf — GenScale replicates the value domain): ~12 buckets. */
+  val stDriftWidth = 50.0
+
   /** The full anomaly oracle — one SQL source for dq_anomaly AND
     * st_anomaly (the streaming complete-mode materialization of the same
     * hourly buckets is definitionally the batch bucket table). */
@@ -179,6 +225,92 @@ object DataQuality {
              |SELECT rule, n_violations, n_violations = 0 AS pass
              |FROM rules""".stripMargin)),
 
+    // 207. multi-FK referential audit over the FACT table (the cross-table
+    // leg next to dq_checks' single-rule gate): ONE scan of lineitem probes
+    // all three dimension keys — orders, part, supplier — through chained
+    // left joins on a slim 3-key projection, and the per-relationship
+    // orphan counts fold in one aggregate. The design point is the scan
+    // count: at 100 TB the fact table IS the corpus, and the naive
+    // rule-per-relationship audit (dq_checks' shape, one anti-join per
+    // rule) re-reads it once per FK — this entry pays the dominant scan
+    // exactly once for any number of relationships, and each probe is a
+    // key-partitioned equi-join (dimensions may themselves be corpus-sized;
+    // nothing is declared broadcast). Violations are PLANTED
+    // deterministically (distinct prime moduli per FK, key negated-minus-1
+    // so the probe value provably misses the parent domain) — the audit
+    // exercises real orphan paths instead of certifying an all-zero table.
+    // Orphan rate is exact-integer ppm (n·1e6 div n_child), zero-guarded:
+    // Spark's `div` returns NULL where DuckDB raises on /0, so the guard
+    // is semantics, not style.
+    GraftQuery("dq_referential", (s, d) => {
+      val li = Tables.t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 1009 === 0, -col("l_orderkey") - 1)
+          .otherwise(col("l_orderkey")).as("fk_o"),
+        when(col("l_partkey") % 997 === 0, -col("l_partkey") - 1)
+          .otherwise(col("l_partkey")).as("fk_p"),
+        when(col("l_suppkey") % 991 === 0, -col("l_suppkey") - 1)
+          .otherwise(col("l_suppkey")).as("fk_s"))
+      // parent key sides are column-pruned PK scans; PK uniqueness (the
+      // precondition for a LEFT-join probe not multiplying fact rows) is
+      // dq_checks' unique rule — audited there, relied on here
+      val o = Tables.t(s, d, "orders")
+        .select(col("o_orderkey").as("fk_o"), lit(1).as("hit_o"))
+      val p = Tables.t(s, d, "part")
+        .select(col("p_partkey").as("fk_p"), lit(1).as("hit_p"))
+      val su = Tables.t(s, d, "supplier")
+        .select(col("s_suppkey").as("fk_s"), lit(1).as("hit_s"))
+      val agg = li.join(o, Seq("fk_o"), "left")
+        .join(p, Seq("fk_p"), "left")
+        .join(su, Seq("fk_s"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum(when(col("hit_o").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("orph_o"),
+          coalesce(sum(when(col("hit_p").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("orph_p"),
+          coalesce(sum(when(col("hit_s").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("orph_s"))
+      agg.select(explode(array(
+          struct(lit("lineitem.l_orderkey->orders").as("rel"),
+            col("n_child"), col("orph_o").as("n_orphans")),
+          struct(lit("lineitem.l_partkey->part").as("rel"),
+            col("n_child"), col("orph_p").as("n_orphans")),
+          struct(lit("lineitem.l_suppkey->supplier").as("rel"),
+            col("n_child"), col("orph_s").as("n_orphans")))).as("x"))
+        .select(col("x.rel").as("rel"), col("x.n_child").as("n_child"),
+          col("x.n_orphans").as("n_orphans"),
+          when(col("x.n_child") === 0L, 0L)
+            .otherwise(expr("x.n_orphans * 1000000 div x.n_child"))
+            .as("orphan_ppm"))
+    },
+      Some("""WITH li AS (SELECT
+             |    CASE WHEN l_orderkey % 1009 = 0 THEN -l_orderkey - 1
+             |         ELSE l_orderkey END AS fk_o,
+             |    CASE WHEN l_partkey % 997 = 0 THEN -l_partkey - 1
+             |         ELSE l_partkey END AS fk_p,
+             |    CASE WHEN l_suppkey % 991 = 0 THEN -l_suppkey - 1
+             |         ELSE l_suppkey END AS fk_s
+             |  FROM lineitem),
+             |a AS (SELECT COUNT(*) AS n_child,
+             |    COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS orph_o,
+             |    COALESCE(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END), 0) AS orph_p,
+             |    COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS orph_s
+             |  FROM li
+             |  LEFT JOIN orders o ON o.o_orderkey = li.fk_o
+             |  LEFT JOIN part p ON p.p_partkey = li.fk_p
+             |  LEFT JOIN supplier s ON s.s_suppkey = li.fk_s),
+             |rels AS (
+             |  SELECT 'lineitem.l_orderkey->orders' AS rel,
+             |    CAST(n_child AS BIGINT) AS n_child,
+             |    CAST(orph_o AS BIGINT) AS n_orphans FROM a
+             |  UNION ALL SELECT 'lineitem.l_partkey->part',
+             |    CAST(n_child AS BIGINT), CAST(orph_p AS BIGINT) FROM a
+             |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+             |    CAST(n_child AS BIGINT), CAST(orph_s AS BIGINT) FROM a)
+             |SELECT rel, n_child, n_orphans,
+             |  CASE WHEN n_child = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE n_orphans * 1000000 // n_child END AS orphan_ppm
+             |FROM rels""".stripMargin)),
+
     // 198. per-column profile (the Deequ profiler surface): row count,
     // null count, exact distinct count, min/max per column of the orders
     // snapshot — numerics surface as DOUBLE (min_n/max_n), strings and
@@ -268,43 +400,19 @@ object DataQuality {
       val o = ord(s, d).select(
         floor(col("o_totalprice") / lit(bucketWidth)).as("bucket"),
         (col("o_orderkey") % 2 === 0).as("is_base"))
-      val cts = OpCache.track(s, o.groupBy("bucket").agg(
+      driftTail(s, o.groupBy("bucket").agg(
         sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr")).persist())
-      val tot = cts.agg(sum("n_base").as("nb"), sum("n_curr").as("nc"))
-      val contrib = cts.crossJoin(broadcast(tot))
-        .withColumn("contrib_num",
-          abs(col("n_base") * col("nc") - col("n_curr") * col("nb")))
-      val norm = contrib.agg(sum("contrib_num").as("sc"),
-        max("nb").as("nbt"), max("nc").as("nct"))
-      contrib.select("bucket", "n_base", "n_curr", "contrib_num")
-        .crossJoin(broadcast(norm))
-        .withColumn("tvd", col("sc").cast("double") /
-          (lit(2L) * col("nbt") * col("nct")).cast("double"))
-        .withColumn("drift", col("tvd") > lit(0.1))
-        .select("bucket", "n_base", "n_curr", "contrib_num", "tvd", "drift")
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr")))
     },
-      Some(s"""WITH b AS (SELECT
-             |    CAST(FLOOR(o_totalprice / $bucketWidth) AS BIGINT) AS bucket,
-             |    (o_orderkey % 2 = 0) AS is_base
-             |  FROM orders),
-             |c AS (SELECT bucket,
-             |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
-             |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
-             |  FROM b GROUP BY bucket),
-             |t AS (SELECT SUM(n_base) AS nb, SUM(n_curr) AS nc FROM c),
-             |x AS (SELECT c.bucket, c.n_base, c.n_curr,
-             |    ABS(c.n_base * t.nc - c.n_curr * t.nb) AS contrib_num
-             |  FROM c, t),
-             |n AS (SELECT SUM(contrib_num) AS sc FROM x)
-             |SELECT x.bucket,
-             |  CAST(x.n_base AS BIGINT) AS n_base,
-             |  CAST(x.n_curr AS BIGINT) AS n_curr,
-             |  CAST(x.contrib_num AS BIGINT) AS contrib_num,
-             |  CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE) AS tvd,
-             |  (CAST(n.sc AS DOUBLE) / CAST(2 * t.nb * t.nc AS DOUBLE)) > 0.1
-             |    AS drift
-             |FROM x, t, n""".stripMargin)),
+      Some(driftTailSql(
+        s"""b AS (SELECT
+           |    CAST(FLOOR(o_totalprice / $bucketWidth) AS BIGINT) AS bucket,
+           |    (o_orderkey % 2 = 0) AS is_base
+           |  FROM orders),
+           |c AS (SELECT bucket,
+           |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+           |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+           |  FROM b GROUP BY bucket)""".stripMargin))),
 
     // 202. volume-anomaly detection (the ingest-monitor surface next to
     // dq_drift's distribution monitor): per (event_type, hour) arrival

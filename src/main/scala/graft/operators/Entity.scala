@@ -39,6 +39,50 @@ import org.apache.spark.sql.functions._
   */
 object Entity {
 
+  /** The normalized-name dictionary: one corpus scan aggregated per name
+    * (row support + stable int64 id = min partkey — mins over disjoint row
+    * sets are distinct, so nid is a valid node key for the closure). The
+    * SHARED stage er_blocked_match and er_cluster both start from; the
+    * caller decides persistence. */
+  private[operators] def nameDict(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "part")
+      .select(lower(trim(col("p_name"))).as("name"), col("p_partkey"))
+      .groupBy("name").agg(count(lit(1)).as("n_rows"),
+        min("p_partkey").as("nid"))
+
+  /** Token-blocked candidate generation + levenshtein-≤3 verify over the
+    * (cached) dictionary — the SHARED match stage: pairs never leave the
+    * vocabulary-bounded dictionary, the quadratic term is per-block on
+    * names, and the verify is fused into the broadcast join. */
+  private[operators] def matchedPairs(names: DataFrame): DataFrame = {
+    val toks = names.select(col("name"), explode(split(col("name"), " "))
+      .as("tok")).where(length(col("tok")) > 0)
+    toks.as("a")
+      .join(broadcast(toks.as("b")),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .where(col("dist") <= 3)
+  }
+
+  /** The shared match-stage oracle CTEs, ending at
+    * `m(name_a, name_b, dist)` — one SQL source for both entries. */
+  private val matchSqlCtes: String =
+    """names AS (SELECT lower(trim(p_name)) AS name,
+      |    COUNT(*) AS n_rows, MIN(p_partkey) AS nid
+      |  FROM part GROUP BY 1),
+      |tok AS (SELECT name, unnest(string_split(name, ' ')) AS tok
+      |  FROM names),
+      |tok2 AS (SELECT name, tok FROM tok WHERE length(tok) > 0),
+      |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM tok2 a JOIN tok2 b
+      |    ON a.tok = b.tok AND a.name < b.name),
+      |m AS (SELECT name_a, name_b,
+      |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      |  FROM cand WHERE levenshtein(name_a, name_b) <= 3)""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 200. blocked fuzzy match over the normalized part-name dictionary:
@@ -51,22 +95,8 @@ object Entity {
       // ONE corpus scan: the dictionary (vocabulary-bounded) is cached and
       // every downstream consumer — both token sides and both frequency
       // joins — reads the cache, never the corpus again
-      val names = OpCache.track(s, Tables.t(s, d, "part")
-        .select(lower(trim(col("p_name"))).as("name"))
-        .groupBy("name").agg(count(lit(1)).as("n_rows")).persist())
-      // the dictionary is vocabulary-bounded: broadcast it through the
-      // token self-join so candidate generation never shuffles
-      val toks = names.select(col("name"), explode(split(col("name"), " "))
-        .as("tok")).where(length(col("tok")) > 0)
-      val cand = toks.as("a")
-        .join(broadcast(toks.as("b")),
-          col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
-        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-        .distinct()
-      val matched = cand
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
-          .cast("long"))
-        .where(col("dist") <= 3)
+      val names = OpCache.track(s, nameDict(s, d).persist())
+      val matched = matchedPairs(names)
       matched
         .join(broadcast(names.withColumnRenamed("name", "name_a")
           .withColumnRenamed("n_rows", "n_rows_a")), Seq("name_a"))
@@ -74,24 +104,68 @@ object Entity {
           .withColumnRenamed("n_rows", "n_rows_b")), Seq("name_b"))
         .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
     },
-      Some("""WITH names AS (SELECT lower(trim(p_name)) AS name,
-             |    COUNT(*) AS n_rows
-             |  FROM part GROUP BY 1),
-             |tok AS (SELECT name, unnest(string_split(name, ' ')) AS tok
-             |  FROM names),
-             |tok2 AS (SELECT name, tok FROM tok WHERE length(tok) > 0),
-             |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-             |  FROM tok2 a JOIN tok2 b
-             |    ON a.tok = b.tok AND a.name < b.name),
-             |m AS (SELECT name_a, name_b,
-             |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-             |  FROM cand WHERE levenshtein(name_a, name_b) <= 3)
+      Some(s"""WITH $matchSqlCtes
              |SELECT m.name_a, m.name_b, m.dist,
              |  CAST(na.n_rows AS BIGINT) AS n_rows_a,
              |  CAST(nb.n_rows AS BIGINT) AS n_rows_b
              |FROM m
              |JOIN names na ON na.name = m.name_a
              |JOIN names nb ON nb.name = m.name_b""".stripMargin)),
+
+    // 208. entity clustering — the closure step between matching and
+    // survivorship: transitive closure over the verified match pairs
+    // (a~b, b~c ⇒ one entity) via the SAME min-label propagation the
+    // near-dup families use (Components.minLabel — the pair graph is
+    // dictionary-bounded, so the loop converges in 2-3 rounds of
+    // (id, label) shuffles at any corpus size), then one consolidated
+    // row per ENTITY: member census, total row support, and the
+    // canonical name (highest row support, ties → lexicographically
+    // first — the representativity rule MDM survivorship uses).
+    // Published shape: Papadakis 2020's block→compare→cluster pipeline;
+    // Fellegi-Sunter links, closure resolves. Names with no match are
+    // their own singleton entity (entity_id = own nid). The oracle
+    // closes the cluster with a recursive CTE — safe HERE at every
+    // scale because the node set is the vocabulary-bounded dictionary,
+    // never corpus rows (the same argument er_blocked_match's block
+    // join rests on).
+    GraftQuery("er_cluster", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val names = OpCache.track(s, nameDict(s, d).persist())
+      // map verified name pairs to int64 node ids (dictionary-bounded
+      // declared broadcasts), close, and label every name
+      val na = names.select(col("name").as("name_a"), col("nid").as("ia"))
+      val nb = names.select(col("name").as("name_b"), col("nid").as("ib"))
+      val idPairs = matchedPairs(names)
+        .join(broadcast(na), Seq("name_a"))
+        .join(broadcast(nb), Seq("name_b"))
+        .select("ia", "ib")
+      val labels = Components.minLabel(s, idPairs)
+        .withColumnRenamed("id", "nid")
+      val ent = names.join(labels, Seq("nid"), "left")
+        .withColumn("entity_id", coalesce(col("label"), col("nid")))
+      val w = Window.partitionBy(col("entity_id"))
+        .orderBy(col("n_rows").desc, col("name").asc)
+      ent.withColumn("rn", row_number().over(w))
+        .groupBy("entity_id").agg(
+          count(lit(1)).as("n_names"),
+          sum("n_rows").as("n_rows"),
+          max(when(col("rn") === 1, col("name"))).as("canonical_name"))
+    },
+      Some(s"""WITH RECURSIVE $matchSqlCtes,
+             |p AS (SELECT na.nid AS ia, nb.nid AS ib
+             |  FROM m
+             |  JOIN names na ON na.name = m.name_a
+             |  JOIN names nb ON nb.name = m.name_b),
+             |${DuckSql.reachCc("p", "id", "label")},
+             |ent AS (SELECT n.name, n.n_rows,
+             |    COALESCE(cc.label, n.nid) AS entity_id
+             |  FROM names n LEFT JOIN cc ON cc.id = n.nid),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY entity_id
+             |    ORDER BY n_rows DESC, name) AS rn FROM ent)
+             |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_names,
+             |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             |  MAX(CASE WHEN rn = 1 THEN name END) AS canonical_name
+             |FROM rk GROUP BY entity_id""".stripMargin)),
 
     // 201. survivorship / golden record: one consolidated row per
     // resolved entity (the exact-normalized name) with the standard MDM

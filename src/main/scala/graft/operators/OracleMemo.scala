@@ -283,6 +283,122 @@ object OracleMemo {
     sql.substring(a, b)
   }
 
+  // ---- two-level quantizer memos (dd_semantic_hier) -------------------
+  //
+  // The hier oracle's two assignment windows (a1: N×K1 coarse, a2: N×K2
+  // fine) are each referenced by later CTEs (f re-reads a1; j re-reads a2
+  // twice) and DuckDB re-inlines the window chain per reference — the
+  // sf10 timeout class (901 s, CORRECTNESS_sf10 r13). Every build below
+  // is the oracle's OWN CTE text sliced between markers, with earlier
+  // CTEs swapped for memo reads and — for the chunked builds — a chunk
+  // predicate on the vec_id side; both windows PARTITION BY vec_id, so a
+  // vec_id chunk is exact (a2's f/n sides stay FULL: a fine centroid may
+  // live in any chunk). Two ivfAsgCheck-style md5-sampled checks guard
+  // the assembly (the c1-memo indirection and the f-memo indirection).
+  private lazy val hierSql: String = allOracles("dd_semantic_hier")
+  private def hierPart(from: String, until: String): String = {
+    // newline-anchored (bare "f AS (" could in principle match mid-token),
+    // leading newline dropped so parts re-assemble with explicit "\n"
+    slice("dd_semantic_hier", hierSql, "\n" + from, "\n" + until).drop(1)
+  }
+  /** e/n prelude exactly as the hier oracle spells it (list_reduce norm). */
+  private lazy val hierEN: String =
+    slice("dd_semantic_hier", hierSql, "e AS (", "\nc1 AS (")
+  private lazy val hierC1 = hierPart("c1 AS (", "a1 AS (")
+  private lazy val hierA1 = hierPart("a1 AS (", "f AS (")
+  private lazy val hierF = hierPart("f AS (", "a2 AS (")
+  private lazy val hierA2 = hierPart("a2 AS (", "j AS (")
+
+  private val hierEmbedMark = "  FROM embeddings),"
+  private def hierENChunked: String = {
+    require(hierEN.contains(hierEmbedMark),
+      "OracleMemo: dd_semantic_hier lost its embeddings-scan marker")
+    hierEN.replace(hierEmbedMark,
+      "  FROM embeddings WHERE vec_id % $CHUNK_MOD = $CHUNK_IDX),")
+  }
+
+  private lazy val hierC1Build: String =
+    s"WITH $hierEN\n${hierC1.stripSuffix(",")}\nSELECT cid, cv FROM c1"
+
+  private lazy val hierA1Build: String =
+    s"""WITH $hierENChunked
+       |c1 AS (SELECT cid, cv FROM read_parquet('$dirToken/hier_c1.parquet')),
+       |${hierA1.stripSuffix(",")}
+       |SELECT vec_id, coarse_id FROM a1""".stripMargin
+
+  private lazy val hierA1Check: String =
+    s"""WITH $hierEN
+       |${hierC1.stripSuffix(",")},
+       |samp AS (SELECT * FROM n WHERE md5(CAST(vec_id AS VARCHAR)) LIKE '00%'),
+       |plain AS (SELECT vec_id, cid FROM (
+       |    SELECT samp.vec_id, c1.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY samp.vec_id ORDER BY
+       |        ${Similarity.duckL2("samp.v", "c1.cv")}, c1.cid) AS rn
+       |    FROM samp CROSS JOIN c1) WHERE rn = 1)
+       |SELECT COUNT(*) AS sampled,
+       |  SUM(CASE WHEN m.coarse_id = plain.cid THEN 1 ELSE 0 END) AS n_match
+       |FROM plain JOIN read_parquet('$dirToken/hier_a1.parquet/*.parquet') m
+       |  ON m.vec_id = plain.vec_id""".stripMargin
+
+  private val hierA1Rd =
+    s"SELECT vec_id, coarse_id FROM read_parquet('$dirToken/hier_a1.parquet/*.parquet')"
+
+  private lazy val hierFBuild: String =
+    s"""WITH a1 AS ($hierA1Rd),
+       |${hierF.stripSuffix(",")}
+       |SELECT coarse_id, fcid FROM f""".stripMargin
+
+  private lazy val hierA2Build: String =
+    s"""WITH $hierEN
+       |a1 AS ($hierA1Rd
+       |  WHERE vec_id % $$CHUNK_MOD = $$CHUNK_IDX),
+       |f AS (SELECT coarse_id, fcid FROM read_parquet('$dirToken/hier_f.parquet')),
+       |${hierA2.stripSuffix(",")}
+       |SELECT vec_id, coarse_id, fine_id FROM a2""".stripMargin
+
+  /** Validates the hier_f memo AND the a2 chunk assembly: fine codebooks
+    * re-derived INLINE (the oracle's own f text) from the a1 memo, then
+    * the sampled fine assignment recomputed plain and compared. */
+  private lazy val hierA2Check: String =
+    s"""WITH $hierEN
+       |a1 AS ($hierA1Rd),
+       |${hierF.stripSuffix(",")},
+       |samp AS (SELECT a1.vec_id, a1.coarse_id, n.v
+       |  FROM a1 JOIN n USING (vec_id)
+       |  WHERE md5(CAST(a1.vec_id AS VARCHAR)) LIKE '00%'),
+       |plain AS (SELECT vec_id, fcid FROM (
+       |    SELECT samp.vec_id, f.fcid,
+       |      ROW_NUMBER() OVER (PARTITION BY samp.vec_id ORDER BY
+       |        ${Similarity.duckL2("samp.v", "nf.v")}, f.fcid) AS rn
+       |    FROM samp JOIN f ON f.coarse_id = samp.coarse_id
+       |    JOIN n nf ON nf.vec_id = f.fcid) WHERE rn = 1)
+       |SELECT COUNT(*) AS sampled,
+       |  SUM(CASE WHEN m.fine_id = plain.fcid THEN 1 ELSE 0 END) AS n_match
+       |FROM plain JOIN read_parquet('$dirToken/hier_a2.parquet/*.parquet') m
+       |  ON m.vec_id = plain.vec_id""".stripMargin
+
+  // ---- scrub-chain memo (ta_pipeline_full) -----------------------------
+  //
+  // ta_pipeline_full's oracle references `scrubbed` from FIVE downstream
+  // CTE families (gopher metrics, exact-dedup hash, the 8-gram shingle
+  // stage, the bench set, the final accounting join) and DuckDB re-inlines
+  // the full 3-stage scrub chain per reference — 51 GiB of spill at sf10.
+  // The memo is the chain's own text verbatim (TextOps2.scrubSqlCtes, the
+  // exact SQL ta_pipeline_scrub's PASSING sf10 row runs — that row stays
+  // unswapped, so each sweep still certifies the memo's formulation
+  // against Spark's scrub output end to end); the chain is corpus-level
+  // (line dedup crosses documents), so it builds as ONE sql memo, not
+  // chunked.
+  private lazy val scrubCleanBuild: String =
+    s"""WITH ${TextOps2.scrubSqlCtes}
+       |SELECT doc_id, source, n_pii, n_seg_removed, n_span_removed,
+       |  n_toks_final, clean_text FROM scrubbed""".stripMargin
+
+  private val scrubbedM =
+    s"scrubbed AS (SELECT doc_id, source, n_pii, n_seg_removed, " +
+      s"n_span_removed, n_toks_final, clean_text " +
+      s"FROM read_parquet('$dirToken/scrub_clean.parquet')),"
+
   // ---- memo builds (ordered: later entries may read earlier memos) ----
 
   /** (name, kind, payload): kind "sql" = COPY the SELECT to
@@ -308,7 +424,14 @@ object OracleMemo {
     ("pq_codes", "sql_chunked:8", pqCodesBuild),
     ("pq_codes_check", "check", pqCodesCheck),
     ("cdc_ch", "sql_chunked:16", cdcChBuild),
-    ("sh_fp", "sql_chunked:16", shFpBuild))
+    ("sh_fp", "sql_chunked:16", shFpBuild),
+    ("hier_c1", "sql", hierC1Build),
+    ("hier_a1", "sql_chunked:4", hierA1Build),
+    ("hier_a1_check", "check", hierA1Check),
+    ("hier_f", "sql", hierFBuild),
+    ("hier_a2", "sql_chunked:4", hierA2Build),
+    ("hier_a2_check", "check", hierA2Check),
+    ("scrub_clean", "sql", scrubCleanBuild))
 
   private def swapAll(name: String, sql0: String,
       subs: Seq[(String, String)]): String =
@@ -350,7 +473,17 @@ object OracleMemo {
       q("st_incremental", s5 -> s5m),
       q("dd_split_leak", s5 -> s5m),
       q("ta_pipeline_curate", s5 -> s5m),
-      q("ta_pipeline_full", s5 -> s5m),
+      // ta_pipeline_full: the grand capstone references `scrubbed` from
+      // five CTE families and the pair chain once — swap the WHOLE pair
+      // chain for the mh5_p memo (the dd_rep_rank discipline) and the
+      // scrub chain for the scrub_clean memo; every selection-side stage
+      // (gopher, prune, dedup, decontamination, DSIR, mixing, packing,
+      // split) runs in DuckDB unchanged
+      q("ta_pipeline_full",
+        Similarity.minhashPairsSql.stripPrefix("WITH ") ->
+          (s"p AS (SELECT ia, ib, jacc " +
+            s"FROM read_parquet('$dirToken/mh5_p.parquet'))"),
+        s"${TextOps2.scrubSqlCtes}," -> scrubbedM),
       q("dd_ngram_jaccard", s3 -> s3m),
       q("dd_pipeline", sk -> skm),
       q("dd_source_overlap", ss -> ssm),
@@ -384,7 +517,14 @@ object OracleMemo {
       annQ("emb_pq_recall_eval", "idx AS (" -> pqAsgM, "dists AS (" -> codesM),
       q("dd_chunk_dedup", cdcChainSlice -> cdcChM),
       q("dd_simhash", shFpSlice -> shFpM),
-      q("mm_phash", Multimodal.phashPairsSql -> phashPairsM))
+      q("mm_phash", Multimodal.phashPairsSql -> phashPairsM),
+      // dd_semantic_hier: swap the whole c1→a1→f→a2 block (both
+      // re-inlined assignment windows) for the chunked a2 memo; the
+      // within-cell pairwise verify (j) and n stay in DuckDB
+      q("dd_semantic_hier",
+        slice("dd_semantic_hier", hierSql, "\nc1 AS (", "\nj AS (") ->
+          (s"\na2 AS (SELECT vec_id, coarse_id, fine_id " +
+            s"FROM read_parquet('$dirToken/hier_a2.parquet/*.parquet')),")))
   }
 
   /** ANN-class swap: for each (untilMarker, replacement), slice the

@@ -964,7 +964,53 @@ object Streams {
       graft.operators.DataQuality.anomalyFlag(
         runToTable(s, hourly, OutputMode.Complete()))
     },
-      Some(graft.operators.DataQuality.anomalySql))
+      Some(graft.operators.DataQuality.anomalySql)),
+
+    // 209 (§2.3 #199 dq_drift's streaming twin — the monitor family's
+    // distribution leg goes live, completing the batch/stream pairing:
+    // volume = dq_anomaly/st_anomaly, distribution = dq_drift/st_drift).
+    // Production shape: the BASELINE histogram is the standing artifact
+    // of the admitted corpus (a static read, amortized across
+    // evaluations); the stream maintains the LIVE value histogram
+    // (complete-mode fixed-bucket aggregate — state is |buckets| rows,
+    // bounded at any rate); each evaluation joins the two ~12-row tables
+    // and scores the shift with operators.DataQuality.driftTail, the
+    // SAME exact-int64 TVD rule the batch gate uses (single-sourced: a
+    // threshold change cannot drift between gate and monitor). The
+    // deterministic replay splits events on event_id parity (even =
+    // admitted baseline, odd = live arrivals); the bucket join is
+    // FULL OUTER with null-safe keys (a bucket present on one side only
+    // must surface as drift mass, not vanish — and both engines agree
+    // NULL-bucket rows pair up under IS NOT DISTINCT FROM).
+    GraftQuery("st_drift", (s, d) => {
+      val w = graft.operators.DataQuality.stDriftWidth
+      val base = graft.Tables.t(s, d, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(floor(col("value") / w).as("bucket"))
+        .agg(count(lit(1)).as("n_base"))
+      val curr = eventsStream(s, d)
+        .filter(col("event_id") % 2 =!= 0)
+        .groupBy(floor(col("value") / w).as("bucket"))
+        .agg(count(lit(1)).as("n_curr"))
+      val currT = runToTable(s, curr, OutputMode.Complete())
+      val cts = base.join(currT, base("bucket") <=> currT("bucket"),
+          "full_outer")
+        .select(coalesce(base("bucket"), currT("bucket")).as("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+      graft.operators.DataQuality.driftTail(s, cts)
+    },
+      Some(graft.operators.DataQuality.driftTailSql(
+        s"""bb AS (SELECT CAST(FLOOR(value / ${graft.operators.DataQuality.stDriftWidth}) AS BIGINT) AS bucket,
+           |    COUNT(*) AS n_base
+           |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+           |cc AS (SELECT CAST(FLOOR(value / ${graft.operators.DataQuality.stDriftWidth}) AS BIGINT) AS bucket,
+           |    COUNT(*) AS n_curr
+           |  FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
+           |c AS (SELECT COALESCE(bb.bucket, cc.bucket) AS bucket,
+           |    COALESCE(bb.n_base, 0) AS n_base,
+           |    COALESCE(cc.n_curr, 0) AS n_curr
+           |  FROM bb FULL JOIN cc ON bb.bucket IS NOT DISTINCT FROM cc.bucket)""".stripMargin)))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;

@@ -201,4 +201,90 @@ class DataQualitySpec extends SparkSpec {
     assert(run("dq_anomaly", dir).count() == 0L)
     assert(run("dq_freshness", dir).count() == 0L)
   }
+
+  /** A fact/dimension star crafted so every orphan class is exercised:
+    * planted-modulus keys (1009/997/991 — present in the parents, but the
+    * audit probes the negated key, modelling a corrupted feed), a NATURAL
+    * orphan (orders key 5 absent), and clean rows. */
+  private lazy val refDir: String = {
+    import spark.implicits._
+    val dir = specTempDir("dqref")
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (1009L, 1L, 1L), (5L, 1L, 1L),
+      (1L, 997L, 991L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 1009L).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(1L, 997L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(1L, 991L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    dir
+  }
+
+  test("dq_referential: planted + natural orphans counted exactly, ppm integer-exact") {
+    val rows = run("dq_referential", refDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // orders: key 1009 planted-corrupt (probe -1010) + key 5 naturally
+    // absent -> 2 of 5; part/supplier: one planted each
+    assert(rows("lineitem.l_orderkey->orders") == ((5L, 2L, 400000L)))
+    assert(rows("lineitem.l_partkey->part") == ((5L, 1L, 200000L)))
+    assert(rows("lineitem.l_suppkey->supplier") == ((5L, 1L, 200000L)))
+  }
+
+  test("dq_referential: empty fact table keeps three zero rows (ppm division guarded)") {
+    val dir = specTempDir("dqrefempty")
+    Tables.t(spark, refDir, "lineitem").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    for (t <- Seq("orders", "part", "supplier"))
+      Tables.t(spark, refDir, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    val rows = run("dq_referential", dir).collect()
+    assert(rows.length == 3 &&
+      rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L))
+  }
+
+  test("st_drift is its batch analog row-for-row (the single-sourced TVD tail cannot drift)") {
+    val w = operators.DataQuality.stDriftWidth
+    val ev = Tables.t(spark, sf, "events")
+    def hist(even: Boolean, as: String) = ev
+      .filter(if (even) col("event_id") % 2 === 0 else col("event_id") % 2 =!= 0)
+      .groupBy(floor(col("value") / w).as("bucket"))
+      .agg(count(lit(1)).as(as))
+    val base = hist(even = true, "n_base")
+    val curr = hist(even = false, "n_curr")
+    val cts = base.join(curr, base("bucket") <=> curr("bucket"), "full_outer")
+      .select(coalesce(base("bucket"), curr("bucket")).as("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+    val batch = operators.DataQuality.driftTail(spark, cts)
+      .collect().map(_.toSeq).toSet
+    val stream = run("st_drift", sf).collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
+  test("st_drift: a bucket on ONE side only surfaces as drift mass (full-outer pin)") {
+    import spark.implicits._
+    val dir = specTempDir("stdrift1")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    // base (even ids): 4 rows in bucket 0; curr (odd ids): 2 in bucket 0
+    // and 2 in bucket 10 (value 500) — a bucket the baseline never saw.
+    // nb=nc=4; contribs |4*4-2*4|=8 and |0*4-2*4|=8 -> tvd 16/32 = 0.5
+    val rows = Seq(
+      (2L, ts(0), 10.0), (4L, ts(1), 10.0), (6L, ts(2), 10.0), (8L, ts(3), 10.0),
+      (1L, ts(4), 10.0), (3L, ts(5), 10.0), (5L, ts(6), 500.0), (7L, ts(7), 500.0))
+    rows.toDF("event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = run("st_drift", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(0L) == ((4L, 2L, 8L, 0.5, true)))
+    assert(out(10L) == ((0L, 2L, 8L, 0.5, true)),
+      "the curr-only bucket must appear with n_base = 0")
+    assert(out.size == 2)
+  }
 }

@@ -79,6 +79,56 @@ class EntitySpec extends SparkSpec {
     assert(run("er_survivor", dir).count() == 0L)
   }
 
+  test("er_cluster: closure, singletons and canonical policy on the crafted catalog") {
+    val ents = run("er_cluster", craftedDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // matches: only (acme widget, acmee widget) -> entity_id = min nid = 1,
+    // canonical = tie on n_rows (1 each) -> lexicographically first
+    assert(ents(1L) == ((2L, 2L, "acme widget")), s"got ${ents.get(1L)}")
+    // "red widget" consolidates both case variants BEFORE clustering:
+    // singleton entity with n_rows 2 and its own nid (5)
+    assert(ents(5L) == ((1L, 2L, "red widget")))
+    // abc/abd share no token -> blocked apart -> two singleton entities
+    assert(ents(3L) == ((1L, 1L, "abc")) && ents(4L) == ((1L, 1L, "abd")))
+    assert(ents.size == 5, s"5 entities over 6 names, got ${ents.keySet}")
+  }
+
+  test("er_cluster: transitive closure chains a~b~c into ONE entity without a direct a~c match") {
+    import spark.implicits._
+    val dir = specTempDir("erchain")
+    // dist(aa, aabb) = 2, dist(aabb, aabbcc) = 2, dist(aa, aabbcc) = 4 —
+    // the endpoints match only THROUGH the middle name
+    Seq((10L, "widget aa", "B#1", 1, 1.0),
+      (11L, "widget aabb", "B#1", 1, 1.0),
+      (12L, "widget aabbcc", "B#1", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pairs = run("er_blocked_match", dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("widget aa", "widget aabb"),
+      ("widget aabb", "widget aabbcc")), s"endpoint pair must be absent: $pairs")
+    val ents = run("er_cluster", dir).collect()
+    assert(ents.length == 1 && ents.head.getLong(0) == 10L &&
+      ents.head.getLong(1) == 3L, s"one 3-name entity, got ${ents.mkString(";")}")
+  }
+
+  test("er_cluster: empty catalog keeps the empty output contract") {
+    val dir = specTempDir("ercempty")
+    Tables.t(spark, craftedDir, "part").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    assert(run("er_cluster", dir).count() == 0L)
+  }
+
+  test("er_cluster on the real catalog: a partition of the dictionary") {
+    val names = Tables.t(spark, sf, "part")
+      .select(lower(trim(col("p_name"))).as("n")).distinct().count()
+    val ents = run("er_cluster", sf).collect()
+    assert(ents.map(_.getLong(1)).sum == names,
+      "every dictionary name belongs to exactly one entity")
+    assert(ents.map(_.getLong(0)).distinct.length == ents.length)
+  }
+
   test("er_blocked_match on the real catalog: vocabulary-bounded and symmetric-free") {
     val rows = run("er_blocked_match", sf).collect()
     assert(rows.nonEmpty, "the 8x8 name grid has near pairs")
