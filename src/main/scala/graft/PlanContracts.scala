@@ -678,6 +678,25 @@ object PlanContracts {
         p => p.full.linesIterator.exists(l =>
           l.contains("BroadcastHashJoin") && l.contains("levenshtein")) &&
           !p.full.contains("SortMergeJoin"))),
+    "q_quantile_sketch" -> Seq(
+      noCartesian,
+      Contract(
+        "the KMV sample rides the custom bounded-heap operator (partial+" +
+          "final TopKPerGroup — ≤256 rows per group per partition cross " +
+          "the shuffle, never a window full-sort of the corpus on the " +
+          "sketch path)",
+        p => "TopKPerGroup".r.findAllIn(p.full).length >= 2),
+      Contract(
+        "ONE corpus scan: the slim (grp, v, id, hk) projection caches " +
+          "(InMemoryTableScan) and both the sketch and the exact-eval " +
+          "side read the cache (FULL-text check, the dq_drift note — " +
+          "the nested cached-relation plan truncates the final-section " +
+          "split)",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "every window is PARTITIONED by grp (the exact-eval harness " +
+          "ranks within groups; nothing unpartitioned)",
+        p => p.full.contains("windowspecdefinition(grp"))),
     "dq_referential" -> Seq(
       noCartesian,
       absent("Expand", "no multi-distinct Expand — the per-relationship " +

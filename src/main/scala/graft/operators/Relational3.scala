@@ -153,6 +153,94 @@ object Relational3 {
              |  CAST(0 AS BIGINT) AS err
              |FROM r WHERE rk <= 20""".stripMargin)),
 
+    // 210. deterministic mergeable quantile sketch + built-in error eval
+    // (the KMV analog of q_approx_topk: GK/KLL solve streaming quantiles
+    // with order-dependent compaction that no second engine can replay —
+    // this sketch is a per-group bottom-k sample by md5 rank, a UNIFORM
+    // sample that is a deterministic FUNCTION of the data: min-k of a
+    // union is the min-k of the mins, so partials merge exactly like
+    // aggregation and results are independent of partitioning, merge
+    // order and engine). The sample rides the custom TopKPerGroup
+    // bounded-heap operator — ≤256 rows per group per input partition
+    // cross the shuffle, never the corpus (the 100 TB shape; a window
+    // row_number sample would full-sort every group). Quantile estimate
+    // = the sample value at index floor((m−1)·p)+1 under the total order
+    // (v, id) — pure int64 index arithmetic, no interpolation, no float.
+    // The EXACT quantiles ride along per group (same index rule over the
+    // full group — the eval harness, like emb_recall_eval's exact side:
+    // the production path is the sketch half, the exact half prices its
+    // error). Values are exact cents (decimal(12,2)·100 → BIGINT).
+    GraftQuery("q_quantile_sketch", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftOps.register(s)
+      val li = OpCache.track(s, Tables.t(s, d, "lineitem").select(
+          col("l_returnflag").as("grp"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("v"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+        .withColumn("hk",
+          conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .persist())
+      val wG = Window.partitionBy(col("grp"))
+      def quantiles(df: DataFrame, sizeName: String,
+          prefix: String): DataFrame = {
+        val wV = wG.orderBy(col("v").asc, col("id").asc)
+        val ranked = df.withColumn("vr", row_number().over(wV).cast("long"))
+          .withColumn(sizeName, count(lit(1)).over(wG))
+        ranked.groupBy("grp").agg(
+          max(sizeName).as(sizeName),
+          max(when(col("vr") ===
+            expr(s"($sizeName - 1) * 50 div 100 + 1"), col("v")))
+            .as(s"${prefix}_p50"),
+          max(when(col("vr") ===
+            expr(s"($sizeName - 1) * 90 div 100 + 1"), col("v")))
+            .as(s"${prefix}_p90"),
+          max(when(col("vr") ===
+            expr(s"($sizeName - 1) * 99 div 100 + 1"), col("v")))
+            .as(s"${prefix}_p99"))
+      }
+      val samp = graft.plans.GraftOps.topKPerGroup(s,
+          li.select("grp", "v", "id", "hk"), Seq("grp"),
+          Seq(("hk", true), ("id", true)), 256)
+        .select("grp", "v", "id")
+      quantiles(samp, "m", "est")
+        .join(quantiles(li, "n", "ex"), Seq("grp"))
+        .select("grp", "n", "m", "est_p50", "ex_p50", "est_p90", "ex_p90",
+          "est_p99", "ex_p99")
+    },
+      Some {
+        val base =
+          s"""b0 AS (SELECT l_returnflag AS grp,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+             |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+             |  FROM lineitem),
+             |b AS (SELECT grp, v, id,
+             |    ${Relational.duckHex8("md5(CAST(id AS VARCHAR))", 1)} AS hk
+             |  FROM b0),
+             |samp AS (SELECT grp, v, id FROM (
+             |    SELECT grp, v, id,
+             |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, id) AS rk
+             |    FROM b) WHERE rk <= 256)""".stripMargin
+        def quant(src: String, size: String, prefix: String) =
+          s"""${prefix}r AS (SELECT grp, v,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
+             |    COUNT(*) OVER (PARTITION BY grp) AS $size
+             |  FROM $src),
+             |${prefix}q AS (SELECT grp, MAX($size) AS $size,
+             |    MAX(CASE WHEN vr = ($size - 1) * 50 // 100 + 1 THEN v END) AS ${prefix}_p50,
+             |    MAX(CASE WHEN vr = ($size - 1) * 90 // 100 + 1 THEN v END) AS ${prefix}_p90,
+             |    MAX(CASE WHEN vr = ($size - 1) * 99 // 100 + 1 THEN v END) AS ${prefix}_p99
+             |  FROM ${prefix}r GROUP BY grp)""".stripMargin
+        s"""WITH $base,
+           |${quant("samp", "m", "est")},
+           |${quant("b", "n", "ex")}
+           |SELECT estq.grp, exq.n, estq.m,
+           |  estq.est_p50, exq.ex_p50, estq.est_p90, exq.ex_p90,
+           |  estq.est_p99, exq.ex_p99
+           |FROM estq JOIN exq ON exq.grp = estq.grp""".stripMargin
+      }),
+
     // nearest-event AS-OF variant: each purchase matched to the CLOSEST
     // view of the same user within ±2h — either direction, unlike the
     // backward-only q_asof_join. Same bucket-blocking scale shape as

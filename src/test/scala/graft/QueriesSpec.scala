@@ -65,4 +65,49 @@ class QueriesSpec extends SparkSpec {
       s"per-source vocab $vocab exceeds sketch capacity 256: q_approx_topk's " +
         "err=0 oracle is no longer exact — raise capacity or weaken the oracle")
   }
+
+  test("q_quantile_sketch: KMV sample is partitioning-invariant (mergeable by construction)") {
+    // min-k of a union == min-k of the partials' mins — the property that
+    // makes the sketch exact-reproducible at ANY parallelism. Same input,
+    // adversarially different partitionings, identical sample sets.
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sf, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+      .withColumn("hk",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.GraftOps.topKPerGroup(spark, df, Seq("grp"),
+        Seq(("hk", true), ("id", true)), 256)
+        .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val one = sample(li.repartition(1))
+    val many = sample(li.repartition(13, col("id") % 7))
+    assert(one == many, "sample must be a deterministic function of the data")
+  }
+
+  test("q_quantile_sketch: exact in-regime (group ≤ capacity ⇒ est ≡ ex)") {
+    // under the 256-row capacity the sample IS the group, so all three
+    // estimates must equal the exact quantiles — the same in-regime
+    // discipline as q_approx_topk. Crafted dir: ≤ 180 rows per flag.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = specTempDir("qqsmall")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"),
+      col("l_linenumber"))
+    Tables.t(spark, sf, "lineitem")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 180)
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_quantile_sketch")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, m) = (r.getLong(1), r.getLong(2))
+      assert(n <= 256 && m == n,
+        s"crafted regime drifted: grp=${r.getString(0)} n=$n m=$m")
+      assert(r.getLong(3) == r.getLong(4) && r.getLong(5) == r.getLong(6) &&
+        r.getLong(7) == r.getLong(8),
+        s"in-regime estimates must be exact: $r")
+    }
+  }
 }
