@@ -722,6 +722,17 @@ object PlanContracts {
         "the canonical-name policy is a window PARTITIONED by entity_id " +
           "(never unpartitioned)",
         p => p.full.contains("windowspecdefinition(entity_id"))),
+    "er_multi_block" -> Seq(
+      noCartesian,
+      Contract(
+        "ONE corpus scan: the dictionary caches (InMemoryTableScan) and " +
+          "all three blocking passes read the cache",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "every blocking pass is a dictionary-scale BroadcastHashJoin — " +
+          "candidates never shuffle (no SortMergeJoin anywhere)",
+        p => p.full.contains("BroadcastHashJoin") &&
+          !p.full.contains("SortMergeJoin"))),
     "er_survivor" -> Seq(
       noCartesian,
       absent("Expand",

@@ -140,6 +140,36 @@ object DataQuality {
       |  (h.n * t.n_hours > 2 * t.n_total AND h.n >= 5) AS spike
       |FROM h JOIN t ON t.event_type = h.event_type""".stripMargin
 
+  /** dq_freshness's decision tail over a materialized per-type watermark
+    * table `perType(event_type, n, max_us)` — SHARED with
+    * streaming.Streams' st_freshness so the batch gate and the live
+    * monitor decide staleness by the SAME exact-microsecond rule (global
+    * fold from the |types|-row partials, strict > 1 h SLA). */
+  def freshnessTail(perType: DataFrame): DataFrame = {
+    val global = perType.agg(max("max_us").as("g_us"))
+    perType.crossJoin(broadcast(global))
+      .withColumn("lag_us", col("g_us") - col("max_us"))
+      .withColumn("stale", col("lag_us") > lit(3600000000L))
+      .withColumn("max_ts_s", date_format(
+        timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss"))
+      .select("event_type", "n", "max_ts_s", "lag_us", "stale")
+  }
+
+  /** The full freshness oracle — one SQL source for dq_freshness AND
+    * st_freshness (the streaming complete-mode per-type watermark table
+    * is definitionally the batch per-type aggregate). */
+  val freshnessSql: String =
+    """WITH p AS (SELECT event_type, COUNT(*) AS n,
+      |    MAX(epoch_us(ts)) AS max_us
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT MAX(max_us) AS g_us FROM p)
+      |SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
+      |  strftime(make_timestamp(p.max_us), '%Y-%m-%d %H:%M:%S')
+      |    AS max_ts_s,
+      |  CAST(g.g_us - p.max_us AS BIGINT) AS lag_us,
+      |  (g.g_us - p.max_us) > 3600000000 AS stale
+      |FROM p, g""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 197. declarative constraint checks (the Deequ/Great-Expectations
@@ -457,22 +487,7 @@ object DataQuality {
         .groupBy("event_type").agg(
           count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("max_us"))
         .persist())
-      val global = perType.agg(max("max_us").as("g_us"))
-      perType.crossJoin(broadcast(global))
-        .withColumn("lag_us", col("g_us") - col("max_us"))
-        .withColumn("stale", col("lag_us") > lit(3600000000L))
-        .withColumn("max_ts_s", date_format(
-          timestamp_micros(col("max_us")), "yyyy-MM-dd HH:mm:ss"))
-        .select("event_type", "n", "max_ts_s", "lag_us", "stale")
+      freshnessTail(perType)
     },
-      Some("""WITH p AS (SELECT event_type, COUNT(*) AS n,
-             |    MAX(epoch_us(ts)) AS max_us
-             |  FROM events GROUP BY 1),
-             |g AS (SELECT MAX(max_us) AS g_us FROM p)
-             |SELECT p.event_type, CAST(p.n AS BIGINT) AS n,
-             |  strftime(make_timestamp(p.max_us), '%Y-%m-%d %H:%M:%S')
-             |    AS max_ts_s,
-             |  CAST(g.g_us - p.max_us AS BIGINT) AS lag_us,
-             |  (g.g_us - p.max_us) > 3600000000 AS stale
-             |FROM p, g""".stripMargin)))
+      Some(freshnessSql)))
 }

@@ -200,9 +200,15 @@ object Relational3 {
             expr(s"($sizeName - 1) * 99 div 100 + 1"), col("v")))
             .as(s"${prefix}_p99"))
       }
+      // sample order closes over the VALUE (hk, id, v): the generator
+      // emits duplicate (orderkey, linenumber) rows with different
+      // prices, so no column set is a row identity — with v as the final
+      // key, any remaining ties carry EQUAL v and the sample's value
+      // multiset (hence every output) is a deterministic function of the
+      // data multiset, not of engine-internal tie resolution
       val samp = graft.plans.GraftOps.topKPerGroup(s,
           li.select("grp", "v", "id", "hk"), Seq("grp"),
-          Seq(("hk", true), ("id", true)), 256)
+          Seq(("hk", true), ("id", true), ("v", true)), 256)
         .select("grp", "v", "id")
       quantiles(samp, "m", "est")
         .join(quantiles(li, "n", "ex"), Seq("grp"))
@@ -220,7 +226,7 @@ object Relational3 {
              |  FROM b0),
              |samp AS (SELECT grp, v, id FROM (
              |    SELECT grp, v, id,
-             |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, id) AS rk
+             |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, id, v) AS rk
              |    FROM b) WHERE rk <= 256)""".stripMargin
         def quant(src: String, size: String, prefix: String) =
           s"""${prefix}r AS (SELECT grp, v,

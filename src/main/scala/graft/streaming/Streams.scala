@@ -1010,7 +1010,26 @@ object Streams {
            |c AS (SELECT COALESCE(bb.bucket, cc.bucket) AS bucket,
            |    COALESCE(bb.n_base, 0) AS n_base,
            |    COALESCE(cc.n_curr, 0) AS n_curr
-           |  FROM bb FULL JOIN cc ON bb.bucket IS NOT DISTINCT FROM cc.bucket)""".stripMargin)))
+           |  FROM bb FULL JOIN cc ON bb.bucket IS NOT DISTINCT FROM cc.bucket)""".stripMargin))),
+
+    // 211 (§2.3 #203 dq_freshness's streaming twin — the monitor family's
+    // CLOCK leg goes live, closing the batch/stream pairing for all three
+    // legs: volume, distribution, clock). The stream maintains the
+    // per-type watermark table in Complete mode (count + max event-time
+    // micros — state is |types| rows at any rate); each evaluation folds
+    // the global watermark from those partials and decides staleness with
+    // operators.DataQuality.freshnessTail, the SAME exact-microsecond
+    // strict->1h rule the batch gate uses (single-sourced — the SLA
+    // cannot drift between gate and monitor; spec-pinned ≡ batch
+    // row-for-row).
+    GraftQuery("st_freshness", (s, d) => {
+      val perType = eventsStream(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          max(unix_micros(col("ts"))).as("max_us"))
+      graft.operators.DataQuality.freshnessTail(
+        runToTable(s, perType, OutputMode.Complete()))
+    },
+      Some(graft.operators.DataQuality.freshnessSql))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;

@@ -246,6 +246,14 @@ class DataQualitySpec extends SparkSpec {
         r.getLong(3) == 0L))
   }
 
+  test("st_freshness is dq_freshness row-for-row (the single-sourced SLA rule cannot drift)") {
+    val batch = run("dq_freshness", sf).collect().map(_.toSeq).toSet
+    val stream = run("st_freshness", sf).collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
   test("st_drift is its batch analog row-for-row (the single-sourced TVD tail cannot drift)") {
     val w = operators.DataQuality.stDriftWidth
     val ev = Tables.t(spark, sf, "events")

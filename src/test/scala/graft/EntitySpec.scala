@@ -129,6 +129,19 @@ class EntitySpec extends SparkSpec {
     assert(ents.map(_.getLong(0)).distinct.length == ents.length)
   }
 
+  test("er_multi_block: the prefix pass recovers the token pass's documented recall boundary") {
+    val byPass = run("er_multi_block", craftedDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // token: the four widget-sharing names -> C(4,2)=6 candidates, only
+    // (acme widget, acmee widget) verifies; prefix2: {ac: acme/acmee,
+    // ab: abc/abd} -> 2 candidates, BOTH verify — abc/abd is exactly the
+    // pair token blocking is blind to; union: 7 distinct candidates, 2 matches
+    assert(byPass("block:token") == ((6L, 1L)), s"got $byPass")
+    assert(byPass("block:prefix2") == ((2L, 2L)))
+    assert(byPass("union") == ((7L, 2L)),
+      "the union pass must recover abc~abd without double-counting acme~acmee")
+  }
+
   test("er_blocked_match on the real catalog: vocabulary-bounded and symmetric-free") {
     val rows = run("er_blocked_match", sf).collect()
     assert(rows.nonEmpty, "the 8x8 name grid has near pairs")
