@@ -697,6 +697,54 @@ object PlanContracts {
         "every window is PARTITIONED by grp (the exact-eval harness " +
           "ranks within groups; nothing unpartitioned)",
         p => p.full.contains("windowspecdefinition(grp"))),
+    "q_snapshot_diff" -> Seq(
+      noCartesian,
+      Contract(
+        "the diff is ONE PK-partitioned FULL-OUTER equi-join — both " +
+          "snapshot sides are corpus-sized, so neither may broadcast " +
+          "(and nothing falls back to a nested loop)",
+        p => p.full.linesIterator.exists(l =>
+          l.contains("SortMergeJoin") && l.contains("FullOuter")) &&
+          !p.full.contains("BroadcastNestedLoopJoin")),
+      broadcasts(0, "no declared broadcast anywhere: every side of the " +
+        "diff scales with the corpus"),
+      Contract(
+        "ONE corpus scan: the slim (k, price_c, status) projection " +
+          "caches (InMemoryTableScan) and both snapshot sides — A, B's " +
+          "churn leg and B's adds leg — read the cache",
+        p => p.full.contains("InMemoryTableScan"))),
+    "q_skyline" -> Seq(
+      noCartesian,
+      broadcasts(1, "the frontier join-back is the ONLY broadcast — its " +
+        "build side is bounded by the date DOMAIN (level-2 output), " +
+        "never corpus rows"),
+      Contract(
+        "the frontier sweep's unpartitioned window runs on a deliberate " +
+          "SinglePartition of the DISTINCT-date aggregate (≤ |dates| " +
+          "rows at any corpus size) — the corpus itself never enters a " +
+          "single partition",
+        p => p.finalSection.contains("SinglePartition"))),
+    "dq_outlier" -> Seq(
+      noCartesian,
+      absent("Expand", "no multi-distinct Expand — medians fold from " +
+        "plain (type, value)/(type, dev) count tables"),
+      Contract(
+        "every join carries a |types|-row side and is a DECLARED " +
+          "broadcast hash join (≥ 3 BroadcastExchange survive with " +
+          "stats off; AQE may reuse one) — nothing falls back to " +
+          "SortMergeJoin",
+        p => "BroadcastExchange".r.findAllIn(p.full).length >= 3 &&
+          !p.full.contains("SortMergeJoin")),
+      Contract(
+        "ONE corpus scan: the (type, value) count table caches " +
+          "(InMemoryTableScan) and the median, deviation and outlier " +
+          "folds all read distinct-value-proportional caches",
+        p => p.full.contains("InMemoryTableScan")),
+      Contract(
+        "every median window is PARTITIONED by event_type over a " +
+          "distinct-value table (nothing unpartitioned, nothing " +
+          "corpus-sized)",
+        p => p.full.contains("windowspecdefinition(event_type"))),
     "dq_referential" -> Seq(
       noCartesian,
       absent("Expand", "no multi-distinct Expand — the per-relationship " +

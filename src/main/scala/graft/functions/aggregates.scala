@@ -263,3 +263,109 @@ case class TopKFreqAgg(
   override protected def withNewChildInternal(c: Expression): TopKFreqAgg =
     copy(child = c)
 }
+
+/** Bottom-k TUPLE sample: keeps the k lexicographically smallest
+  * (hk, id, v) triples per group, WITH multiplicity (a bounded max-heap,
+  * not a set — the generator emits duplicate-PK rows, so exact duplicate
+  * triples must survive exactly like the TopKPerGroup bounded-heap
+  * operator keeps duplicate rows). With hk a uniform hash rank this is
+  * q_quantile_sketch's deterministic mergeable quantile sample as an
+  * AGGREGATE: min-k of a union is the min-k of the merged min-k's, so the
+  * result is a function of the data multiset alone — independent of
+  * partitioning, merge-tree shape, and (the reason this exists) the
+  * micro-batch boundaries of a STREAM. Streaming complete-mode state is
+  * the serialized heap: ≤ k triples per group at any rate, the bounded
+  * shape live quantile monitoring needs. Batch analog + error pricing:
+  * Relational3.q_quantile_sketch; streaming consumer: Streams.st_quantile. */
+case class BottomKTupleAgg(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[Array[Long]]]
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hk", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("v", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottomk_sample"
+
+  private def revLex = BottomKTupleAgg.RevLex
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[Array[Long]] =
+    new java.util.PriorityQueue[Array[Long]](revLex)
+
+  private def add(buf: java.util.PriorityQueue[Array[Long]],
+      t: Array[Long]): Unit = {
+    if (buf.size < k) { buf.add(t); () }
+    else if (revLex.compare(t, buf.peek()) > 0) { buf.poll(); buf.add(t); () }
+  }
+
+  override def update(buf: java.util.PriorityQueue[Array[Long]],
+      input: InternalRow): java.util.PriorityQueue[Array[Long]] = {
+    val a = first.eval(input); val b = second.eval(input); val c = third.eval(input)
+    if (a != null && b != null && c != null)
+      add(buf, Array(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(a: java.util.PriorityQueue[Array[Long]],
+      b: java.util.PriorityQueue[Array[Long]]): java.util.PriorityQueue[Array[Long]] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.PriorityQueue[Array[Long]]): Any = {
+    val arr = buf.toArray(new Array[Array[Long]](buf.size))
+    java.util.Arrays.sort(arr, revLex.reversed())
+    new GenericArrayData(arr.map(t => InternalRow(t(0), t(1), t(2))))
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[Array[Long]]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 24)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val t = it.next(); bb.putLong(t(0)); bb.putLong(t(1)); bb.putLong(t(2)) }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Array[Long]] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val q = new java.util.PriorityQueue[Array[Long]](revLex)
+    var i = 0
+    while (i < n) { q.add(Array(bb.getLong(), bb.getLong(), bb.getLong())); i += 1 }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKTupleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKTupleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): BottomKTupleAgg = copy(first = f, second = s, third = t)
+}
+
+object BottomKTupleAgg {
+  /** Max-heap comparator on the (hk, id, v) lexicographic order: head =
+    * current worst kept triple, evicted when a smaller one arrives.
+    * A top-level serializable object, NOT an instance field — a streaming
+    * aggregation serializes the expression (and anything it references)
+    * into the state-store task closure, and an anonymous inner comparator
+    * capturing the expression's outer scope fails that serialization. */
+  object RevLex extends java.util.Comparator[Array[Long]] with Serializable {
+    def compare(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0
+      while (i < 3) {
+        val c = java.lang.Long.compare(b(i), a(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+}

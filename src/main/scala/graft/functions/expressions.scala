@@ -1192,7 +1192,9 @@ object F {
     ("kmv_sketch", (es: Seq[Expression]) =>
       KmvSketchAgg(es.head).toAggregateExpression()),
     ("approx_topk", (es: Seq[Expression]) =>
-      TopKFreqAgg(es.head).toAggregateExpression()))
+      TopKFreqAgg(es.head).toAggregateExpression()),
+    ("bottomk_sample", (es: Seq[Expression]) =>
+      BottomKTupleAgg(es(0), es(1), es(2)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.registerFunction(

@@ -489,5 +489,85 @@ object DataQuality {
         .persist())
       freshnessTail(perType)
     },
-      Some(freshnessSql)))
+      Some(freshnessSql)),
+
+    // 215. robust per-type outlier audit (the VALUE-INTEGRITY leg of the
+    // monitor family): median + MAD (median absolute deviation — the
+    // robust dispersion estimate Hampel's rule uses; Leys et al. 2013)
+    // per event_type, and the count of values beyond 3·MAD. Unlike a
+    // mean/stddev z-score, the median/MAD pair doesn't move when the
+    // outliers themselves grow — the property a corruption detector
+    // needs. Exactness: medians use the same pure-index rule as the
+    // exact-quantile entries ((n−1)·50 div 100 + 1 under the value
+    // order — a PICK of an existing double, no interpolation), |v−med|
+    // and 3·mad are single IEEE ops on identical inputs, so every
+    // number is bit-identical cross-engine — no float accumulation
+    // anywhere. Scale posture: ONE corpus scan folds to (type, value)
+    // counts (map-side combine, distinct-value-proportional shuffle);
+    // both medians rank DISTINCT-value tables via cumulative-count
+    // windows (the dq_profile/q_quantile_sketch two-level discipline —
+    // window input is bounded by the value domain, never corpus rows);
+    // the |types|-row median tables ride declared broadcasts; the
+    // deviation table is cached once for its two consumers (MAD fold +
+    // outlier fold). NULL values are excluded up front: the two engines
+    // disagree on NULL placement in window orders, and a NULL is a
+    // completeness defect (dq_checks' jurisdiction), not a value outlier.
+    GraftQuery("dq_outlier", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wT = Window.partitionBy("event_type")
+      def medianOf(df: DataFrame, valCol: String, as: String): DataFrame = {
+        val cum = df
+          .withColumn("hi", sum("c").over(wT.orderBy(col(valCol).asc)))
+          .withColumn("n", sum("c").over(wT))
+        cum.groupBy("event_type").agg(max("n").as(s"n_$as"),
+          max(when(expr("hi - c < (n - 1) * 50 div 100 + 1 AND " +
+            "(n - 1) * 50 div 100 + 1 <= hi"), col(valCol))).as(as))
+      }
+      val perV = OpCache.track(s, Tables.t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .persist())
+      val med = medianOf(perV, "v", "med")
+      val dev = OpCache.track(s, perV
+        .join(broadcast(med.select("event_type", "med")), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("v") - col("med")).as("dv"))
+        .agg(sum("c").as("c"))
+        .persist())
+      val mad = medianOf(dev, "dv", "mad").drop("n_mad")
+      val fl = dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(when(col("dv") > lit(3.0) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      med.join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(fl), Seq("event_type"))
+        .select(col("event_type"), col("n_med").as("n"), col("med"),
+          col("mad"), col("n_outliers"))
+    },
+      Some("""WITH perv AS (SELECT event_type, value AS v, COUNT(*) AS c
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |mc AS (SELECT event_type, v, c,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+             |    SUM(c) OVER (PARTITION BY event_type) AS n FROM perv),
+             |med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
+             |      AND (n - 1) * 50 // 100 + 1 <= hi THEN v END) AS med
+             |  FROM mc GROUP BY event_type),
+             |dev AS (SELECT p.event_type, ABS(p.v - m.med) AS dv,
+             |    CAST(SUM(p.c) AS BIGINT) AS c
+             |  FROM perv p JOIN med m USING (event_type) GROUP BY 1, 2),
+             |dc AS (SELECT event_type, dv, c,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS hi,
+             |    SUM(c) OVER (PARTITION BY event_type) AS n FROM dev),
+             |mad AS (SELECT event_type,
+             |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
+             |      AND (n - 1) * 50 // 100 + 1 <= hi THEN dv END) AS mad
+             |  FROM dc GROUP BY event_type),
+             |fl AS (SELECT d.event_type,
+             |    CAST(SUM(CASE WHEN d.dv > 3 * a.mad THEN d.c ELSE 0 END)
+             |      AS BIGINT) AS n_outliers
+             |  FROM dev d JOIN mad a USING (event_type) GROUP BY 1)
+             |SELECT m.event_type, m.n, m.med, a.mad, f.n_outliers
+             |FROM med m JOIN mad a USING (event_type)
+             |JOIN fl f USING (event_type)""".stripMargin)))
 }

@@ -12,6 +12,87 @@ object Relational3 {
 
   private def ord(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "orders")
 
+  /** q_approx_topk's decision tail over the aggregated sketch column
+    * `top` — SHARED with streaming.Streams' st_topk so the batch entry
+    * and the live heavy-hitters monitor rank/flatten by the same rule. */
+  private[graft] def approxTopkTail(agged: DataFrame): DataFrame = agged
+    .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+    .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+      col("t.token").as("token"), col("t.cnt").as("cnt"),
+      col("t.err").as("err"))
+
+  /** q_approx_topk's exact oracle (valid in the under-capacity regime —
+    * see the entry comment) — ONE SQL source for q_approx_topk AND
+    * st_topk: both sketches are exact below capacity regardless of merge
+    * order, including a stream's micro-batch boundaries. */
+  private[graft] val approxTopkSql: String =
+    """WITH tok AS (SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT source, token, COUNT(*) AS cnt
+      |  FROM tok GROUP BY source, token),
+      |r AS (SELECT source, token, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rk
+      |  FROM cnt)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, token, cnt,
+      |  CAST(0 AS BIGINT) AS err
+      |FROM r WHERE rk <= 20""".stripMargin
+
+  /** q_quantile_sketch's estimate tail over a sample/corpus `df(grp, v,
+    * id)`: exact index-rule quantiles under the (v, id) total order —
+    * SHARED with streaming.Streams' st_quantile so the batch sketch and
+    * the live monitor estimate by the same pure-int64 rule. */
+  private[graft] def quantileTail(df: DataFrame, sizeName: String,
+      prefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("grp"))
+    val wV = wG.orderBy(col("v").asc, col("id").asc)
+    val ranked = df.withColumn("vr", row_number().over(wV).cast("long"))
+      .withColumn(sizeName, count(lit(1)).over(wG))
+    ranked.groupBy("grp").agg(
+      max(sizeName).as(sizeName),
+      max(when(col("vr") ===
+        expr(s"($sizeName - 1) * 50 div 100 + 1"), col("v")))
+        .as(s"${prefix}_p50"),
+      max(when(col("vr") ===
+        expr(s"($sizeName - 1) * 90 div 100 + 1"), col("v")))
+        .as(s"${prefix}_p90"),
+      max(when(col("vr") ===
+        expr(s"($sizeName - 1) * 99 div 100 + 1"), col("v")))
+        .as(s"${prefix}_p99"))
+  }
+
+  /** The deterministic md5 bottom-256 sample as CTEs ending at
+    * `samp(grp, v, id)` — one SQL source for q_quantile_sketch AND
+    * st_quantile (min-k is merge-order-independent, so one formulation
+    * covers batch and stream). */
+  private[graft] val quantileSampleCtes: String =
+    s"""b0 AS (SELECT l_returnflag AS grp,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+       |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+       |  FROM lineitem),
+       |b AS (SELECT grp, v, id,
+       |    ${Relational.duckHex8("md5(CAST(id AS VARCHAR))", 1)} AS hk
+       |  FROM b0),
+       |samp AS (SELECT grp, v, id FROM (
+       |    SELECT grp, v, id,
+       |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, id, v) AS rk
+       |    FROM b) WHERE rk <= 256)""".stripMargin
+
+  /** quantileTail's oracle fragment: CTEs `{prefix}r`/`{prefix}q` ranking
+    * `src(grp, v, id)` under (v, id) and picking the index-rule p50/90/99. */
+  private[graft] def quantileTailSql(src: String, size: String,
+      prefix: String): String =
+    s"""${prefix}r AS (SELECT grp, v,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
+       |    COUNT(*) OVER (PARTITION BY grp) AS $size
+       |  FROM $src),
+       |${prefix}q AS (SELECT grp, MAX($size) AS $size,
+       |    MAX(CASE WHEN vr = ($size - 1) * 50 // 100 + 1 THEN v END) AS ${prefix}_p50,
+       |    MAX(CASE WHEN vr = ($size - 1) * 90 // 100 + 1 THEN v END) AS ${prefix}_p90,
+       |    MAX(CASE WHEN vr = ($size - 1) * 99 // 100 + 1 THEN v END) AS ${prefix}_p99
+       |  FROM ${prefix}r GROUP BY grp)""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // deterministic hash sampling (TABLESAMPLE analog): md5(key) folded to
@@ -132,26 +213,13 @@ object Relational3 {
     // DuckDB counts (tools/verify_sweep.py EPS_BOUND).
     GraftQuery("q_approx_topk", (s, d) => {
       graft.functions.F.register(s)
-      Tables.widened(s, d, "documents")
+      approxTopkTail(Tables.widened(s, d, "documents")
         .select(col("source"),
           explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
         .groupBy("source")
-        .agg(expr("approx_topk(token)").as("top"))
-        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
-          col("t.token").as("token"), col("t.cnt").as("cnt"), col("t.err").as("err"))
+        .agg(expr("approx_topk(token)").as("top")))
     },
-      Some("""WITH tok AS (SELECT source,
-             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-             |  FROM documents),
-             |cnt AS (SELECT source, token, COUNT(*) AS cnt
-             |  FROM tok GROUP BY source, token),
-             |r AS (SELECT source, token, cnt,
-             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rk
-             |  FROM cnt)
-             |SELECT source, CAST(rk AS BIGINT) AS rk, token, cnt,
-             |  CAST(0 AS BIGINT) AS err
-             |FROM r WHERE rk <= 20""".stripMargin)),
+      Some(approxTopkSql)),
 
     // 210. deterministic mergeable quantile sketch + built-in error eval
     // (the KMV analog of q_approx_topk: GK/KLL solve streaming quantiles
@@ -183,23 +251,6 @@ object Relational3 {
             .cast("long"))
         .persist())
       val wG = Window.partitionBy(col("grp"))
-      def quantiles(df: DataFrame, sizeName: String,
-          prefix: String): DataFrame = {
-        val wV = wG.orderBy(col("v").asc, col("id").asc)
-        val ranked = df.withColumn("vr", row_number().over(wV).cast("long"))
-          .withColumn(sizeName, count(lit(1)).over(wG))
-        ranked.groupBy("grp").agg(
-          max(sizeName).as(sizeName),
-          max(when(col("vr") ===
-            expr(s"($sizeName - 1) * 50 div 100 + 1"), col("v")))
-            .as(s"${prefix}_p50"),
-          max(when(col("vr") ===
-            expr(s"($sizeName - 1) * 90 div 100 + 1"), col("v")))
-            .as(s"${prefix}_p90"),
-          max(when(col("vr") ===
-            expr(s"($sizeName - 1) * 99 div 100 + 1"), col("v")))
-            .as(s"${prefix}_p99"))
-      }
       // sample order closes over the VALUE (hk, id, v): the generator
       // emits duplicate (orderkey, linenumber) rows with different
       // prices, so no column set is a row identity — with v as the final
@@ -230,42 +281,19 @@ object Relational3 {
         cum.groupBy("grp").agg(max("n").as("n"),
           pick(50), pick(90), pick(99))
       }
-      quantiles(samp, "m", "est")
+      quantileTail(samp, "m", "est")
         .join(quantilesExact, Seq("grp"))
         .select("grp", "n", "m", "est_p50", "ex_p50", "est_p90", "ex_p90",
           "est_p99", "ex_p99")
     },
-      Some {
-        val base =
-          s"""b0 AS (SELECT l_returnflag AS grp,
-             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
-             |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
-             |  FROM lineitem),
-             |b AS (SELECT grp, v, id,
-             |    ${Relational.duckHex8("md5(CAST(id AS VARCHAR))", 1)} AS hk
-             |  FROM b0),
-             |samp AS (SELECT grp, v, id FROM (
-             |    SELECT grp, v, id,
-             |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hk, id, v) AS rk
-             |    FROM b) WHERE rk <= 256)""".stripMargin
-        def quant(src: String, size: String, prefix: String) =
-          s"""${prefix}r AS (SELECT grp, v,
-             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS vr,
-             |    COUNT(*) OVER (PARTITION BY grp) AS $size
-             |  FROM $src),
-             |${prefix}q AS (SELECT grp, MAX($size) AS $size,
-             |    MAX(CASE WHEN vr = ($size - 1) * 50 // 100 + 1 THEN v END) AS ${prefix}_p50,
-             |    MAX(CASE WHEN vr = ($size - 1) * 90 // 100 + 1 THEN v END) AS ${prefix}_p90,
-             |    MAX(CASE WHEN vr = ($size - 1) * 99 // 100 + 1 THEN v END) AS ${prefix}_p99
-             |  FROM ${prefix}r GROUP BY grp)""".stripMargin
-        s"""WITH $base,
-           |${quant("samp", "m", "est")},
-           |${quant("b", "n", "ex")}
+      Some(
+        s"""WITH $quantileSampleCtes,
+           |${quantileTailSql("samp", "m", "est")},
+           |${quantileTailSql("b", "n", "ex")}
            |SELECT estq.grp, exq.n, estq.m,
            |  estq.est_p50, exq.ex_p50, estq.est_p90, exq.ex_p90,
            |  estq.est_p99, exq.ex_p99
-           |FROM estq JOIN exq ON exq.grp = estq.grp""".stripMargin
-      }),
+           |FROM estq JOIN exq ON exq.grp = estq.grp""".stripMargin)),
 
     // nearest-event AS-OF variant: each purchase matched to the CLOSEST
     // view of the same user within ±2h — either direction, unlike the
@@ -691,6 +719,121 @@ object Relational3 {
              |SELECT r.event_type, m.max_concurrent, MIN(r.t) AS peak_at
              |FROM run r JOIN mx m
              |  ON m.event_type = r.event_type AND r.open = m.max_concurrent
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // 213. snapshot diff: the audit every incremental ingest runs between
+    // yesterday's table version and today's — which keys appeared,
+    // vanished, or changed, and in which columns. Today's snapshot is
+    // synthesized deterministically from orders (drops every 97th key,
+    // bumps price on every 13th, flips status on every 26th, adds a
+    // negative-keyed row per 101st — negative so synthetic adds can never
+    // collide with ANY replica-shifted real key space), so the diff
+    // exercises all three change classes against a known ground truth.
+    // Scale shape: ONE cached slim scan feeds both sides (the snapshots
+    // differ only in the synthesized churn), the diff is a single
+    // PK-partitioned full-outer equi-join (SMJ/AQE — both sides corpus-
+    // sized, nothing broadcast), and the output is CHURN-proportional:
+    // unchanged rows — the 100 TB majority — are filtered before
+    // anything leaves the join stage. Price compare in exact cents.
+    GraftQuery("q_snapshot_diff", (s, d) => {
+      val base = OpCache.track(s, ord(s, d).select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("price_c"),
+          col("o_orderstatus").as("status"))
+        .persist())
+      val b = base.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("price_c") + 100)
+            .otherwise(col("price_c")).as("price_c"),
+          when(col("k") % 26 === 0, lit("X")).otherwise(col("status"))
+            .as("status"))
+        .unionAll(base.filter(col("k") % 101 === 0)
+          .select((-col("k") - 1).as("k"), col("price_c"), col("status")))
+      val a = base.select(col("k"), col("price_c").as("a_price"),
+        col("status").as("a_status"))
+      val bb = b.select(col("k"), col("price_c").as("b_price"),
+        col("status").as("b_status"))
+      a.join(bb, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("a_price").isNull, lit("added"))
+            .when(col("b_price").isNull, lit("removed"))
+            .when(col("a_price") =!= col("b_price") ||
+              col("a_status") =!= col("b_status"), lit("changed")))
+        .filter(col("change_type").isNotNull)
+        .select(col("k"), col("change_type"),
+          (col("change_type") === "changed" &&
+            col("a_price") =!= col("b_price")).as("price_changed"),
+          (col("change_type") === "changed" &&
+            col("a_status") =!= col("b_status")).as("status_changed"))
+    },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |      AS price_c,
+             |    o_orderstatus AS status
+             |  FROM orders),
+             |b AS (SELECT k,
+             |    CASE WHEN k % 13 = 0 THEN price_c + 100 ELSE price_c END
+             |      AS price_c,
+             |    CASE WHEN k % 26 = 0 THEN 'X' ELSE status END AS status
+             |  FROM base WHERE k % 97 <> 0
+             |  UNION ALL
+             |  SELECT -k - 1, price_c, status FROM base WHERE k % 101 = 0)
+             |SELECT COALESCE(base.k, b.k) AS k,
+             |  CASE WHEN base.k IS NULL THEN 'added'
+             |       WHEN b.k IS NULL THEN 'removed'
+             |       WHEN base.price_c <> b.price_c
+             |         OR base.status <> b.status THEN 'changed' END
+             |    AS change_type,
+             |  (base.k IS NOT NULL AND b.k IS NOT NULL
+             |    AND base.price_c <> b.price_c) AS price_changed,
+             |  (base.k IS NOT NULL AND b.k IS NOT NULL
+             |    AND base.status <> b.status) AS status_changed
+             |FROM base FULL JOIN b ON base.k = b.k
+             |WHERE base.k IS NULL OR b.k IS NULL
+             |  OR base.price_c <> b.price_c OR base.status <> b.status""".stripMargin)),
+
+    // 214. 2-D skyline (pareto frontier; Börzsönyi et al., ICDE 2001):
+    // the orders no other order beats on BOTH recency and value — the
+    // data-selection shape ("newest AND biggest") behind pareto-optimal
+    // curation tradeoffs. Distributed via the TWO-LEVEL reduction the
+    // exact-quantile entries use: level 1 folds the corpus to per-date
+    // maxima (map-side combine, distinct-date-proportional shuffle —
+    // the date DOMAIN bounds it at any corpus size); level 2 ranks the
+    // ~2.4k distinct dates with one running-max window (a point survives
+    // iff its max-price strictly exceeds every strictly-later date's —
+    // the classic sort-by-one-dim skyline sweep, here over the DISTINCT
+    // date table, never corpus rows); the surviving (date, price) pairs
+    // — ≤ |dates| — broadcast back to emit every order achieving its
+    // date's frontier point (equal-price ties on a frontier date are all
+    // non-dominated and all emitted). Prices compare in exact cents.
+    GraftQuery("q_skyline", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = ord(s, d).select(col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ on disk; with the session pinned
+        // to UTC the TimestampType cast is value-identical to DuckDB's
+        // epoch_us read of the same file (the Tables.tsNormalized rule)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("p"))
+      val perDate = o.groupBy("d").agg(max("p").as("m"))
+      val w = Window.orderBy(col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perDate
+        .withColumn("later_max", max("m").over(w))
+        .filter(col("later_max").isNull || col("m") > col("later_max"))
+        .select(col("d").as("fd"), col("m")) // renamed: frontier derives
+      // from o, so same-name join keys would be an ambiguous self-join
+      o.join(broadcast(frontier), o("d") === col("fd") && o("p") === col("m"))
+        .select(o("o_orderkey"), o("d"), o("p"))
+    },
+      Some("""WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS d,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p
+             |  FROM orders),
+             |pd AS (SELECT d, MAX(p) AS m FROM o GROUP BY d),
+             |sky AS (SELECT d, m FROM pd a
+             |  WHERE NOT EXISTS (SELECT 1 FROM pd b
+             |    WHERE b.d > a.d AND b.m >= a.m))
+             |SELECT o.o_orderkey, o.d, o.p
+             |FROM o JOIN sky ON o.d = sky.d AND o.p = sky.m""".stripMargin))
   )
 }

@@ -26,6 +26,19 @@ object Streams {
       s.readStream.schema(schema).option("basePath", d).parquet(s"$d/events.*"))
   }
 
+  /** The documents corpus as a file stream (the text-ingest analog of
+    * eventsStream — no ts column, so no normalization leg). */
+  private def docsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema).option("basePath", d).parquet(s"$d/documents.*")
+  }
+
+  /** The lineitem fact table as a file stream (st_quantile's input). */
+  private def liStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    s.readStream.schema(schema).option("basePath", d).parquet(s"$d/lineitem.*")
+  }
+
   /** A ts literal in the RAW on-disk layout of `raw`'s ts column, for
     * staging sentinel/tick rows next to copied source files: a file-stream
     * source reads every staged file with ONE schema, so synthetic rows must
@@ -1029,7 +1042,69 @@ object Streams {
       graft.operators.DataQuality.freshnessTail(
         runToTable(s, perType, OutputMode.Complete()))
     },
-      Some(graft.operators.DataQuality.freshnessSql))
+      Some(graft.operators.DataQuality.freshnessSql)),
+
+    // 216 (§2.1 #120 q_approx_topk's streaming twin — the sketch family
+    // goes LIVE): heavy hitters over the ingest stream. The stream
+    // maintains the Space-Saving summary per source in Complete mode —
+    // the native approx_topk TypedImperativeAggregate's state is ≤
+    // capacity(256) entries per group at ANY rate (the bounded shape a
+    // live "top domains/tokens right now" monitor needs) — and each
+    // evaluation ranks/flattens with operators.Relational3.approxTopkTail,
+    // the SAME decision tail as the batch entry (single-sourced: the
+    // ranking rule cannot drift between gate and monitor). Exactness
+    // story, single-sourced with the batch entry too: below capacity the
+    // sketch is EXACT regardless of merge order — including micro-batch
+    // boundaries — so the gate-scale oracle is the same exact SQL; over
+    // capacity (sf1+) the sweep machine-checks the published Space-Saving
+    // bounds instead (verify_sweep EPS_BOUND, with one extra merge level
+    // for the stream's state fold).
+    GraftQuery("st_topk", (s, d) => {
+      graft.functions.F.register(s)
+      val agged = docsStream(s, d)
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')")).as("token"))
+        .groupBy("source")
+        .agg(expr("approx_topk(token)").as("top"))
+      graft.operators.Relational3.approxTopkTail(
+        runToTable(s, agged, OutputMode.Complete()))
+    },
+      Some(graft.operators.Relational3.approxTopkSql)),
+
+    // 217 (§2.1 #210 q_quantile_sketch's streaming twin — live quantiles):
+    // the stream maintains the deterministic bottom-256-by-md5-rank
+    // sample per group in Complete mode (functions.BottomKTupleAgg:
+    // min-k of a union is the min-k of the merged min-k's, so the
+    // standing sample is a function of the data multiset alone —
+    // micro-batch boundaries, partitioning and merge order all cancel,
+    // which is why the ORACLE IS EXACT AT EVERY SCALE, unlike the
+    // order-dependent GK/KLL compactions). State is ≤ 256 triples per
+    // group at any rate; each evaluation estimates p50/90/99 with
+    // operators.Relational3.quantileTail, the SAME pure-int64 index rule
+    // as the batch sketch (single-sourced — and the batch entry's exact
+    // side already prices this sample's error, so the monitor inherits a
+    // measured error model for free).
+    GraftQuery("st_quantile", (s, d) => {
+      graft.functions.F.register(s)
+      val li = liStream(s, d).select(
+          col("l_returnflag").as("grp"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("v"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+        .withColumn("hk",
+          conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+      val agged = li.groupBy("grp")
+        .agg(expr("bottomk_sample(hk, id, v)").as("samp"))
+      val samp = runToTable(s, agged, OutputMode.Complete())
+        .select(col("grp"), explode(col("samp")).as("t"))
+        .select(col("grp"), col("t.v").as("v"), col("t.id").as("id"))
+      graft.operators.Relational3.quantileTail(samp, "m", "est")
+    },
+      Some(
+        s"""WITH ${graft.operators.Relational3.quantileSampleCtes},
+           |${graft.operators.Relational3.quantileTailSql("samp", "m", "est")}
+           |SELECT grp, m, est_p50, est_p90, est_p99 FROM estq""".stripMargin))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;

@@ -275,6 +275,31 @@ class DataQualitySpec extends SparkSpec {
         s"only-stream=${(stream -- batch).take(3)}")
   }
 
+  test("dq_outlier: exact median/MAD on crafted values, 3·MAD boundary NOT flagged") {
+    import spark.implicits._
+    val dir = specTempDir("dqoutlier")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type a: sorted values 1,1,1,2,3,3,3,9,100,200 → n=10, index rule
+    // (n−1)·50 div 100 + 1 = 5 → med = 3; deviations sorted
+    // 0,0,0,1,2,2,2,6,97,197 → mad = 2; threshold 3·mad = 6 — the value 9
+    // (dev exactly 6) sits ON the boundary and must NOT flag (strict >),
+    // leaving the two planted corruptions (100, 200) as the outliers.
+    // type b: constant 5s → med 5, mad 0, zero outliers (nothing exceeds
+    // a zero threshold strictly... except any deviation — there is none).
+    val a = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 9.0, 100.0, 200.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, ts, "a", v) }
+    val b = Seq(5.0, 5.0, 5.0)
+      .zipWithIndex.map { case (v, i) => (100L + i, ts, "b", v) }
+    (a ++ b).toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = run("dq_outlier", dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("a") == ((10L, 3.0, 2.0, 2L)), s"type a: ${out("a")}")
+    assert(out("b") == ((3L, 5.0, 0.0, 0L)), s"type b: ${out("b")}")
+    assert(out.size == 2)
+  }
+
   test("st_drift: a bucket on ONE side only surfaces as drift mass (full-outer pin)") {
     import spark.implicits._
     val dir = specTempDir("stdrift1")

@@ -390,6 +390,24 @@ class PropertySpec extends SparkSpec {
       "regardless of partitioning/merge order")
   }
 
+  test("bottom-k tuple sample: exact min-k WITH multiplicity, partitioning-invariant") {
+    assert(registered)
+    import spark.implicits._
+    // 400 triples, each duplicated exactly once — the k=256 smallest must
+    // survive WITH multiplicity (a set-based buffer would collapse the
+    // duplicate-PK rows the generator emits), under any partitioning
+    val rows = (0 until 400).map(i =>
+      (i.toLong / 2, i.toLong / 2, (i.toLong / 2) % 7))
+    val expect = rows.sorted.take(256)
+    def got(parts: Int) = rows.toDF("hk", "id", "v").repartition(parts)
+      .agg(expr("bottomk_sample(hk, id, v)").as("s"))
+      .select(explode(col("s")).as("t")).select("t.hk", "t.id", "t.v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(1) == expect, "single-partition sample must be the exact min-k")
+    assert(got(11) == expect,
+      "sample must be a deterministic function of the data multiset")
+  }
+
   test("space-saving sketch: heavy hitters survive over-capacity with bounded error") {
     assert(registered)
     // 4000 rows, zipf-ish: token_0 × 2000, token_1 × 1000, 1000 singletons;

@@ -110,4 +110,77 @@ class QueriesSpec extends SparkSpec {
         s"in-regime estimates must be exact: $r")
     }
   }
+
+  test("st_topk is q_approx_topk row-for-row (the single-sourced ranking tail cannot drift)") {
+    // below capacity both sketches are exact regardless of merge order —
+    // including the stream's micro-batch boundaries — so the live monitor
+    // must reproduce the batch entry bit-for-bit at spec scale.
+    val batch = SparkEntry.queries("q_approx_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
+  test("st_quantile is q_quantile_sketch's estimate side row-for-row (min-k merges exactly)") {
+    // the bottom-k sample is a deterministic function of the data multiset
+    // (min-k of a union = min-k of the merged min-k's), so the streaming
+    // aggregate must land on the batch sketch's exact sample — and hence
+    // identical estimates — at EVERY scale, not just below capacity.
+    val batch = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .select("grp", "m", "est_p50", "est_p90", "est_p99")
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st_quantile")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
+  test("q_snapshot_diff: each churn class lands in its class, unchanged rows stay silent") {
+    import spark.implicits._
+    val dir = specTempDir("snapdiff")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // keys chosen to hit every class: 5 unchanged (silent), 13 price-only,
+    // 26 price+status (26 % 13 = 0 too), 97 removed, 101 add (and its own
+    // 'changed'? no — 101 % 13 != 0, % 26 != 0, % 97 != 0 so the original
+    // row is unchanged-silent while the clone -102 appears as added),
+    // 1261 = 97·13 removed (removal wins over change: the key is absent
+    // from B entirely)
+    Seq(5L, 13L, 26L, 97L, 101L, 1261L)
+      .map(k => (k, 1L, "O", 100.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(13L) == (("changed", true, false)))
+    assert(out(26L) == (("changed", true, true)))
+    assert(out(97L) == (("removed", false, false)))
+    assert(out(1261L) == (("removed", false, false)))
+    assert(out(-102L) == (("added", false, false)))
+    assert(out.size == 5, s"unchanged keys must not appear: $out")
+  }
+
+  test("q_skyline: exact dominance frontier, ties kept, same-date losers pruned") {
+    import spark.implicits._
+    val dir = specTempDir("skyline")
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    // (key, date, price): 1 @(d1,200) frontier; 2 @(d1,150) dominated by 4
+    // (later date, equal price); 3 @(d2,150) frontier; 4 duplicates 3's
+    // point (equal date+price — both non-dominated, both emitted);
+    // 5 @(d3,100) frontier (latest date); 6 @(d3,50) dominated same-date
+    Seq((1L, day(1), 200.0), (2L, day(1), 150.0), (3L, day(2), 150.0),
+      (4L, day(2), 150.0), (5L, day(3), 100.0), (6L, day(3), 50.0))
+      .map { case (k, d, p) => (k, 1L, "O", p, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val keys = SparkEntry.queries("q_skyline")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 3L, 4L, 5L), s"skyline set wrong: $keys")
+  }
 }

@@ -129,6 +129,15 @@ SELECT (SELECT COUNT(*) FROM res) AS n_res,
   (SELECT COALESCE(MAX(CAST(err AS DOUBLE) / (CAST(n AS DOUBLE) / 256)), 0)
     FROM j) AS max_err_ratio"""}
 
+# st_topk is q_approx_topk's streaming twin over the SAME sketch: identical
+# guarantees, one extra merge level (the stream's state fold adds at most
+# one more inherited eviction on top of the batch partial->final tree, so
+# the err bound widens from 2n/cap to 3n/cap; the replay is single-batch,
+# so the measured ratio should track the batch entry's closely).
+EPS_BOUND["st_topk"] = EPS_BOUND["q_approx_topk"].replace(
+    "{outdir}/q_approx_topk/", "{outdir}/st_topk/").replace(
+    "CAST(err AS DOUBLE) <= 2 *", "CAST(err AS DOUBLE) <= 3 *")
+
 
 def eps_bound_check(name, sfdir, outdir, timeout):
     """Returns (ok, detail) for an EPS_BOUND entry."""
@@ -143,12 +152,13 @@ def eps_bound_check(name, sfdir, outdir, timeout):
     d = json.loads(line)
     ok = (d["n_res"] > 0 and d["n_join"] == d["n_res"] and d["n_bad"] == 0
           and d["n_unsorted"] == 0)
+    bound = 3.0 if name == "st_topk" else 2.0
     return ok, (f"eps-bound: sketch over-capacity regime, guarantees "
                 f"machine-checked against exact counts — {d['n_res']} rows, "
                 f"{d['n_bad']} bound violations, {d['n_res'] - d['n_join']} "
                 f"phantom tokens, {d['n_unsorted']} order violations, "
                 f"max err/(n/cap) = {round(d['max_ratio'], 3)} (merge-tree "
-                f"bound 2.0)")
+                f"bound {bound})")
 
 
 def table_views(sfdir):
