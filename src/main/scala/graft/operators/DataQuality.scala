@@ -170,6 +170,85 @@ object DataQuality {
       |  (g.g_us - p.max_us) > 3600000000 AS stale
       |FROM p, g""".stripMargin
 
+  /** dq_outlier's decision tail over a materialized per-(type, value)
+    * count table `perV0(event_type, v, c)` — SHARED with
+    * streaming.Streams' st_outlier so the batch audit and the live
+    * monitor decide every median, MAD and flag by the SAME exact
+    * index-rule arithmetic (a threshold change cannot drift between
+    * gate and monitor). The table is cached once (distinct-value-
+    * proportional — bounded by the value domain at any corpus size);
+    * medians ride declared broadcasts; the deviation table caches once
+    * for its two consumers (MAD fold + outlier fold). */
+  def outlierTail(s: SparkSession, perV0: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wT = Window.partitionBy("event_type")
+      def medianOf(df: DataFrame, valCol: String, as: String): DataFrame = {
+        val cum = df
+          .withColumn("hi", sum("c").over(wT.orderBy(col(valCol).asc)))
+          .withColumn("n", sum("c").over(wT))
+        cum.groupBy("event_type").agg(max("n").as(s"n_$as"),
+          max(when(expr("hi - c < (n - 1) * 50 div 100 + 1 AND " +
+            "(n - 1) * 50 div 100 + 1 <= hi"), col(valCol))).as(as))
+      }
+      val perV = OpCache.track(s, perV0.persist())
+      // every derived-aggregate join key is RE-ALIASED (fresh exprId)
+      // before joining back: the streaming twin hands this a memory-sink
+      // VIEW, and a view joined with an aggregate of itself under a
+      // same-name USING key trips Spark's conflicting-reference
+      // resolution (the anomalyFlag note) — the alias disambiguates with
+      // no plan change
+      val med = medianOf(perV, "v", "med")
+        .select(col("event_type").as("et_med"), col("n_med"), col("med"))
+      val dev = OpCache.track(s, perV
+        .join(broadcast(med.select("et_med", "med")),
+          col("event_type") === col("et_med"))
+        .groupBy(col("event_type"), abs(col("v") - col("med")).as("dv"))
+        .agg(sum("c").as("c"))
+        .persist())
+      val mad = medianOf(dev, "dv", "mad").drop("n_mad")
+        .select(col("event_type").as("et_mad"), col("mad"))
+      val fl = dev.join(broadcast(mad), col("event_type") === col("et_mad"))
+        .groupBy("event_type")
+        .agg(sum(when(col("dv") > lit(3.0) * col("mad"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+        .select(col("event_type").as("et_fl"), col("n_outliers"))
+      med.join(broadcast(mad), col("et_med") === col("et_mad"))
+        .join(broadcast(fl), col("et_med") === col("et_fl"))
+        .select(col("et_med").as("event_type"), col("n_med").as("n"),
+          col("med"), col("mad"), col("n_outliers"))
+  }
+
+  /** The tail's oracle — ONE SQL source for dq_outlier AND st_outlier
+    * (both twins fold the same per-(type, value) counts of the same
+    * corpus, so the whole statement is shared verbatim). */
+  val outlierSql: String =
+    """WITH perv AS (SELECT event_type, value AS v, COUNT(*) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |mc AS (SELECT event_type, v, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS hi,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n FROM perv),
+      |med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
+      |      AND (n - 1) * 50 // 100 + 1 <= hi THEN v END) AS med
+      |  FROM mc GROUP BY event_type),
+      |dev AS (SELECT p.event_type, ABS(p.v - m.med) AS dv,
+      |    CAST(SUM(p.c) AS BIGINT) AS c
+      |  FROM perv p JOIN med m USING (event_type) GROUP BY 1, 2),
+      |dc AS (SELECT event_type, dv, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS hi,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n FROM dev),
+      |mad AS (SELECT event_type,
+      |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
+      |      AND (n - 1) * 50 // 100 + 1 <= hi THEN dv END) AS mad
+      |  FROM dc GROUP BY event_type),
+      |fl AS (SELECT d.event_type,
+      |    CAST(SUM(CASE WHEN d.dv > 3 * a.mad THEN d.c ELSE 0 END)
+      |      AS BIGINT) AS n_outliers
+      |  FROM dev d JOIN mad a USING (event_type) GROUP BY 1)
+      |SELECT m.event_type, m.n, m.med, a.mad, f.n_outliers
+      |FROM med m JOIN mad a USING (event_type)
+      |JOIN fl f USING (event_type)""".stripMargin
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 197. declarative constraint checks (the Deequ/Great-Expectations
@@ -512,62 +591,11 @@ object DataQuality {
     // outlier fold). NULL values are excluded up front: the two engines
     // disagree on NULL placement in window orders, and a NULL is a
     // completeness defect (dq_checks' jurisdiction), not a value outlier.
-    GraftQuery("dq_outlier", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wT = Window.partitionBy("event_type")
-      def medianOf(df: DataFrame, valCol: String, as: String): DataFrame = {
-        val cum = df
-          .withColumn("hi", sum("c").over(wT.orderBy(col(valCol).asc)))
-          .withColumn("n", sum("c").over(wT))
-        cum.groupBy("event_type").agg(max("n").as(s"n_$as"),
-          max(when(expr("hi - c < (n - 1) * 50 div 100 + 1 AND " +
-            "(n - 1) * 50 div 100 + 1 <= hi"), col(valCol))).as(as))
-      }
-      val perV = OpCache.track(s, Tables.t(s, d, "events")
+    GraftQuery("dq_outlier", (s, d) =>
+      outlierTail(s, Tables.t(s, d, "events")
         .filter(col("value").isNotNull)
         .groupBy(col("event_type"), col("value").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .persist())
-      val med = medianOf(perV, "v", "med")
-      val dev = OpCache.track(s, perV
-        .join(broadcast(med.select("event_type", "med")), Seq("event_type"))
-        .groupBy(col("event_type"), abs(col("v") - col("med")).as("dv"))
-        .agg(sum("c").as("c"))
-        .persist())
-      val mad = medianOf(dev, "dv", "mad").drop("n_mad")
-      val fl = dev.join(broadcast(mad), Seq("event_type"))
-        .groupBy("event_type")
-        .agg(sum(when(col("dv") > lit(3.0) * col("mad"), col("c"))
-          .otherwise(lit(0L))).as("n_outliers"))
-      med.join(broadcast(mad), Seq("event_type"))
-        .join(broadcast(fl), Seq("event_type"))
-        .select(col("event_type"), col("n_med").as("n"), col("med"),
-          col("mad"), col("n_outliers"))
-    },
-      Some("""WITH perv AS (SELECT event_type, value AS v, COUNT(*) AS c
-             |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-             |mc AS (SELECT event_type, v, c,
-             |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS hi,
-             |    SUM(c) OVER (PARTITION BY event_type) AS n FROM perv),
-             |med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
-             |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
-             |      AND (n - 1) * 50 // 100 + 1 <= hi THEN v END) AS med
-             |  FROM mc GROUP BY event_type),
-             |dev AS (SELECT p.event_type, ABS(p.v - m.med) AS dv,
-             |    CAST(SUM(p.c) AS BIGINT) AS c
-             |  FROM perv p JOIN med m USING (event_type) GROUP BY 1, 2),
-             |dc AS (SELECT event_type, dv, c,
-             |    SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS hi,
-             |    SUM(c) OVER (PARTITION BY event_type) AS n FROM dev),
-             |mad AS (SELECT event_type,
-             |    MAX(CASE WHEN hi - c < (n - 1) * 50 // 100 + 1
-             |      AND (n - 1) * 50 // 100 + 1 <= hi THEN dv END) AS mad
-             |  FROM dc GROUP BY event_type),
-             |fl AS (SELECT d.event_type,
-             |    CAST(SUM(CASE WHEN d.dv > 3 * a.mad THEN d.c ELSE 0 END)
-             |      AS BIGINT) AS n_outliers
-             |  FROM dev d JOIN mad a USING (event_type) GROUP BY 1)
-             |SELECT m.event_type, m.n, m.med, a.mad, f.n_outliers
-             |FROM med m JOIN mad a USING (event_type)
-             |JOIN fl f USING (event_type)""".stripMargin)))
+        .agg(count(lit(1)).as("c"))),
+      Some(outlierSql)))
+
 }

@@ -1104,7 +1104,28 @@ object Streams {
       Some(
         s"""WITH ${graft.operators.Relational3.quantileSampleCtes},
            |${graft.operators.Relational3.quantileTailSql("samp", "m", "est")}
-           |SELECT grp, m, est_p50, est_p90, est_p99 FROM estq""".stripMargin))
+           |SELECT grp, m, est_p50, est_p90, est_p99 FROM estq""".stripMargin)),
+
+    // 218 (§2.3 #215 dq_outlier's streaming twin — the monitor family's
+    // fourth and final leg goes live: volume, distribution, clock, and
+    // now VALUE INTEGRITY are all batch/stream-paired over single-sourced
+    // decision tails). The stream maintains the per-(type, value) count
+    // histogram in Complete mode — the standing artifact a value monitor
+    // keeps; state is bounded by the VALUE DOMAIN (distinct (type, value)
+    // pairs), not the arrival rate — and each evaluation folds medians,
+    // MAD and the strict-3·MAD flag count with
+    // operators.DataQuality.outlierTail, the SAME exact index-rule
+    // arithmetic as the batch audit (oracle shared verbatim; spec pins
+    // stream ≡ batch row-for-row).
+    GraftQuery("st_outlier", (s, d) => {
+      val perV = eventsStream(s, d)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.DataQuality.outlierTail(s,
+        runToTable(s, perV, OutputMode.Complete()))
+    },
+      Some(graft.operators.DataQuality.outlierSql))
   )
 
   /** Stage a deterministic 2-batch replay (even users, then odd users;

@@ -300,6 +300,14 @@ class DataQualitySpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("st_outlier is dq_outlier row-for-row (the single-sourced median/MAD tail cannot drift)") {
+    val batch = run("dq_outlier", sf).collect().map(_.toSeq).toSet
+    val stream = run("st_outlier", sf).collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"streaming twin diverged: only-batch=${(batch -- stream).take(3)} " +
+        s"only-stream=${(stream -- batch).take(3)}")
+  }
+
   test("st_drift: a bucket on ONE side only surfaces as drift mass (full-outer pin)") {
     import spark.implicits._
     val dir = specTempDir("stdrift1")
