@@ -795,7 +795,34 @@ object PlanContracts {
         "exchanges bounded: ≤ 2 hash exchanges (the (name, brand) " +
           "level-1 shuffle and the per-name fold)",
         p => "Exchange hashpartitioning".r
-          .findAllIn(p.finalSection).length <= 2)))
+          .findAllIn(p.finalSection).length <= 2)),
+    "q_pagerank" -> Seq(
+      noCartesian,
+      Contract(
+        "the edge table (with out-degree attached) builds ONCE and " +
+          "every iteration reads the cache (InMemoryTableScan) — the " +
+          "corpus join that derives it never re-runs inside the loop",
+        p => p.full.contains("InMemoryTableScan")),
+      broadcasts(0, "nothing broadcasts: every side of every iteration " +
+        "scales with the graph (edges, degrees, ranks)"),
+      Contract(
+        "no nested-loop fallback anywhere in the 5-iteration chain",
+        p => !p.full.contains("BroadcastNestedLoopJoin"))),
+    "q_triangles" -> Seq(
+      noCartesian,
+      Contract(
+        "the ORIENTED edge set persists once (InMemoryTableScan) and " +
+          "the triangle count's two self-joins read the cache — the " +
+          "pair build and degree orientation never re-run per join leg",
+        p => p.full.contains("InMemoryTableScan")),
+      broadcasts(0, "zero broadcasts: every graph-scale join (pair " +
+        "build, okey attach, triangle legs) shuffles on its keys, and " +
+        "the triangle/wedge scalars fold in ONE union-aggregate — no " +
+        "scalar-combine join exists to broadcast"),
+      Contract(
+        "no nested-loop fallback anywhere (the union-aggregate combine " +
+          "leaves nothing for a constant-key join to degenerate into)",
+        p => !p.full.contains("BroadcastNestedLoopJoin"))))
 
   /** Entries whose query plan is a scan over materialized snapshots
     * (iterative chains with per-round lineage cuts): the audit reads the

@@ -8,7 +8,7 @@ object SparkEntry {
   /** All capability modules; each contributes GraftQuery defs. */
   def allDefs: Seq[GraftQuery] =
     operators.Relational.defs ++ operators.Relational2.defs ++
-      operators.Relational3.defs ++
+      operators.Relational3.defs ++ operators.Graph.defs ++
       operators.TextOps.defs ++ operators.TextOps2.defs ++
       operators.Curation.defs ++ operators.Curation2.defs ++
       operators.Curation3.defs ++ operators.DataQuality.defs ++

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 graph-analytics legs (round 13): link analysis over graphs
+  * DERIVED from the relational corpus — the web-graph shapes a crawl
+  * curation pipeline runs (PageRank-style authority weighting is a
+  * standard quality signal for web corpora; triangle/clustering stats are
+  * the classic graph-health audit). The reference engine exposes
+  * connector rows to SQLite and leaves graph queries to recursive SQL;
+  * at 100 TB the iterative join-agg has to BE the operator — a recursive
+  * CTE over a corpus-sized edge table is the canonical scale killer,
+  * while a fixed-iteration edge-partitioned join-agg chain is exactly
+  * what Spark schedules well (the Components.minLabel discipline, here
+  * with a FIXED trip count so the oracle can unroll).
+  *
+  * Cross-engine exactness discipline: PageRank is computed in FIXED-POINT
+  * int64 arithmetic — rank mass scaled by 1e9, per-edge contribution
+  * `rank div deg` (both engines truncate positive integer division
+  * identically), damping as `150000000 + (85 * sum) div 100` in integer
+  * ops. Integer addition is order-independent, so the result is a
+  * function of the data multiset on ANY partitioning/merge order — no
+  * float accumulation anywhere (the SURVEY §6 rule that sank naive
+  * double PageRank before it was written: two engines summing doubles in
+  * different orders cannot hash-match). Overflow audit: total mass =
+  * n·1e9 ≈ 1.6e15 at sf10 (n = |customers|+|suppliers|); 85·total
+  * ≈ 1.4e17 ≪ 2^63 with headroom past sf1000.
+  */
+object Graph {
+
+  /** Fixed-point scale: 1e9 per unit of rank mass (see overflow audit). */
+  private[operators] val PrScale = 1000000000L
+  private[operators] val PrIters = 5
+
+  /** The trade graph: customer c ↔ supplier s linked iff some order of
+    * c has a line item from s. Node namespacing keeps the two key spaces
+    * disjoint in one int64 domain: customers at 2c, suppliers at 2s+1.
+    * Directed BOTH ways so every node in the edge set has out-degree ≥ 1
+    * (no dangling-mass correction needed) and the node set is exactly
+    * the src domain. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("st"))
+      .distinct()
+    // the two directions are disjoint by parity (even→odd vs odd→even),
+    // so union AFTER the distinct needs no re-dedup
+    e0.select(col("c").as("src"), col("st").as("dst"))
+      .union(e0.select(col("st").as("src"), col("c").as("dst")))
+  }
+
+  val defs: Seq[GraftQuery] = Seq(
+
+    // 219. PageRank (Page et al. 1999), 5 fixed iterations, damping 0.85,
+    // fixed-point int64 (object doc) — the authority score of every
+    // customer/supplier in the trade graph. Scale shape: the edge table
+    // builds ONCE with its out-degree attached, repartitions by src and
+    // persists (contract-pinned InMemoryTableScan) — each iteration is
+    // then ONE join (only the rank side shuffles; the cached edge side is
+    // already hash-partitioned on the join key) + ONE map-side-combined
+    // groupBy(dst), i.e. two bounded shuffles of bare (id, rank) pairs
+    // per iteration, never the corpus. The trip count is FIXED so the
+    // DuckDB oracle unrolls to 5 chained CTEs computing the identical
+    // integer arithmetic. Nothing broadcasts: every side scales with the
+    // graph.
+    GraftQuery("q_pagerank", (s, d) => {
+      val ed = tradeEdges(s, d)
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("dg"))
+      val edges = OpCache.track(s,
+        ed.join(deg, "src")
+          .repartition(col("src"))
+          .persist())
+      var ranks = deg.select(col("src").as("id"), lit(PrScale).as("rank"))
+      for (_ <- 1 to PrIters) {
+        ranks = edges
+          .join(ranks, edges("src") === ranks("id"))
+          .select(col("dst"), expr("rank div dg").as("contrib"))
+          .groupBy("dst")
+          .agg((lit(150000000L) +
+            expr("85 * sum(contrib) div 100")).as("rank"))
+          .select(col("dst").as("id"), col("rank"))
+      }
+      ranks
+    },
+      Some {
+        val iters = (1 to PrIters).map { k =>
+          s"""r$k AS (SELECT e.dst AS id,
+             |    CAST(150000000 + (85 * SUM(r.rank // e.dg)) // 100 AS BIGINT)
+             |      AS rank
+             |  FROM edges e JOIN r${k - 1} r ON r.id = e.src GROUP BY e.dst)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+           |    l_suppkey * 2 + 1 AS st
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |ed AS (SELECT c AS src, st AS dst FROM e0
+           |  UNION ALL SELECT st, c FROM e0),
+           |deg AS (SELECT src, COUNT(*) AS dg FROM ed GROUP BY 1),
+           |edges AS (SELECT ed.src, ed.dst, deg.dg
+           |  FROM ed JOIN deg ON deg.src = ed.src),
+           |r0 AS (SELECT src AS id, CAST($PrScale AS BIGINT) AS rank FROM deg),
+           |$iters
+           |SELECT id, rank FROM r$PrIters""".stripMargin
+      }),
+
+    // 220. Triangle census + global clustering coefficient over the
+    // co-purchase graph (parts sharing an order) — the graph-health
+    // audit (Watts-Strogatz 1998; triangle counting by degree
+    // orientation: Chiba-Nishizeki 1985 / Suri-Vassilvitskii WWW'11).
+    // Scale shape: the pair build is a CO-PARTITIONED per-order
+    // self-join (per-key populations are order-line-count bounded — no
+    // cross-order blowup) folded to the distinct edge set; each edge is
+    // then ORIENTED low→high by (degree, id) — okey = dg·2^40 + id, a
+    // total order both engines compute identically (id < 2^40 at any
+    // realistic sf; dg < 2^23 or the product would overflow, documented
+    // headroom ~8.4M co-purchase partners) — which bounds the wedge join
+    // by Σ min-degree (the m^1.5 worst case, far less on bounded-degree
+    // corpora) instead of Σ deg² on the hubs. The oriented edge set
+    // persists ONCE (contract-pinned) and the triangle count is two
+    // self-joins over it; wedges fold from the degree table; output is
+    // O(1) rows. The clustering coefficient is ONE IEEE division of two
+    // exact int64s — bit-identical cross-engine.
+    GraftQuery("q_triangles", (s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+        .distinct()
+      val deg = pairs.select(col("pa").as("n"))
+        .union(pairs.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val ok = deg.select(col("n"),
+        (col("dg") * lit(1099511627776L) + col("n")).as("okey"))
+      val e = OpCache.track(s,
+        pairs
+          .join(ok.select(col("n").as("pa"), col("okey").as("ka")), "pa")
+          .join(ok.select(col("n").as("pb"), col("okey").as("kb")), "pb")
+          .select(
+            when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("u"),
+            when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("v"))
+          .persist())
+      // both scalars fold in ONE union-aggregate (map-side combined) —
+      // no scalar-combine join: a constant-key equi-join would fold to a
+      // nested loop, and two separate actions would double-plan the graph
+      val triRows = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(lit(1L).as("t"), lit(0L).as("w"))
+      val wedRows = deg.select(lit(0L).as("t"),
+        expr("dg * (dg - 1) div 2").as("w"))
+      triRows.union(wedRows)
+        .agg(sum("t").as("triangles"), sum("w").as("wedges"))
+        .select(col("triangles"), col("wedges"),
+          ((col("triangles") * 3).cast("double") /
+            col("wedges").cast("double")).as("global_cc"))
+    },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |pairs AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT n, COUNT(*) AS dg FROM (
+             |    SELECT pa AS n FROM pairs
+             |    UNION ALL SELECT pb FROM pairs) GROUP BY 1),
+             |ok AS (SELECT n, dg * 1099511627776 + n AS okey FROM deg),
+             |e AS (SELECT CASE WHEN ka.okey < kb.okey THEN pa ELSE pb END AS u,
+             |             CASE WHEN ka.okey < kb.okey THEN pb ELSE pa END AS v
+             |  FROM pairs
+             |  JOIN ok ka ON ka.n = pa
+             |  JOIN ok kb ON kb.n = pb),
+             |tri AS (SELECT COUNT(*) AS triangles
+             |  FROM e e1
+             |  JOIN e e2 ON e1.v = e2.u
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |wed AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS wedges
+             |  FROM deg)
+             |SELECT triangles, wedges,
+             |  CAST(triangles * 3 AS DOUBLE) / CAST(wedges AS DOUBLE)
+             |    AS global_cc
+             |FROM tri, wed""".stripMargin))
+  )
+}
