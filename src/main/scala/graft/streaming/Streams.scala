@@ -774,6 +774,84 @@ object Streams {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // 55o. streaming CDC apply (#221): the Debezium→lakehouse ingest
+    // shape — a stream of row-level change events (update / delete)
+    // applied to a standing keyed table by LAST-WRITER-WINS with
+    // tombstones. The events table is read as a change stream on key
+    // user_id: event_type 'error' is the DELETE tombstone, anything else
+    // an UPSERT carrying `value`; change order is the TOTAL order
+    // (ts, event_id) — event ids are unique, so every conflict has a
+    // deterministic winner and the final state is a function of the data
+    // MULTISET, independent of how the stream is micro-batched (LWW max
+    // is associative+commutative). The replay stages two batches by
+    // EVENT-id parity, so keys collide across batches and the
+    // merge resolves real cross-batch conflicts — including the two
+    // orders a naive apply gets wrong: a LATER-applied but OLDER-ts
+    // update must not resurrect a deleted key, and a later-ts update
+    // must. Tombstones stay IN the target during the run (dropping them
+    // early would let exactly that resurrection through) and filter at
+    // read. Scale shape: each trigger reduces ITS batch map-side to one
+    // winner per touched key (max of a (us, event_id, del, value)
+    // struct — lexicographic, ties impossible), then ONE full-outer
+    // equi-join of the batch winners against the target, i.e. the
+    // standard incremental-MERGE cost: per-trigger work scales with the
+    // CHANGE volume, the target join is co-partitioned on the key, and
+    // nothing rescans history. Oracle: one window over the whole corpus
+    // picking each key's (ts, event_id)-max change, deletes filtered.
+    GraftQuery("st_cdc", (s, d) => {
+      import java.nio.file._
+      val staged = stageCdcBatches(s, d)
+      val tgt = scratchDir(d, "cdc_tgt")
+      val cur = tgt.resolve("cur")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // evens batch, then odds batch
+        .parquet(s"$staged/*.parquet")
+        .transform(graft.Tables.tsNormalized)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+          val win = batch.select(col("user_id"),
+              struct(unix_micros(col("ts")).as("us"), col("event_id"),
+                (col("event_type") === "error").as("del"),
+                col("value")).as("ch"))
+            .groupBy("user_id").agg(max("ch").as("ch"))
+          val merged =
+            if (!Files.exists(cur)) win
+            else {
+              val prev = batch.sparkSession.read.parquet(cur.toString)
+                .select(col("user_id"), col("ch").as("pch"))
+              prev.join(win.select(col("user_id"), col("ch").as("nch")),
+                  Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  when(col("pch").isNull, col("nch"))
+                    .when(col("nch").isNull, col("pch"))
+                    .when(col("nch") > col("pch"), col("nch"))
+                    .otherwise(col("pch")).as("ch"))
+            }
+          val next = tgt.resolve(s"next_$batchId")
+          merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
+          if (Files.exists(cur)) {
+            Files.list(cur).forEach(p => Files.delete(p))
+            Files.delete(cur)
+          }
+          Files.move(next, cur)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(cur.toString)
+        .filter(!col("ch.del"))
+        .select(col("user_id"), col("ch.value").as("value"),
+          col("ch.us").as("us"))
+    },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    event_type = 'error' AS del, value FROM events),
+             |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY us DESC, event_id DESC) AS rn FROM c)
+             |SELECT user_id, value, us FROM w WHERE rn = 1 AND NOT del"""
+        .stripMargin)),
+
     // 55n. the STREAMING CAPSTONE — the online monitoring feed of an
     // ingest pipeline as ONE streaming query with THREE CHAINED STATEFUL
     // OPERATORS (the composition Spark only allows in append mode with
@@ -1175,6 +1253,30 @@ object Streams {
       }
       put(raw.filter(col("user_id") % 2 === 0), "00_evens.parquet", 120000)
       put(raw.filter(col("user_id") % 2 =!= 0), "01_odds.parquet", 60000)
+      staged.toString
+    })
+
+  /** st_cdc's staging: two batches split by EVENT id parity (not user id —
+    * a key's changes must land in BOTH batches, or the standing-target
+    * merge never exercises a cross-batch conflict). */
+  private val cdcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageCdcBatches(s: SparkSession, d: String): String =
+    cdcDirs.computeIfAbsent(d, _ => {
+      import java.nio.file._
+      val staged = scratchDir(d, "cdc_src")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      def put(df: org.apache.spark.sql.DataFrame, name: String, ageMs: Long): Unit = {
+        val tmp = scratchDir(d, "cdc_part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = staged.resolve(name)
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst,
+          attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      }
+      put(raw.filter(col("event_id") % 2 === 0), "00_evens.parquet", 120000)
+      put(raw.filter(col("event_id") % 2 =!= 0), "01_odds.parquet", 60000)
       staged.toString
     })
 

@@ -140,4 +140,29 @@ class StreamingSpec extends SparkSpec {
       s"a batch-1 DUP must never be appended to the index: $out")
     assert(out.map(_._1) == Set(30L, 40L, 50L), s"unexpected extra pairs: $out")
   }
+
+  test("st_cdc: cross-batch last-writer-wins with tombstones, both conflict orders") {
+    // batches split by EVENT-id parity (even → batch 1, odd → batch 2),
+    // so every user below has changes in BOTH batches:
+    //   u1: upsert(t1) in b1, delete(t2) in b2     → deleted
+    //   u2: delete(t2) in b1, upsert(t1) in b2     → later-APPLIED but
+    //       older-TS update must NOT resurrect      → deleted
+    //   u3: delete(t1) in b1, upsert(t2) in b2     → resurrected, v=7
+    //   u4: single upsert in b1                     → present, v=4
+    //   u5: two upserts in b2 (in-batch LWW)        → present, v=2
+    val dir = specTempDir("cdc_spec")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (2L, t(1), 1L, "purchase", 1.0), (3L, t(2), 1L, "error", 0.0),
+      (4L, t(2), 2L, "error", 0.0), (5L, t(1), 2L, "purchase", 5.0),
+      (6L, t(1), 3L, "error", 0.0), (7L, t(2), 3L, "purchase", 7.0),
+      (8L, t(1), 4L, "click", 4.0),
+      (9L, t(1), 5L, "view", 1.0), (11L, t(2), 5L, "purchase", 2.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("st_cdc")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(3L -> 7.0, 4L -> 4.0, 5L -> 2.0),
+      s"CDC final state wrong: $out")
+  }
 }
