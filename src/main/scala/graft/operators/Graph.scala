@@ -70,8 +70,12 @@ object Graph {
     GraftQuery("q_pagerank", (s, d) => {
       val ed = tradeEdges(s, d)
       val deg = ed.groupBy("src").agg(count(lit(1)).as("dg"))
+      // merge hint: the degree attach must never broadcast — both sides
+      // derive from the edge table and scale with the graph (the contract
+      // below audits this under sf1 stats, where Spark's estimate of the
+      // distinct-aggregated union otherwise still picks BuildLeft).
       val edges = OpCache.track(s,
-        ed.join(deg, "src")
+        ed.join(deg.hint("merge"), "src")
           .repartition(col("src"))
           .persist())
       var ranks = deg.select(col("src").as("id"), lit(PrScale).as("rank"))
