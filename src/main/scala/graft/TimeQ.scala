@@ -25,11 +25,15 @@ object TimeQ {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to iters) {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[timeq] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // comma-separated names share one JVM (amortizes startup for A/B
+    // sweeps over several entries); iteration loops stay per-entry
+    for (n <- name.split(',').toSeq) {
+      val fn = SparkEntry.queries(n)
+      for (i <- 1 to iters) {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[timeq] $n iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     operators.OpCache.release(spark)
     spark.stop()

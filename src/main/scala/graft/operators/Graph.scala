@@ -48,9 +48,13 @@ object Graph {
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("st"))
       .distinct()
     // the two directions are disjoint by parity (even→odd vs odd→even),
-    // so union AFTER the distinct needs no re-dedup
-    e0.select(col("c").as("src"), col("st").as("dst"))
-      .union(e0.select(col("st").as("src"), col("c").as("dst")))
+    // so no re-dedup is needed; emitting both via ONE explode (instead of
+    // a self-union) keeps the corpus join + distinct a single subtree —
+    // the union form evaluated the whole orders⋈lineitem dedup twice
+    e0.select(explode(array(
+        struct(col("c").as("src"), col("st").as("dst")),
+        struct(col("st").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   val defs: Seq[GraftQuery] = Seq(
@@ -68,20 +72,30 @@ object Graph {
     // integer arithmetic. Nothing broadcasts: every side scales with the
     // graph.
     GraftQuery("q_pagerank", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val ed = tradeEdges(s, d)
-      val deg = ed.groupBy("src").agg(count(lit(1)).as("dg"))
-      // merge hint: the degree attach must never broadcast — both sides
-      // derive from the edge table and scale with the graph (the contract
-      // below audits this under sf1 stats, where Spark's estimate of the
-      // distinct-aggregated union otherwise still picks BuildLeft).
+      // out-degree attached by a window over the SAME exchange that
+      // hash-partitions the cache by the iteration join key (guide §2.4:
+      // operations keyed alike share one exchange) — this replaces the
+      // former groupBy + join + repartition shape, which cost three
+      // exchanges, a join that must not broadcast (both sides scale with
+      // the graph), and a second evaluation of the edge subtree.
       val edges = OpCache.track(s,
-        ed.join(deg.hint("merge"), "src")
-          .repartition(col("src"))
+        ed.withColumn("dg",
+            count(lit(1)).over(Window.partitionBy(col("src"))))
           .persist())
-      var ranks = deg.select(col("src").as("id"), lit(PrScale).as("rank"))
+      var ranks = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(PrScale).as("rank"))
       for (_ <- 1 to PrIters) {
+        // shuffle_hash on the rank side: the cached edge table is already
+        // hash-partitioned on src and ranks arrives partitioned on id from
+        // the previous fold, so the join runs exchange-free per iteration;
+        // a sort-merge join would re-sort BOTH sides every iteration. The
+        // per-partition build is the node-scaled rank table / N shuffle
+        // partitions — the deployment knob every shuffled-hash build
+        // assumes, never a broadcast.
         ranks = edges
-          .join(ranks, edges("src") === ranks("id"))
+          .join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
           .select(col("dst"), expr("rank div dg").as("contrib"))
           .groupBy("dst")
           .agg((lit(150000000L) +
@@ -132,20 +146,31 @@ object Graph {
       val li = Tables.t(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val pairs = li.as("a")
+      // the per-order self-join → distinct pair set is the heaviest
+      // subplan; persist it ONCE — the previous lazy form re-evaluated it
+      // three times (both degree-union legs + the oriented-edge build) —
+      // and fold the degree count in ONE pass over the cache by exploding
+      // both endpoints instead of self-unioning.
+      val pairs = OpCache.track(s, li.as("a")
         .join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
         .distinct()
-      val deg = pairs.select(col("pa").as("n"))
-        .union(pairs.select(col("pb").as("n")))
+        .persist())
+      val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val ok = deg.select(col("n"),
         (col("dg") * lit(1099511627776L) + col("n")).as("okey"))
+      // shuffle_hash on the node-scaled degree side of each attach: the
+      // pair side exchanges by its key either way, but a sort-merge join
+      // would also SORT the corpus-scaled pair table twice; the hash build
+      // is the degree table / N shuffle partitions, never a broadcast.
       val e = OpCache.track(s,
         pairs
-          .join(ok.select(col("n").as("pa"), col("okey").as("ka")), "pa")
-          .join(ok.select(col("n").as("pb"), col("okey").as("kb")), "pb")
+          .join(ok.select(col("n").as("pa"), col("okey").as("ka"))
+            .hint("shuffle_hash"), "pa")
+          .join(ok.select(col("n").as("pb"), col("okey").as("kb"))
+            .hint("shuffle_hash"), "pb")
           .select(
             when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("u"),
             when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("v"))
@@ -153,9 +178,15 @@ object Graph {
       // both scalars fold in ONE union-aggregate (map-side combined) —
       // no scalar-combine join: a constant-key equi-join would fold to a
       // nested loop, and two separate actions would double-plan the graph
+      // shuffle_hash on the edge side of both triangle legs: every side is
+      // the SAME cached oriented edge set (symmetric sizes), so sort-merge
+      // buys no spill asymmetry while paying a full sort of each leg; the
+      // hash build per partition is |E| / N shuffle partitions — sized by
+      // the same deployment knob as every shuffled aggregation over the
+      // edge set. The wedge-bounded probe stream (e1⋈e2) never sorts.
       val triRows = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"),
+        .join(e.as("e2").hint("shuffle_hash"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3").hint("shuffle_hash"),
           col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
         .select(lit(1L).as("t"), lit(0L).as("w"))
       val wedRows = deg.select(lit(0L).as("t"),

@@ -149,10 +149,21 @@ object Relational2 {
 
     // 62. ROLLUP hierarchy totals (beyond SQLite; core at warehouse scale).
     GraftQuery("q_rollup",
-      (s, d) => ord(s, d)
-        .rollup(year(col("o_orderdate")).cast("long").as("y"),
-          col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sumd(d2(col("o_totalprice"))).as("total")),
+      (s, d) => {
+        // pre-aggregate to the (y, priority) domain BEFORE the ROLLUP's
+        // Expand (guide §2.3 "aggregate before you shuffle", applied to
+        // Expand: the direct form runs the full scan's row stream through
+        // the aggregate 3×, once per grouping level). COUNT re-folds as
+        // SUM of partial counts and the DECIMAL(12,2) partial sums re-fold
+        // exactly, so the result is bit-identical; oracle unchanged.
+        val base = ord(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"), sum(d2(col("o_totalprice"))).as("pt"))
+        base.rollup(col("y"), col("o_orderpriority"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pt")).cast("decimal(38,2)").cast("double").as("total"))
+      },
       Some("""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, o_orderpriority,
              |  COUNT(*) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -259,8 +270,11 @@ object Relational2 {
     // 67h. explicit GROUPING SETS (independent of ROLLUP/CUBE).
     GraftQuery("q_grouping_sets",
       (s, d) => { Tables.views(s, d); s.sql(
-        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-          |FROM orders
+        // pre-aggregate to the (status, priority) domain before the
+        // GROUPING SETS Expand — same bit-identical re-fold as q_rollup
+        """SELECT o_orderstatus, o_orderpriority, SUM(pn) AS n
+          |FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS pn
+          |      FROM orders GROUP BY o_orderstatus, o_orderpriority)
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
              |FROM orders
@@ -279,9 +293,16 @@ object Relational2 {
 
     // 67e. CUBE: all grouping combinations.
     GraftQuery("q_cube",
-      (s, d) => ord(s, d)
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sumd(d2(col("o_totalprice"))).as("total")),
+      (s, d) => {
+        // same pre-aggregation-before-Expand shape as q_rollup (CUBE
+        // expands 4×); bit-identical re-fold, oracle unchanged.
+        val base = ord(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("pn"), sum(d2(col("o_totalprice"))).as("pt"))
+        base.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pt")).cast("decimal(38,2)").cast("double").as("total"))
+      },
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY CUBE(1, 2)""".stripMargin)),

@@ -391,13 +391,25 @@ object Similarity {
         "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
       .filter(col("est") >= 0.55)
       .select("ia", "ib")
-  private def mhVerify(pre: DataFrame, sh: DataFrame): DataFrame =
+  private def mhVerify(pre: DataFrame, sh: DataFrame): DataFrame = {
+    // Candidate-bounded verify (guide §3.2 / the st_incremental shape):
+    // recompute the heavy shingle arrays ONLY for docs that appear in a
+    // surviving candidate pair — the broadcast semi-join pushes below the
+    // char_shingles project to the parquet scan, so the corpus-wide
+    // shingle recompute AND its ~3 KB/row shuffle collapse to the
+    // banding-bounded candidate set (linear in near-dup volume by LSH
+    // construction, never corpus-sized). `pre` must be cached by the
+    // caller: it is evaluated twice (id-set build + the pair join).
+    val ids = pre.select(col("ia").as("doc_id"))
+      .union(pre.select(col("ib").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
     pre
-      .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-      .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
       .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
       .filter(col("jacc") >= 0.7)
       .select("ia", "ib", "jacc")
+  }
 
   /** Banding-parameterized pair index: the entry path calls it with the
     * configured (lshBands, lshRows); GenScaleSpec exercises an overridden
@@ -409,8 +421,12 @@ object Similarity {
       val sigs = sh.withColumn("sig", expr("minhash_sig(sh)"))
         .select("doc_id", "sig").persist()
       val cand = bandCandidates(sigs, "doc_id", bands = bands, rows = rows)
-      val verified = mhVerify(mhPrefilter(cand, sigs), sh).persist()
-      verified.count() // materialize now so the signature cache can go
+      // pre is pinned across mhVerify's two evaluations of it (id-set +
+      // pair join), then released with the signature cache
+      val pre = mhPrefilter(cand, sigs).persist()
+      val verified = mhVerify(pre, sh).persist()
+      verified.count() // materialize now so the upstream caches can go
+      pre.unpersist()
       sigs.unpersist()
       verified
     }

@@ -148,16 +148,28 @@ object TextOps {
       // prefilter on 64-long signature agreement before the shingle arrays
       // (a shingle set is ~3 KB/row vs 512 B of signature — the band
       // false-positive majority never touches the heavy side)
-      val pre = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
-        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
-        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
-        .withColumn("est", expr(
-          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
-        .filter(col("est") >= 0.65)
-        .select("ia", "ib")
+      val pre = OpCache.track(s,
+        Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+          .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+          .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+          .withColumn("est", expr(
+            "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
+          .filter(col("est") >= 0.65)
+          .select("ia", "ib")
+          .persist())
+      // candidate-bounded verify (guide §3.2, the Similarity.mhVerify
+      // shape): the 3-gram shingle arrays (~3 KB/row) are recomputed and
+      // shuffled ONLY for docs in a surviving candidate pair — the
+      // broadcast semi-join pushes below char_shingles to the scan, so
+      // the two former corpus-wide shingle passes collapse to the
+      // banding-bounded candidate set. pre is pinned because the id-set
+      // build and the pair join both read it.
+      val ids = pre.select(col("ia").as("doc_id"))
+        .union(pre.select(col("ib").as("doc_id"))).distinct()
+      val shc = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
       pre
-        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+        .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .withColumn("jacc", expr("jaccard_sim(sha, shb)"))
         .filter(col("jacc") >= 0.8)
         .select("ia", "ib", "jacc")
