@@ -178,17 +178,23 @@ object Graph {
       // both scalars fold in ONE union-aggregate (map-side combined) —
       // no scalar-combine join: a constant-key equi-join would fold to a
       // nested loop, and two separate actions would double-plan the graph
-      // shuffle_hash on the edge side of both triangle legs: every side is
-      // the SAME cached oriented edge set (symmetric sizes), so sort-merge
-      // buys no spill asymmetry while paying a full sort of each leg; the
-      // hash build per partition is |E| / N shuffle partitions — sized by
-      // the same deployment knob as every shuffled aggregation over the
-      // edge set. The wedge-bounded probe stream (e1⋈e2) never sorts.
+      // Edge-iterator triangle counting over out-adjacency lists instead
+      // of the wedge-materializing e⋈e⋈e: per edge (u,v) the triangle
+      // count is |N(u) ∩ N(v)| over oriented out-neighbors, so the
+      // Σ min-degree wedge stream — the dominant shuffle at scale — never
+      // crosses an exchange; it stays inside one codegen'd array_intersect
+      // per edge row. Two shuffled-hash attaches of the node-scaled
+      // adjacency table (never broadcast) replace the two edge×edge legs.
+      // Intersection SIZE is order-independent, so the unsorted
+      // collect_list is deterministic in the result.
+      val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("nb"))
       val triRows = e.as("e1")
-        .join(e.as("e2").hint("shuffle_hash"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3").hint("shuffle_hash"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(lit(1L).as("t"), lit(0L).as("w"))
+        .join(adj.select(col("u").as("au"), col("nb").as("nu"))
+          .hint("shuffle_hash"), col("e1.u") === col("au"))
+        .join(adj.select(col("u").as("av"), col("nb").as("nv"))
+          .hint("shuffle_hash"), col("e1.v") === col("av"))
+        .select(expr("CAST(size(array_intersect(nu, nv)) AS BIGINT)").as("t"),
+          lit(0L).as("w"))
       val wedRows = deg.select(lit(0L).as("t"),
         expr("dg * (dg - 1) div 2").as("w"))
       triRows.union(wedRows)

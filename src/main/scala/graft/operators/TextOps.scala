@@ -294,18 +294,26 @@ object TextOps {
       // Shingles/signatures are doc-local → restrict the SHARED 3-gram
       // snapshot to the kept ids rather than re-running the signature build
       val (shAll, sigsAll) = gram3(s, d)
-      val sh = shAll.join(keepIds, "doc_id")
       val sigs = sigsAll.join(keepIds, "doc_id")
-      val preP = Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
-        .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
-        .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
-        .withColumn("est", expr(
-          "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
-        .filter(col("est") >= 0.65)
-        .select("ia", "ib")
+      val preP = OpCache.track(s,
+        Similarity.bandCandidates(sigs, "doc_id", bands = 8, rows = 8)
+          .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+          .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+          .withColumn("est", expr(
+            "sig_agree(siga, sigb) / CAST(64 AS DOUBLE)"))
+          .filter(col("est") >= 0.65)
+          .select("ia", "ib")
+          .persist())
+      // candidate-bounded verify (the dd_ngram_jaccard / mhVerify shape):
+      // shingles recompute + shuffle only for docs in a candidate pair.
+      // Candidate ids come from kept-restricted signatures, so they are
+      // ⊆ kept by construction and need no second keepIds gate.
+      val ids = preP.select(col("ia").as("doc_id"))
+        .union(preP.select(col("ib").as("doc_id"))).distinct()
+      val shc = shAll.join(broadcast(ids), Seq("doc_id"), "left_semi")
       val dupIb = preP
-        .join(sh.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+        .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+        .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
         .filter(expr("jaccard_sim(sha, shb)") >= 0.8)
         .select(col("ib").as("doc_id")).distinct()
       val deduped = kept.join(dupIb, Seq("doc_id"), "left_anti")
