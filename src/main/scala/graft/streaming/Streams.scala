@@ -52,6 +52,40 @@ object Streams {
     }
   }
 
+  /** Ephemeral checkpoint root for the deterministic replay harness.
+    * Every micro-batch pays WAL/offset/state-store commit round-trips into
+    * the checkpoint dir; for a memory-sink replay that is stopped and
+    * discarded these are pure scratch, so the DEFAULT points at tmpfs
+    * (/dev/shm) when present instead of java.io.tmpdir — the cost is
+    * filesystem metadata ops, not durability anyone reads back (guide §6).
+    * `spark.graft.stream.checkpointDir` overrides it; a production stream
+    * sets it to durable storage (and entries whose SEMANTICS are the
+    * checkpoint — st_recovery's restart — keep their own explicit dirs).
+    * Passing an explicit location also closes a scratch leak: Spark's
+    * auto-created temp checkpoints are only best-effort deleted, and one
+    * accumulated under /tmp per streaming entry per JVM; here each run's
+    * dir is removed after stop (dropCkpt). */
+  private[streaming] def ckptDir(s: SparkSession, name: String): String = {
+    import java.nio.file._
+    val base = s.conf.get("spark.graft.stream.checkpointDir",
+      if (Files.isWritable(Paths.get("/dev/shm"))) "/dev/shm/graft_ckpt"
+      else sys.props("java.io.tmpdir") + "/graft_ckpt")
+    val p = Paths.get(base, name)
+    dropCkpt(p.toString) // wipe a stale dir from an interrupted prior run
+    Files.createDirectories(p)
+    p.toString
+  }
+  private[streaming] def dropCkpt(dir: String): Unit = {
+    import java.nio.file._
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach((q: Path) => Files.delete(q))
+      finally walk.close()
+    }
+  }
+
   private def runToTable(s: SparkSession, df: DataFrame, mode: OutputMode,
       noDataBatches: Boolean = true): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
@@ -75,7 +109,9 @@ object Streams {
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.statePartitions", "8"))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
-    val q = try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val ckpt = ckptDir(s, name)
+    val q = try df.writeStream.outputMode(mode).format("memory")
+      .option("checkpointLocation", ckpt).queryName(name).start()
     finally {
       s.conf.set("spark.sql.shuffle.partitions", was)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataWas)
@@ -87,6 +123,7 @@ object Streams {
     lastStateRows = q.recentProgress.toSeq
       .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
     q.stop()
+    dropCkpt(ckpt) // replay scratch: one live checkpoint max, then gone
     s.table(name)
   }
 
@@ -729,6 +766,7 @@ object Streams {
       val tgt = scratchDir(d, "fb_tgt")
       val cur = tgt.resolve("cur")
       val schema = s.read.parquet(s"$d/events.parquet").schema
+      val fbCkpt = ckptDir(s, s"graft_fb_${runId.incrementAndGet()}")
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // evens batch, then odds batch
         .parquet(s"$staged/*.parquet")
@@ -764,9 +802,11 @@ object Streams {
           Files.move(next, cur)
           ()
         }
+        .option("checkpointLocation", fbCkpt)
         .start()
       q.processAllAvailable()
       q.stop()
+      dropCkpt(fbCkpt)
       s.read.parquet(cur.toString)
         .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
     },
@@ -804,6 +844,7 @@ object Streams {
       val tgt = scratchDir(d, "cdc_tgt")
       val cur = tgt.resolve("cur")
       val schema = s.read.parquet(s"$d/events.parquet").schema
+      val fbCkpt = ckptDir(s, s"graft_fb_${runId.incrementAndGet()}")
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // evens batch, then odds batch
         .parquet(s"$staged/*.parquet")
@@ -837,9 +878,11 @@ object Streams {
           Files.move(next, cur)
           ()
         }
+        .option("checkpointLocation", fbCkpt)
         .start()
       q.processAllAvailable()
       q.stop()
+      dropCkpt(fbCkpt)
       s.read.parquet(cur.toString)
         .filter(!col("ch.del"))
         .select(col("user_id"), col("ch.value").as("value"),
@@ -968,6 +1011,7 @@ object Streams {
           "nid BIGINT, oid BIGINT, jacc DOUBLE"))
         .write.mode("overwrite").parquet(outDir)
       val schema = s.read.parquet(s"$staged/00_b1.parquet").schema
+      val fbCkpt = ckptDir(s, s"graft_fb_${runId.incrementAndGet()}")
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // delta batch 1, then batch 2
         .parquet(s"$staged/*.parquet")
@@ -1008,9 +1052,11 @@ object Streams {
           pairs.unpersist(); b.unpersist()
           ()
         }
+        .option("checkpointLocation", fbCkpt)
         .start()
       q.processAllAvailable()
       q.stop()
+      dropCkpt(fbCkpt)
       s.read.parquet(outDir)
     },
       Some(s"""WITH d AS (${graft.operators.DuckSql.shingles("documents", "doc_id", 5)}),
