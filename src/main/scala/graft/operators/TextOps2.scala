@@ -636,10 +636,16 @@ object TextOps2 {
       import org.apache.spark.sql.expressions.Window
       val tok = Tables.widened(s, d, "documents")
         .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      // ONE explode pass: the doc-term table persists and dlen/df/n all
+      // re-fold from it (dlen = Σ tf per doc ≡ token count; n_docs over
+      // tf's doc_ids ≡ over tok's — a doc with zero tokens appears in
+      // neither). The previous lazy form re-ran the corpus explode four
+      // times (tf, dlen, df-via-tf, n).
+      val tf = OpCache.track(s,
+        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist())
+      val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val n = tok.select(countDistinct("doc_id").as("n_docs"))
+      val n = tf.select(countDistinct("doc_id").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("token").asc)
       tf.join(df, "token").join(dlen, "doc_id").crossJoin(broadcast(n))
