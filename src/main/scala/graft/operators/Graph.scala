@@ -41,8 +41,13 @@ object Graph {
     * (no dangling-mass correction needed) and the node set is exactly
     * the src domain. */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    // shuffle_hash (never broadcast): both sides are corpus-scale, and the
+    // plan FREEZES into the persisted edge cache at first materialization —
+    // an auto-broadcast picked under small-sf stats would be read back by
+    // every later consumer (including the big-stats audit), so the
+    // strategy must be deterministic, not threshold-dependent.
     val e0 = Tables.t(s, d, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash")
       .join(Tables.t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("st"))
@@ -151,8 +156,11 @@ object Graph {
       // three times (both degree-union legs + the oriented-edge build) —
       // and fold the degree count in ONE pass over the cache by exploding
       // both endpoints instead of self-unioning.
+      // shuffle_hash for the same reason as tradeEdges' corpus join: the
+      // strategy freezes into the persisted pair cache, so it must be
+      // deterministic (and a corpus-scale li side must never broadcast).
       val pairs = OpCache.track(s, li.as("a")
-        .join(li.as("b"),
+        .join(li.as("b").hint("shuffle_hash"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
         .distinct()
