@@ -2,6 +2,48 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Per-entry telemetry listener: monotonic task-metric counters whose
+  * deltas attribute an entry's wall time to GC vs spill vs shuffle vs
+  * genuine compute vs CPU starvation (host co-tenancy). Added to diagnose
+  * the r13 32-core pathology (untouched queries sporadically 4-33x slower
+  * at local[32] than local[8] on the same HEAD): low task-CPU + low GC +
+  * high wall means the JVM was starved of cores by the host; high GC or
+  * spill means heap pressure. Counters are monotonic, so per-entry deltas
+  * are race-safe even with stray late task-end events. */
+private class BenchTelemetry extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val taskGcMs = new AtomicLong; val taskRunMs = new AtomicLong
+  val taskCpuNs = new AtomicLong
+  val spillMemB = new AtomicLong; val spillDiskB = new AtomicLong
+  val shufReadB = new AtomicLong; val shufWriteB = new AtomicLong
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      taskGcMs.addAndGet(m.jvmGCTime); taskRunMs.addAndGet(m.executorRunTime)
+      taskCpuNs.addAndGet(m.executorCpuTime)
+      spillMemB.addAndGet(m.memoryBytesSpilled)
+      spillDiskB.addAndGet(m.diskBytesSpilled)
+      shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+  }
+  /** (taskGcMs, taskRunMs, taskCpuMs, spillMB, diskSpillMB, shufReadMB,
+    * shufWriteMB, driverGcMs, processCpuMs) — all monotonic. */
+  def snap(): Array[Long] = {
+    import scala.jdk.CollectionConverters._
+    val drvGc = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val procCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => 0L
+    }
+    Array(taskGcMs.get, taskRunMs.get, taskCpuNs.get / 1000000L,
+      spillMemB.get >> 20, spillDiskB.get >> 20,
+      shufReadB.get >> 20, shufWriteB.get >> 20, drvGc, procCpu)
+  }
+}
+
 /** Driver-run benchmark: every SparkEntry query materialized end-to-end
   * through the noop sink (count() would let Catalyst prune projection-only
   * plans and under-report). One JSON line on stdout. */
@@ -42,17 +84,40 @@ object Bench {
     operators.Curation2.warmBpe(spark, sfDir)
     streaming.Streams.warmStaging(spark, sfDir)
 
+    val telemetry = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    val telemetryRows = Seq.newBuilder[(String, String)]
+
     // A failed entry is recorded by NAME and excluded from timings — a
     // sub-second analysis failure must never masquerade as a measurement
     // (same discipline as BenchScale's failed[]).
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = telemetry.snap()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = telemetry.snap()
+      val d = s1.zip(s0).map { case (a, b) => a - b }
+      // Storage memory currently pinned (MB): detects cache accumulation
+      // across the register (the r13 concern that entry-local pins bleed
+      // storage for the remaining ~200 entries).
+      val storageMB = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+      val rt = Runtime.getRuntime
+      val heapMB = (rt.totalMemory() - rt.freeMemory()) >> 20
+      telemetryRows += name -> (s"""{"task_gc_ms":${d(0)},"task_run_ms":${d(1)},""" +
+        s""""task_cpu_ms":${d(2)},"spill_mb":${d(3)},"disk_spill_mb":${d(4)},""" +
+        s""""shuf_read_mb":${d(5)},"shuf_write_mb":${d(6)},"drv_gc_ms":${d(7)},""" +
+        s""""proc_cpu_ms":${d(8)},"storage_mb":$storageMB,"heap_mb":$heapMB}""")
+      // Entry-scoped cache hygiene (outside the timed region — the entry's
+      // persists and their materialization were all paid inside it): one
+      // entry's working caches must not occupy storage memory for the
+      // remaining ~200 entries. Warmup memos are kept.
+      operators.OpCache.releaseScoped(spark)
+      (name, wall, ok)
     }
     val results = timed.collect { case (n, sec, true) => n -> sec }
     val failed = timed.collect { case (n, _, false) => n }
@@ -62,8 +127,13 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Full per-query timings to a file (the stdout capture downstream keeps
-    // only a bounded tail, which a 117-entry map overflows).
-    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"failed":${jsonList(failed)},"sf":"$sfDir"}"""
+    // only a bounded tail, which a 117-entry map overflows). "telemetry" is
+    // an ADDITIVE diagnostic block (r14): per-entry GC/spill/shuffle/CPU
+    // deltas — the stdout line contract below is unchanged.
+    val telemetryJson = telemetryRows.result()
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val envFp = s"""{"cpus":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},"host_procs":${Runtime.getRuntime.availableProcessors()}}"""
+    val detail = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(results)},"failed":${jsonList(failed)},"sf":"$sfDir","env":$envFp,"telemetry":$telemetryJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json")),
       (detail + "\n").getBytes("UTF-8"))

@@ -94,6 +94,9 @@ object BenchScale {
         }
       }
       System.err.println(f"[bench-scale] $name: ${times.mkString("s, ")}s")
+      // entry-scoped cache hygiene BETWEEN entries; within an entry the
+      // iterations deliberately keep their persists (warm-min semantics)
+      operators.OpCache.releaseScoped(spark)
       val sorted = times.sorted
       if (sorted.isEmpty) (name, None, None, None)
       else (name, Some(sorted.head), Some(sorted(sorted.length / 2)),

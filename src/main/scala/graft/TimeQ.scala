@@ -34,6 +34,10 @@ object TimeQ {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[timeq] $n iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+      // Entry-scoped cache hygiene BETWEEN entries (after the iteration
+      // loop, so warm-iteration semantics within an entry are unchanged
+      // and A/B numbers stay comparable with earlier rounds').
+      operators.OpCache.releaseScoped(spark)
     }
     operators.OpCache.release(spark)
     spark.stop()

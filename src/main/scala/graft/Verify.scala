@@ -35,6 +35,8 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           failed += name -> String.valueOf(e.getMessage).take(500)
         }
+        // entry-scoped cache hygiene: see OpCache.releaseScoped
+        operators.OpCache.releaseScoped(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -95,9 +95,11 @@ object Components {
         iter += 1
       }
       // the final snapshot stays pinned for the caller's downstream plan;
-      // OpCache.release(session) frees it at end of the query-set lifecycle
+      // it is ENTRY-SCOPED (each consuming entry runs its own minLabel),
+      // so OpCache.releaseScoped frees it once the entry's action is done
+      // (release() remains the end-of-lifecycle backstop)
       val finalRdd = liveRdd
-      OpCache.trackHook(s, () => finalRdd.unpersist(false))
+      OpCache.trackHookScoped(s, () => finalRdd.unpersist(false))
       labels
     } finally {
       edges.unpersist()

@@ -48,8 +48,12 @@ object OpCache {
     hooks.keySet().forEach { s =>
       if (s.sparkContext.isStopped && !dead.contains(s)) dead.add(s)
     }
+    scopedHooks.keySet().forEach { s =>
+      if (s.sparkContext.isStopped && !dead.contains(s)) dead.add(s)
+    }
     dead.forEach { s =>
-      memos.remove(s); pinned.remove(s); longs.remove(s); hooks.remove(s); ()
+      memos.remove(s); pinned.remove(s); longs.remove(s); hooks.remove(s)
+      scopedHooks.remove(s); ()
     }
   }
 
@@ -113,6 +117,8 @@ object OpCache {
 
   private val hooks =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayList[() => Unit]]()
+  private val scopedHooks =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[() => Unit]]()
 
   /** Register a custom release action (e.g. unpersisting an RDD-backed
     * snapshot a DataFrame.unpersist can't reach). */
@@ -123,6 +129,46 @@ object OpCache {
     l.add(hook)
   }
 
+  /** Register an ENTRY-SCOPED release action: state that is consumed
+    * entirely within one entry's action (e.g. the Components.minLabel
+    * final-round RDD snapshot) and is dead weight once that action
+    * finishes. Run by releaseScoped() — and by release() as a backstop
+    * for runtimes that never call releaseScoped. */
+  def trackHookScoped(s: SparkSession, hook: () => Unit): Unit = synchronized {
+    sweepStopped()
+    var l = scopedHooks.get(s)
+    if (l == null) { l = new java.util.ArrayList[() => Unit](); scopedHooks.put(s, l) }
+    l.add(hook)
+  }
+
+  /** Release ENTRY-SCOPED state between entries: unpersist every pinned
+    * DataFrame that is NOT a memoized feature-store table, and run the
+    * entry-scoped hooks. Bench/Verify/TimeQ/BenchScale call this after
+    * each entry's action so one entry's working caches (candidate-pair
+    * tables, per-entry snapshots) never bleed storage memory into the
+    * remaining ~200 entries of a shared-session run — the mhVerify
+    * persist→materialize→unpersist discipline, applied at the harness
+    * boundary for caches that must stay live until the entry's action
+    * completes. The deliberate warmup memos (the shared feature store)
+    * are kept. */
+  def releaseScoped(s: SparkSession): Unit = synchronized {
+    val keep = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    val m = memos.get(s)
+    if (m != null) m.values().forEach { df => keep.add(df); () }
+    val l = pinned.get(s)
+    if (l != null) {
+      val it = l.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!keep.contains(df)) { df.unpersist(); it.remove() }
+      }
+    }
+    val h = scopedHooks.remove(s)
+    if (h != null) h.forEach { f => f() }
+    ()
+  }
+
   /** Unpersist every DataFrame this package pinned for `s` and drop its
     * memo tables — the explicit end of the feature-store lifecycle
     * (Verify/Bench call this when a session's query set is done). */
@@ -131,6 +177,8 @@ object OpCache {
     if (l != null) l.forEach { df => df.unpersist(); () }
     val h = hooks.remove(s)
     if (h != null) h.forEach { f => f() }
+    val sh = scopedHooks.remove(s)
+    if (sh != null) sh.forEach { f => f() }
     memos.remove(s)
     longs.remove(s)
     ()

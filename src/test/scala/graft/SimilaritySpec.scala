@@ -100,6 +100,31 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.operators.OpCache.trackedFor(spark).isEmpty)
   }
 
+  test("OpCache.releaseScoped frees entry-local pins but keeps warmup memos") {
+    import org.apache.spark.storage.StorageLevel
+    // dd_ngram_jaccard pins an entry-local candidate-pair table (direct
+    // track) AND pulls the memoized gram3 feature snapshot (memo→track)
+    SparkEntry.queries("dd_ngram_jaccard")(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val before = graft.operators.OpCache.trackedFor(spark)
+    assert(before.nonEmpty)
+    graft.operators.OpCache.releaseScoped(spark)
+    val after = graft.operators.OpCache.trackedFor(spark)
+    // entry-local pins dropped...
+    assert(after.size < before.size,
+      s"releaseScoped should drop the entry-local pin (${before.size} -> ${after.size})")
+    // ...while every surviving pin is a still-persisted memo table
+    assert(after.forall(_.storageLevel != StorageLevel.NONE),
+      "memoized feature tables must survive releaseScoped still persisted")
+    // and the memoized table is REUSED, not rebuilt: a second run still
+    // works and the entry's results are unchanged
+    val n1 = SparkEntry.queries("dd_ngram_jaccard")(spark, sf).count()
+    graft.operators.OpCache.releaseScoped(spark)
+    val n2 = SparkEntry.queries("dd_ngram_jaccard")(spark, sf).count()
+    assert(n1 == n2, "scoped release must not change entry results")
+    graft.operators.OpCache.release(spark)
+  }
+
   test("phash collapse: identical components, linear edges on a hot fingerprint") {
     import graft.operators.{Components, Multimodal}
     // 40 docs share ONE exact fingerprint (the "blank image stored 10M
