@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~90 codegen'd queries in one JVM overflow the default 240m code cache,
   // after which the JIT stops compiling and late queries run interpreted
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // GC flags for the forked JVM, for telemetry-driven A/B runs
+  // (e.g. SPARK_GRAFT_GC_OPTS="-XX:+UseParallelGC"). Empty default keeps
+  // the JVM's stock collector so the driver's bench stays comparable.
+  sys.env.get("SPARK_GRAFT_GC_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -38,6 +38,21 @@ object Components {
   private[graft] def loopPartitions(nEdges: Long): Int =
     math.max(4L, nEdges / 250000L).toInt
 
+  /** 64-bit mix of an (id, label) row for the convergence checksum
+    * (murmur3 finalizer over the two fields' hashCodes — deterministic
+    * across JVMs for the primitive/String key types the callers use). */
+  private[graft] def rowMix(r: Row): Long = {
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
+    val a = r.get(0); val b = r.get(1)
+    mix(mix(if (a == null) 0L else a.hashCode().toLong) ^
+      (if (b == null) 1L else b.hashCode().toLong))
+  }
+
   /** `pairs`: undirected edges as two id columns. Returns (id, label)
     * with label = the component's minimum member id — the convergence
     * fixed point is partitioning-independent, so results are exact. */
@@ -61,23 +76,31 @@ object Components {
       // otherwise up to 20 rounds of (id, label) blocks accumulate in
       // executor storage for the life of the session.
       var liveRdd: RDD[Row] = null
+      var lastChecksum: Long = 0L
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", pairs.schema.fields(0).dataType),
         org.apache.spark.sql.types.StructField("label", pairs.schema.fields(0).dataType)))
       def snap(df: DataFrame): DataFrame = {
         val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        rdd.count() // materialize BEFORE releasing the predecessor it reads
+        // ONE job materializes the snapshot AND folds the convergence
+        // checksum through an accumulator — previously each round paid a
+        // separate count() + checksum-aggregate job, i.e. one extra
+        // scheduler round-trip per round per consumer entry. The sum of
+        // per-row mixed hashes is order/partitioning-independent, and
+        // foreach is an action, so accumulator updates are exactly-once
+        // per row. Only consecutive-round EQUALITY of the checksum is
+        // consumed (fixed-point detection) — any deterministic multiset
+        // hash serves, same as the previous bit_xor(xxhash64) aggregate.
+        val acc = s.sparkContext.longAccumulator
+        rdd.foreach(r => acc.add(Components.rowMix(r)))
         if (liveRdd != null) liveRdd.unpersist(false)
         liveRdd = rdd
+        lastChecksum = acc.value
         s.createDataFrame(rdd, schema)
       }
       var labels = snap(edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
-      // convergence via a per-round checksum (one aggregate on the
-      // snapshot — no extra join+count round-trip per iteration)
-      def checksum(df: DataFrame): Long = df
-        .agg(expr("coalesce(bit_xor(xxhash64(id, label)), 0L)")).head().getLong(0)
-      var prev = checksum(labels)
+      var prev = lastChecksum
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -88,7 +111,7 @@ object Components {
           .select("id", "label")
         val next = snap(labels.select("id", "label").union(prop).union(jump)
           .groupBy("id").agg(min("label").as("label")))
-        val cs = checksum(next)
+        val cs = lastChecksum
         converged = cs == prev
         prev = cs
         labels = next
