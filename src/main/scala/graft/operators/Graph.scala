@@ -148,21 +148,26 @@ object Graph {
     // O(1) rows. The clustering coefficient is ONE IEEE division of two
     // exact int64s — bit-identical cross-engine.
     GraftQuery("q_triangles", (s, d) => {
-      val li = Tables.t(s, d, "lineitem")
+      // Pair build by per-order set fold (guide §2.3/§2.4): ONE exchange
+      // of the (o, p) stream into collect_set (map-side partial aggregation
+      // dedups within order), then the ordered pair combinations explode
+      // from the sorted array WITHOUT crossing an exchange — the previous
+      // per-order self-join → distinct paid a second full (o, p) exchange
+      // (the distinct below the join) plus the join machinery itself.
+      // Skew audit: parts-per-order is order-line-count bounded (measured
+      // max 13/17/17 at sf0.01/0.1/1, avg 4.07) — no mega-array risk; the
+      // C(k,2) explode is per-row codegen over a ≤17-element array. The
+      // final distinct is the only pair-stream shuffle (same as before).
+      // The persisted pair set is identical to the join form's: all
+      // distinct {pa < pb} part pairs sharing an order.
+      val li0 = Tables.t(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // the per-order self-join → distinct pair set is the heaviest
-      // subplan; persist it ONCE — the previous lazy form re-evaluated it
-      // three times (both degree-union legs + the oriented-edge build) —
-      // and fold the degree count in ONE pass over the cache by exploding
-      // both endpoints instead of self-unioning.
-      // shuffle_hash for the same reason as tradeEdges' corpus join: the
-      // strategy freezes into the persisted pair cache, so it must be
-      // deterministic (and a corpus-scale li side must never broadcast).
-      val pairs = OpCache.track(s, li.as("a")
-        .join(li.as("b").hint("shuffle_hash"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val sets = li0.groupBy("o")
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+      val pairs = OpCache.track(s, sets
+        .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+        .select(col("pa"), explode(expr(
+          "slice(ps, i + 2, size(ps) - i - 1)")).as("pb"))
         .distinct()
         .persist())
       val deg = pairs.select(explode(array(col("pa"), col("pb"))).as("n"))
