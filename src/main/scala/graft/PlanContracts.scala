@@ -841,7 +841,11 @@ object PlanContracts {
       // dd_lsh_funnel executes eagerly and returns a one-row literal; the
       // audit inspects the lazy stage composition instead
       "dd_lsh_funnel (chain plan)" ->
-        ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)))
+        ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)),
+      // q_pagerank executes its iteration chain eagerly under AQE-off
+      // (cache-partitioning reuse) and returns the materialized snapshot;
+      // the audit inspects the shared lazy chain
+      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)))
 
   /** Entries whose queries() DataFrame executes EAGERLY at construction
     * time (stage counts taken so caches can be released mid-entry): plan
@@ -850,8 +854,10 @@ object PlanContracts {
     * Explain and the audit overrides can't drift. */
   val eagerEntryAlternatives
       : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("dd_lsh_funnel" ->
-      ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)))
+    Map(
+      "dd_lsh_funnel" ->
+        ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)),
+      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -62,6 +62,36 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** The lazy PageRank chain (shared by the entry's eager execution and
+    * the plan audit): edge cache with out-degree attached by a window
+    * over the SAME exchange that hash-partitions the cache by the
+    * iteration join key (guide §2.4 — replaces the former groupBy + join
+    * + repartition shape: three exchanges and a second evaluation of the
+    * edge subtree), then PrIters fixed-point iterations. shuffle_hash on
+    * the rank side: never a broadcast (both sides scale with the graph),
+    * no per-iteration re-sort; the per-partition build is the node-scaled
+    * rank table / N shuffle partitions. */
+  private[graft] def pagerankChain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed = tradeEdges(s, d)
+    val edges = OpCache.track(s,
+      ed.withColumn("dg",
+          count(lit(1)).over(Window.partitionBy(col("src"))))
+        .persist())
+    var ranks = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      ranks = edges
+        .join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+        .select(col("dst"), expr("rank div dg").as("contrib"))
+        .groupBy("dst")
+        .agg((lit(150000000L) +
+          expr("85 * sum(contrib) div 100")).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+    }
+    ranks
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 219. PageRank (Page et al. 1999), 5 fixed iterations, damping 0.85,
@@ -77,37 +107,29 @@ object Graph {
     // integer arithmetic. Nothing broadcasts: every side scales with the
     // graph.
     GraftQuery("q_pagerank", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ed = tradeEdges(s, d)
-      // out-degree attached by a window over the SAME exchange that
-      // hash-partitions the cache by the iteration join key (guide §2.4:
-      // operations keyed alike share one exchange) — this replaces the
-      // former groupBy + join + repartition shape, which cost three
-      // exchanges, a join that must not broadcast (both sides scale with
-      // the graph), and a second evaluation of the edge subtree.
-      val edges = OpCache.track(s,
-        ed.withColumn("dg",
-            count(lit(1)).over(Window.partitionBy(col("src"))))
-          .persist())
-      var ranks = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(PrScale).as("rank"))
-      for (_ <- 1 to PrIters) {
-        // shuffle_hash on the rank side: the cached edge table is already
-        // hash-partitioned on src and ranks arrives partitioned on id from
-        // the previous fold, so the join runs exchange-free per iteration;
-        // a sort-merge join would re-sort BOTH sides every iteration. The
-        // per-partition build is the node-scaled rank table / N shuffle
-        // partitions — the deployment knob every shuffled-hash build
-        // assumes, never a broadcast.
-        ranks = edges
-          .join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
-          .select(col("dst"), expr("rank div dg").as("contrib"))
-          .groupBy("dst")
-          .agg((lit(150000000L) +
-            expr("85 * sum(contrib) div 100")).as("rank"))
-          .select(col("dst").as("id"), col("rank"))
-      }
-      ranks
+      // The iteration chain executes EAGERLY under AQE-off (the
+      // Components.minLabel discipline): with AQE on, the persisted edge
+      // table's partitioning is invisible to consumers (Spark 4 wraps the
+      // cached plan in AdaptiveSparkPlan, which reports unknown output
+      // partitioning — measured: the
+      // canChangeCachedPlanOutputPartitioning conf does NOT restore
+      // visibility), so every one of the 5 iterations re-exchanged the
+      // corpus-scaled edge cache. With AQE off at cache build AND at
+      // execution, the window's hash(src) exchange is established once
+      // and every iteration join reads the cache exchange-free on the
+      // edge side; the rank side arrives hash-partitioned on the join
+      // key from the previous fold (alias-aware partitioning), so each
+      // iteration pays exactly ONE exchange — the semantic groupBy(dst)
+      // of the node-scaled contribution stream. The returned snapshot is
+      // the materialized final ranks (all work inside the entry).
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val ranks = pagerankChain(s, d)
+        val out = OpCache.track(s, ranks.persist())
+        out.count()
+        out
+      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     },
       Some {
         val iters = (1 to PrIters).map { k =>
