@@ -82,6 +82,7 @@ object Bench {
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
     operators.Curation2.warmBpe(spark, sfDir)
+    streaming.Streams.useTmpfsCheckpoints(spark) // replay ckpts are scratch
     streaming.Streams.warmStaging(spark, sfDir)
 
     val telemetry = new BenchTelemetry

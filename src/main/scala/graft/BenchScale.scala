@@ -68,6 +68,7 @@ object BenchScale {
     operators.TextOps.warmGram3(spark, sfDir)
     operators.Multimodal.warmPhashIndex(spark, sfDir)
     operators.Curation2.warmBpe(spark, sfDir)
+    streaming.Streams.useTmpfsCheckpoints(spark) // replay ckpts are scratch
     streaming.Streams.warmStaging(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -25,6 +25,7 @@ object TimeQ {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    streaming.Streams.useTmpfsCheckpoints(spark) // replay ckpts are scratch
     // comma-separated names share one JVM (amortizes startup for A/B
     // sweeps over several entries); iteration loops stay per-entry
     for (n <- name.split(',').toSeq) {

@@ -21,6 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark) // the standard session: functions + TopK strategy/rewrite + catalog
+    streaming.Streams.useTmpfsCheckpoints(spark) // replay ckpts are scratch
     new java.io.File(outDir).mkdirs()
     // An entry that throws leaves no parquet, and a downstream compare
     // that iterates the out dir would silently shrink — record every

@@ -52,29 +52,41 @@ object Streams {
     }
   }
 
-  /** Ephemeral checkpoint root for the deterministic replay harness.
-    * Every micro-batch pays WAL/offset/state-store commit round-trips into
-    * the checkpoint dir; for a memory-sink replay that is stopped and
-    * discarded these are pure scratch, so the DEFAULT points at tmpfs
-    * (/dev/shm) when present instead of java.io.tmpdir — the cost is
-    * filesystem metadata ops, not durability anyone reads back (guide §6).
-    * `spark.graft.stream.checkpointDir` overrides it; a production stream
-    * sets it to durable storage (and entries whose SEMANTICS are the
-    * checkpoint — st_recovery's restart — keep their own explicit dirs).
-    * Passing an explicit location also closes a scratch leak: Spark's
-    * auto-created temp checkpoints are only best-effort deleted, and one
-    * accumulated under /tmp per streaming entry per JVM; here each run's
-    * dir is removed after stop (dropCkpt). */
+  /** Checkpoint root for the deterministic replay harness. Every
+    * micro-batch pays WAL/offset/state-store commit round-trips into the
+    * checkpoint dir; for a memory-sink replay that is stopped and
+    * discarded these are pure scratch. The library DEFAULT is the local
+    * tmpdir (a deployment that forgets the override gets node-local disk,
+    * not silent RAM-durability); the bench/verify harnesses opt into
+    * tmpfs explicitly via useTmpfsCheckpoints (guide §6 — the replay's
+    * checkpoints are scratch by construction). A production stream sets
+    * `spark.graft.stream.checkpointDir` to durable storage (and entries
+    * whose SEMANTICS are the checkpoint — st_recovery's restart — keep
+    * their own explicit dirs). Each run's dir is removed after stop
+    * (dropCkpt), which also closes the scratch leak Spark's best-effort
+    * auto-temp checkpoints had.
+    *
+    * The per-run names come from a per-JVM counter, so the root is made
+    * PER-PROCESS (pid suffix): two concurrent JVMs would otherwise both
+    * start at graft_stream_1 and the stale-dir wipe below could destroy
+    * the OTHER process's live checkpoint mid-query. The wipe can now only
+    * ever hit this process's own dirs. */
   private[streaming] def ckptDir(s: SparkSession, name: String): String = {
     import java.nio.file._
     val base = s.conf.get("spark.graft.stream.checkpointDir",
-      if (Files.isWritable(Paths.get("/dev/shm"))) "/dev/shm/graft_ckpt"
-      else sys.props("java.io.tmpdir") + "/graft_ckpt")
-    val p = Paths.get(base, name)
+      sys.props("java.io.tmpdir") + "/graft_ckpt")
+    val p = Paths.get(base, s"p${ProcessHandle.current().pid()}", name)
     dropCkpt(p.toString) // wipe a stale dir from an interrupted prior run
     Files.createDirectories(p)
     p.toString
   }
+
+  /** Harness opt-in (Bench/Verify/TimeQ/BenchScale): point the replay
+    * checkpoints at tmpfs when available and no explicit dir is set. */
+  def useTmpfsCheckpoints(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.graft.stream.checkpointDir").isEmpty &&
+        java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      s.conf.set("spark.graft.stream.checkpointDir", "/dev/shm/graft_ckpt")
   private[streaming] def dropCkpt(dir: String): Unit = {
     import java.nio.file._
     val p = Paths.get(dir)
@@ -95,7 +107,11 @@ object Streams {
     // width tuned for TB-scale scans scatters a replay's state into
     // hundreds of near-empty state-store files whose per-batch commit I/O
     // dominates (measured: 32 → 8 partitions halves stream entries at
-    // sf0.1). Scoped to the query start; batch plans are untouched.
+    // sf0.1; r14 width sweep over the 5 heaviest entries at 32 cores:
+    // 16/8/4/2 monotone down to a knee at 4 — e.g. st_interval_join
+    // 2.64/2.19/1.68/1.62 s, st_late_data 3.23/2.81/2.22/2.26 s — so the
+    // replay default is 4; production sizes by stream rate via the conf).
+    // Scoped to the query start; batch plans are untouched.
     //
     // noDataBatches=false skips the zero-input micro-batch Spark schedules
     // after a watermark advance. That batch exists to EMIT results a
@@ -107,7 +123,7 @@ object Streams {
     val was = s.conf.get("spark.sql.shuffle.partitions")
     val noDataWas = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.graft.stream.statePartitions", "8"))
+      s.conf.get("spark.graft.stream.statePartitions", "4"))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     val ckpt = ckptDir(s, name)
     val q = try df.writeStream.outputMode(mode).format("memory")
@@ -116,14 +132,19 @@ object Streams {
       s.conf.set("spark.sql.shuffle.partitions", was)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataWas)
     }
-    q.processAllAvailable()
-    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-      q.recentProgress.foreach(p => System.err.println(p.json))
-    // expose the final state-store size for the boundedness spec
-    lastStateRows = q.recentProgress.toSeq
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
-    q.stop()
-    dropCkpt(ckpt) // replay scratch: one live checkpoint max, then gone
+    // dropCkpt in finally: a throw between start and stop must not leak
+    // the checkpoint dir (with unique run names no later stale-wipe would
+    // ever reclaim it)
+    try {
+      try {
+        q.processAllAvailable()
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach(p => System.err.println(p.json))
+        // expose the final state-store size for the boundedness spec
+        lastStateRows = q.recentProgress.toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+      } finally q.stop()
+    } finally dropCkpt(ckpt) // replay scratch: one live checkpoint max, then gone
     s.table(name)
   }
 
@@ -522,12 +543,12 @@ object Streams {
         val dedup = s.readStream.schema(schema).parquet(s"$staged/*.parquet")
           .select(col("event_type"), col("value"))
           .dropDuplicates("event_type", "value")
-        // same state-width scoping as runToTable: replay-rate state in 8
-        // partitions, not the session's batch shuffle width (locks into
-        // the checkpoint at first start)
+        // same state-width scoping as runToTable: replay-rate state width
+        // (default 4 — the measured knee), not the session's batch shuffle
+        // width (locks into the checkpoint at first start)
         val was = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions",
-          s.conf.get("spark.graft.stream.statePartitions", "8"))
+          s.conf.get("spark.graft.stream.statePartitions", "4"))
         val q = try dedup.writeStream.outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .option("path", outDir)
@@ -804,9 +825,8 @@ object Streams {
         }
         .option("checkpointLocation", fbCkpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
-      dropCkpt(fbCkpt)
+      try { try q.processAllAvailable() finally q.stop() }
+      finally dropCkpt(fbCkpt) // in finally: no leak on a mid-run throw
       s.read.parquet(cur.toString)
         .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
     },
@@ -880,9 +900,8 @@ object Streams {
         }
         .option("checkpointLocation", fbCkpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
-      dropCkpt(fbCkpt)
+      try { try q.processAllAvailable() finally q.stop() }
+      finally dropCkpt(fbCkpt) // in finally: no leak on a mid-run throw
       s.read.parquet(cur.toString)
         .filter(!col("ch.del"))
         .select(col("user_id"), col("ch.value").as("value"),
@@ -1054,9 +1073,8 @@ object Streams {
         }
         .option("checkpointLocation", fbCkpt)
         .start()
-      q.processAllAvailable()
-      q.stop()
-      dropCkpt(fbCkpt)
+      try { try q.processAllAvailable() finally q.stop() }
+      finally dropCkpt(fbCkpt) // in finally: no leak on a mid-run throw
       s.read.parquet(outDir)
     },
       Some(s"""WITH d AS (${graft.operators.DuckSql.shingles("documents", "doc_id", 5)}),
