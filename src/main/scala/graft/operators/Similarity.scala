@@ -400,9 +400,15 @@ object Similarity {
     // banding-bounded candidate set (linear in near-dup volume by LSH
     // construction, never corpus-sized). `pre` must be cached by the
     // caller: it is evaluated twice (id-set build + the pair join).
+    // No forced broadcast on the id set: candidates are banding-bounded
+    // by construction, but the documented blowup failure mode
+    // (dd_lsh_funnel's alarm case) makes them corpus-scaled, and a forced
+    // hint bypasses the auto threshold — driver OOM where a shuffled semi
+    // join degrades gracefully. AQE picks broadcast at runtime from the
+    // ACTUAL aggregate size when it is small (the normal case).
     val ids = pre.select(col("ia").as("doc_id"))
       .union(pre.select(col("ib").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
     pre
       .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
       .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
@@ -443,6 +449,11 @@ object Similarity {
   private[graft] def lshFunnelChainForAudit(s: SparkSession, d: String): DataFrame = {
     val sh = mhShingles(s, d)
     val sigs = sh.withColumn("sig", expr("minhash_sig(sh)")).select("doc_id", "sig")
+    // AUDIT-ONLY chain: `pre` is deliberately NOT persisted here, which
+    // violates mhVerify's caller contract — acceptable because this chain
+    // is only ever explained/audited, never executed for results. An
+    // executing caller must persist pre first (see minhashPairsWith) or
+    // the banding+prefilter subtree evaluates twice.
     mhVerify(mhPrefilter(
       bandCandidates(sigs, "doc_id", lshBands, lshRows), sigs), sh)
   }

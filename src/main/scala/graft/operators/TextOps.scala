@@ -164,9 +164,11 @@ object TextOps {
       // the two former corpus-wide shingle passes collapse to the
       // banding-bounded candidate set. pre is pinned because the id-set
       // build and the pair join both read it.
+      // no forced broadcast: blowup-safe (the mhVerify rationale) — AQE
+      // broadcasts at runtime from the actual id-set size when small
       val ids = pre.select(col("ia").as("doc_id"))
         .union(pre.select(col("ib").as("doc_id"))).distinct()
-      val shc = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      val shc = sh.join(ids, Seq("doc_id"), "left_semi")
       pre
         .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
@@ -308,9 +310,11 @@ object TextOps {
       // shingles recompute + shuffle only for docs in a candidate pair.
       // Candidate ids come from kept-restricted signatures, so they are
       // ⊆ kept by construction and need no second keepIds gate.
+      // no forced broadcast: blowup-safe (the mhVerify rationale) — AQE
+      // broadcasts at runtime from the actual id-set size when small
       val ids = preP.select(col("ia").as("doc_id"))
         .union(preP.select(col("ib").as("doc_id"))).distinct()
-      val shc = shAll.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      val shc = shAll.join(ids, Seq("doc_id"), "left_semi")
       val dupIb = preP
         .join(shc.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
         .join(shc.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
