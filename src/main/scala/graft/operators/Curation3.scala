@@ -175,9 +175,12 @@ object Curation3 {
     // a production run refreshes them with the snapshot).
     GraftQuery("ta_pipeline_full", (s, d) => {
       graft.functions.F.register(s)
-      // REWRITE: the shared 3-stage scrub chain, materialized once
-      val scrub = OpCache.track(s, TextOps2.scrubbedCorpus(s, d)
-        .withColumnRenamed("clean_text", "text").persist())
+      // REWRITE: the shared 3-stage scrub chain — memoized in TextOps2
+      // (one persisted clean corpus per session, shared with
+      // ta_pipeline_scrub); the five selection-side consumers read the
+      // memo's cache through this rename projection
+      val scrub = TextOps2.scrubbedCorpus(s, d)
+        .withColumnRenamed("clean_text", "text")
       // SELECT 1-2: Gopher gate + per-source quality prune on CLEAN text
       val manifest = Curation2.gopherMetrics(scrub)
         .filter(Curation2.gopherKeep)

@@ -42,13 +42,17 @@ object Entity {
   /** The normalized-name dictionary: one corpus scan aggregated per name
     * (row support + stable int64 id = min partkey — mins over disjoint row
     * sets are distinct, so nid is a valid node key for the closure). The
-    * SHARED stage er_blocked_match and er_cluster both start from; the
-    * caller decides persistence. */
+    * SHARED stage all three er_ entries start from — memoized, so one
+    * session builds and pins ONE copy instead of each entry persisting
+    * its own (three separate builds/copies before r14). */
   private[operators] def nameDict(s: SparkSession, d: String): DataFrame =
-    Tables.t(s, d, "part")
-      .select(lower(trim(col("p_name"))).as("name"), col("p_partkey"))
-      .groupBy("name").agg(count(lit(1)).as("n_rows"),
-        min("p_partkey").as("nid"))
+    OpCache.memo(s, s"namedict|$d") {
+      Tables.t(s, d, "part")
+        .select(lower(trim(col("p_name"))).as("name"), col("p_partkey"))
+        .groupBy("name").agg(count(lit(1)).as("n_rows"),
+          min("p_partkey").as("nid"))
+        .persist()
+    }
 
   /** Blocked candidate generation over a (name, bk) blocking-key table:
     * distinct ordered name pairs sharing a key — the quadratic term stays
@@ -105,7 +109,7 @@ object Entity {
       // ONE corpus scan: the dictionary (vocabulary-bounded) is cached and
       // every downstream consumer — both token sides and both frequency
       // joins — reads the cache, never the corpus again
-      val names = OpCache.track(s, nameDict(s, d).persist())
+      val names = nameDict(s, d) // memoized + persisted (one shared copy)
       val matched = matchedPairs(names)
       matched
         .join(broadcast(names.withColumnRenamed("name", "name_a")
@@ -140,7 +144,7 @@ object Entity {
     // join rests on).
     GraftQuery("er_cluster", (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val names = OpCache.track(s, nameDict(s, d).persist())
+      val names = nameDict(s, d) // memoized + persisted (one shared copy)
       // map verified name pairs to int64 node ids (dictionary-bounded
       // declared broadcasts), close, and label every name
       val na = names.select(col("name").as("name_a"), col("nid").as("ia"))
@@ -191,7 +195,7 @@ object Entity {
     // never shuffle); the funnel is ONE plan — the three pass tables
     // union with a pass label and one aggregate scores them all.
     GraftQuery("er_multi_block", (s, d) => {
-      val names = OpCache.track(s, nameDict(s, d).persist())
+      val names = nameDict(s, d) // memoized + persisted (one shared copy)
       val ct = tokenCands(names)
       val cp = blockCands(names.select(col("name"),
         substring(col("name"), 1, 2).as("bk")))
