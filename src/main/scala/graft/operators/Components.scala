@@ -55,8 +55,13 @@ object Components {
 
   /** `pairs`: undirected edges as two id columns. Returns (id, label)
     * with label = the component's minimum member id — the convergence
-    * fixed point is partitioning-independent, so results are exact. */
-  def minLabel(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * fixed point is partitioning-independent, so results are exact.
+    * `scopedRelease`: the final snapshot RDD is entry-scoped by default
+    * (each consuming entry runs its own propagation); memoized callers
+    * (the shared phash/minhash label tables) pass false so the snapshot
+    * lives with the memo until OpCache.release. */
+  def minLabel(s: SparkSession, pairs: DataFrame,
+      scopedRelease: Boolean = true): DataFrame = {
     val p2 = pairs.toDF("ia", "ib")
     val edges = p2.union(p2.select(col("ib"), col("ia")))
       .toDF("src", "dst").persist()
@@ -122,7 +127,8 @@ object Components {
       // so OpCache.releaseScoped frees it once the entry's action is done
       // (release() remains the end-of-lifecycle backstop)
       val finalRdd = liveRdd
-      OpCache.trackHookScoped(s, () => finalRdd.unpersist(false))
+      if (scopedRelease) OpCache.trackHookScoped(s, () => finalRdd.unpersist(false))
+      else OpCache.trackHook(s, () => finalRdd.unpersist(false))
       labels
     } finally {
       edges.unpersist()

@@ -115,8 +115,7 @@ object Curation {
     // come from coalesce() on the left joins.
     GraftQuery("dd_canonical", (s, d) => {
       val q = withQuality(docs(s, d))
-      val labels = Components
-        .minLabel(s, Similarity.minhashPairs(s, d).select("ia", "ib"))
+      val labels = Similarity.minhashLabels(s, d) // memoized shared label index
         .withColumnRenamed("id", "doc_id")
       val clustered = labels.join(q, "doc_id")
       val qmax = clustered.groupBy("label").agg(max("quality").as("qmax"))

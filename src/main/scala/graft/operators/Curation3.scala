@@ -83,7 +83,7 @@ object Curation3 {
           .join(deg.select(col("src").as("id"), col("deg")), "id")
           .select("id", "deg", "r")
       }
-      val labels = Components.minLabel(s, p)
+      val labels = Similarity.minhashLabels(s, d) // memoized shared label index
       val wRep = Window.partitionBy(col("label"))
         .orderBy(col("r").desc, col("id").asc)
       r.join(labels, "id")

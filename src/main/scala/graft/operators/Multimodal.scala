@@ -288,6 +288,18 @@ object Multimodal {
       e
     }
 
+  /** Memoized component labels over the shared phash edge graph: FOUR
+    * entries (mm_phash_cluster, mm_pipeline_curate, and the paired/full
+    * pipelines via pairedGate) previously each ran their own min-label
+    * propagation over the SAME memoized edge set — the labels are as much
+    * a standing index as the edges, so one session runs the loop once.
+    * The final snapshot RDD is release()-scoped (not entry-scoped)
+    * because the memo outlives any one entry. */
+  private[graft] def phashLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    OpCache.memo(s, "phlabels|" + d) {
+      Components.minLabel(s, phashEdges(s, d), scopedRelease = false)
+    }
+
   /** The collapse itself (see phashEdges): star edges within exact-fp
     * groups + banded/verified pairs among distinct fingerprints. */
   private[graft] def collapsedEdges(ph: org.apache.spark.sql.DataFrame,
@@ -391,7 +403,7 @@ object Multimodal {
   private def pairedGate(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     // A. media near-dup collapse over the shared index (canonical =
     // the original: min non-negative member, else min)
-    val labels = Components.minLabel(s, phashEdges(s, d))
+    val labels = phashLabels(s, d)
     val realc = labels.groupBy("label")
       .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
         .as("canon"), count(lit(1)).as("n_members"))
@@ -593,7 +605,7 @@ object Multimodal {
       // components, linear work in group size. Pair-graph build keeps AQE
       // (real joins to re-plan); only the fixed-shape propagation loop
       // runs with it off.
-      val labels = Components.minLabel(s, phashEdges(s, d))
+      val labels = phashLabels(s, d)
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("media_id"), col("label").as("cluster_id"),
@@ -707,7 +719,7 @@ object Multimodal {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       // A. near-dup clusters over the shared index: canonical = original
-      val labels = Components.minLabel(s, phashEdges(s, d)) // (id, label)
+      val labels = phashLabels(s, d) // (id, label)
       val realc = labels.groupBy("label")
         .agg(coalesce(min(when(col("id") >= 0, col("id"))), min(col("id")))
           .as("canon"), count(lit(1)).as("n_members"))

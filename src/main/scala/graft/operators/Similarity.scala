@@ -440,6 +440,18 @@ object Similarity {
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsWith(s, d, lshBands, lshRows)
 
+  /** Memoized component labels over the verified near-dup pair graph:
+    * three entries (dd_cluster, dd_canonical, dd_rep_rank) previously
+    * each ran their own min-label propagation over the SAME memoized
+    * pair index — the labels are as much a standing index as the pairs,
+    * so one session runs the loop once. Snapshot RDD release()-scoped
+    * (the memo outlives any one entry). */
+  private[operators] def minhashLabels(s: SparkSession, d: String): DataFrame =
+    OpCache.memo(s, s"mhlabels|$d") {
+      Components.minLabel(s, minhashPairs(s, d).select("ia", "ib"),
+        scopedRelease = false)
+    }
+
   /** The funnel's LAZY verify chain (no persists, no eager counts), for
     * plan inspection: the dd_lsh_funnel entry executes its stage counts at
     * DataFrame-construction time and returns a one-row literal, so Explain/
@@ -705,7 +717,7 @@ object Similarity {
       // shared min-label propagation with path-halving (Components) —
       // rounds grow with log(diameter), each round two bounded
       // (id, label) shuffles, AQE toggled off only inside the loop
-      val labels = Components.minLabel(s, minhashPairs(s, d).select("ia", "ib"))
+      val labels = minhashLabels(s, d) // memoized shared label index
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
