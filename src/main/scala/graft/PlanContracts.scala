@@ -845,7 +845,9 @@ object PlanContracts {
       // q_pagerank executes its iteration chain eagerly under AQE-off
       // (cache-partitioning reuse) and returns the materialized snapshot;
       // the audit inspects the shared lazy chain
-      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)))
+      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)),
+      // dd_rep_rank: same eager AQE-off discipline, same audit shape
+      "dd_rep_rank" -> ((s, d) => operators.Curation3.repRankChain(s, d)))
 
   /** Entries whose queries() DataFrame executes EAGERLY at construction
     * time (stage counts taken so caches can be released mid-entry): plan
@@ -857,7 +859,8 @@ object PlanContracts {
     Map(
       "dd_lsh_funnel" ->
         ((s, d) => operators.Similarity.lshFunnelChainForAudit(s, d)),
-      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)))
+      "q_pagerank" -> ((s, d) => operators.Graph.pagerankChain(s, d)),
+      "dd_rep_rank" -> ((s, d) => operators.Curation3.repRankChain(s, d)))
 
   /** AQE-final executed plan text for one entry, split per PlanText. */
   def finalPlan(s: SparkSession, d: String, name: String): PlanText = {

@@ -45,6 +45,48 @@ object Curation3 {
        |  FROM r${i + 1} JOIN deg ON deg.src = r${i + 1}.id)""".stripMargin
   }
 
+  /** The lazy dd_rep_rank chain (shared by the entry's eager execution
+    * and the plan audit). r14 shape changes vs the original, results
+    * identical: (a) src-degree rides the CACHED edge table via a window
+    * over the SAME exchange that hash-partitions the iteration join key
+    * (the q_pagerank shape) instead of a separate groupBy + a re-attach
+    * join EVERY round; (b) the loop state slims to (id, rank) — the
+    * per-round shuffle no longer carries deg (§2.3 narrower rows); deg
+    * re-attaches ONCE after the loop for the output columns. The one-row
+    * node-count broadcast (BroadcastNestedLoopJoin, contract-pinned) and
+    * every integer-arithmetic step are unchanged. */
+  private[graft] def repRankChain(s: SparkSession, d: String): DataFrame = {
+    val p = Similarity.minhashPairs(s, d).select("ia", "ib")
+    val edges = OpCache.track(s, p
+      .union(p.select(col("ib").as("ia"), col("ia").as("ib")))
+      .toDF("src", "dst")
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist())
+    val deg0 = edges.select(col("src").as("id"), col("deg")).distinct()
+    val n1 = deg0.agg(count(lit(1)).as("n_nodes"))
+    var r = deg0.crossJoin(broadcast(n1))
+      .withColumn("r", expr(s"CAST($prScale AS BIGINT) div n_nodes"))
+      .select("id", "r")
+    for (_ <- 1 to prRounds) {
+      r = edges
+        .join(r.hint("shuffle_hash"), edges("src") === r("id"))
+        .select(col("dst"), expr("(r * 85) div (100 * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+        .crossJoin(broadcast(n1))
+        .select(col("dst").as("id"),
+          expr(s"CAST(${15 * prScale} AS BIGINT) div (100 * n_nodes) + cs")
+            .as("r"))
+    }
+    val labels = Similarity.minhashLabels(s, d) // memoized shared label index
+    val wRep = Window.partitionBy(col("label"))
+      .orderBy(col("r").desc, col("id").asc)
+    r.join(deg0, "id")
+      .join(labels, "id")
+      .withColumn("is_rep", row_number().over(wRep) === 1)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("deg"), col("r").as("centrality"), col("is_rep"))
+  }
+
   val defs: Seq[GraftQuery] = Seq(
 
     // 185. centrality-ranked cluster representatives: integer-scaled
@@ -62,34 +104,18 @@ object Curation3 {
     // (r*85) // (100*deg) — exact, so the per-node SUM is order-free and
     // the oracle reproduces every bit without float-order caveats.
     GraftQuery("dd_rep_rank", (s, d) => {
-      val p = Similarity.minhashPairs(s, d).select("ia", "ib")
-      val edges = p.union(p.select(col("ib").as("ia"), col("ia").as("ib")))
-        .toDF("src", "dst")
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val n1 = deg.agg(count(lit(1)).as("n_nodes"))
-      var r = deg.select(col("src").as("id"), col("deg"))
-        .crossJoin(broadcast(n1))
-        .withColumn("r", expr(s"CAST($prScale AS BIGINT) div n_nodes"))
-        .drop("n_nodes")
-      for (_ <- 1 to prRounds) {
-        val contrib = edges
-          .join(r.select(col("id").as("src"), col("deg"), col("r")), "src")
-          .select(col("dst").as("id"),
-            expr("(r * 85) div (100 * deg)").as("c"))
-        r = contrib.groupBy("id").agg(sum("c").as("cs"))
-          .crossJoin(broadcast(n1))
-          .withColumn("r",
-            expr(s"CAST(${15 * prScale} AS BIGINT) div (100 * n_nodes) + cs"))
-          .join(deg.select(col("src").as("id"), col("deg")), "id")
-          .select("id", "deg", "r")
-      }
-      val labels = Similarity.minhashLabels(s, d) // memoized shared label index
-      val wRep = Window.partitionBy(col("label"))
-        .orderBy(col("r").desc, col("id").asc)
-      r.join(labels, "id")
-        .withColumn("is_rep", row_number().over(wRep) === 1)
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          col("deg"), col("r").as("centrality"), col("is_rep"))
+      // Executes the shared lazy chain EAGERLY under AQE-off (the
+      // q_pagerank discipline): the edge cache is hash(src)-partitioned
+      // by its degree window's exchange, so each of the 3 rank rounds
+      // joins it exchange-free and pays only the semantic groupBy(dst)
+      // of the slim (id, rank) stream. Returns the materialized snapshot.
+      val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val out = OpCache.track(s, repRankChain(s, d).persist())
+        out.count()
+        out
+      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     },
       Some(s"""${Similarity.minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
              |ed AS (SELECT ia AS src, ib AS dst FROM p
