@@ -110,12 +110,22 @@ object Curation3 {
       // joins it exchange-free and pays only the semantic groupBy(dst)
       // of the slim (id, rank) stream. Returns the materialized snapshot.
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      // loop width from the MATERIALIZED pair-graph size (the Components
+      // discipline — AQE is off, so the width must be derived, and the
+      // working set is the duplication-proportional pair graph, never the
+      // corpus or a per-host constant)
+      s.conf.set("spark.sql.shuffle.partitions", Components
+        .loopPartitions(2L * Similarity.minhashPairCount(s, d)).toString)
       try {
         val out = OpCache.track(s, repRankChain(s, d).persist())
         out.count()
         out
-      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
     },
       Some(s"""${Similarity.minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
              |ed AS (SELECT ia AS src, ib AS dst FROM p

@@ -62,6 +62,32 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
+  /** Scale-adaptive shuffle width for the eager AQE-off execution,
+    * derived from the INPUT bytes (guide §2 — never a constant tuned for
+    * one host or core count): one partition per ~256 MB of the corpus
+    * tables the trade graph reads, floor 8 so tiny SFs keep parallelism.
+    * AQE would coalesce adaptively, but AQE must be off here for
+    * cache-partitioning visibility, so the width is derived instead.
+    * None (= keep the session width) when the input size is unknowable
+    * (non-local paths). */
+  private[operators] def graphPartitions(d: String): Option[Int] = {
+    def sz(t: String): Long = {
+      val p = java.nio.file.Paths.get(d, t + ".parquet")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else if (java.nio.file.Files.isDirectory(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.filter(q => java.nio.file.Files.isRegularFile(q))
+          .mapToLong(q => java.nio.file.Files.size(q)).sum
+        finally w.close()
+      } else java.nio.file.Files.size(p)
+    }
+    try {
+      val bytes = sz("lineitem") + sz("orders")
+      if (bytes <= 0L) None
+      else Some(math.max(8L, bytes / (256L << 20)).toInt)
+    } catch { case _: Exception => None }
+  }
+
   /** The lazy PageRank chain (shared by the entry's eager execution and
     * the plan audit): edge cache with out-degree attached by a window
     * over the SAME exchange that hash-partitions the cache by the
@@ -123,13 +149,19 @@ object Graph {
       // of the node-scaled contribution stream. The returned snapshot is
       // the materialized final ranks (all work inside the entry).
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      graphPartitions(d).foreach(n =>
+        s.conf.set("spark.sql.shuffle.partitions", n.toString))
       try {
         val ranks = pagerankChain(s, d)
         val out = OpCache.track(s, ranks.persist())
         out.count()
         out
-      } finally s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        s.conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
     },
       Some {
         val iters = (1 to PrIters).map { k =>

@@ -431,7 +431,10 @@ object Similarity {
       // pair join), then released with the signature cache
       val pre = mhPrefilter(cand, sigs).persist()
       val verified = mhVerify(pre, sh).persist()
-      verified.count() // materialize now so the upstream caches can go
+      // materialize now so the upstream caches can go; the pair COUNT is
+      // memoized alongside (it sizes the loop width of pair-graph
+      // consumers — dd_rep_rank — without a second count job)
+      OpCache.memoLong(s, s"mhpairsN|$bands|$rows|$d")(verified.count())
       pre.unpersist()
       sigs.unpersist()
       verified
@@ -439,6 +442,12 @@ object Similarity {
 
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsWith(s, d, lshBands, lshRows)
+
+  /** Verified near-dup pair count (memoized at index build — reads the
+    * cached pair table if asked before/without the index memo). */
+  private[operators] def minhashPairCount(s: SparkSession, d: String): Long =
+    OpCache.memoLong(s, s"mhpairsN|$lshBands|$lshRows|$d")(
+      minhashPairs(s, d).count())
 
   /** Memoized component labels over the verified near-dup pair graph:
     * three entries (dd_cluster, dd_canonical, dd_rep_rank) previously
