@@ -109,6 +109,13 @@ object Curation3 {
       // by its degree window's exchange, so each of the 3 rank rounds
       // joins it exchange-free and pays only the semantic groupBy(dst)
       // of the slim (id, rank) stream. Returns the materialized snapshot.
+      // Build/read the shared pair index (and its memoized count) BEFORE
+      // touching session confs: the index must plan under the session's
+      // normal AQE posture (its verify-gate join strategy freezes into
+      // the persisted cache), and an index-build failure must not leak
+      // AQE-off into the rest of a shared session.
+      val loopWidth = Components
+        .loopPartitions(2L * Similarity.minhashPairCount(s, d))
       val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
       val shufWas = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -116,8 +123,7 @@ object Curation3 {
       // discipline — AQE is off, so the width must be derived, and the
       // working set is the duplication-proportional pair graph, never the
       // corpus or a per-host constant)
-      s.conf.set("spark.sql.shuffle.partitions", Components
-        .loopPartitions(2L * Similarity.minhashPairCount(s, d)).toString)
+      s.conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
       try {
         val out = OpCache.track(s, repRankChain(s, d).persist())
         out.count()

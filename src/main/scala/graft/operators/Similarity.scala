@@ -443,11 +443,14 @@ object Similarity {
   private[operators] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsWith(s, d, lshBands, lshRows)
 
-  /** Verified near-dup pair count (memoized at index build — reads the
-    * cached pair table if asked before/without the index memo). */
-  private[operators] def minhashPairCount(s: SparkSession, d: String): Long =
-    OpCache.memoLong(s, s"mhpairsN|$lshBands|$lshRows|$d")(
-      minhashPairs(s, d).count())
+  /** Verified near-dup pair count (memoized at index build). The index
+    * memo is forced FIRST so its build populates the count memo and the
+    * fallback count() of the cached table never actually runs on the
+    * cold path. */
+  private[operators] def minhashPairCount(s: SparkSession, d: String): Long = {
+    val pairs = minhashPairs(s, d)
+    OpCache.memoLong(s, s"mhpairsN|$lshBands|$lshRows|$d")(pairs.count())
+  }
 
   /** Memoized component labels over the verified near-dup pair graph:
     * three entries (dd_cluster, dd_canonical, dd_rep_rank) previously

@@ -75,11 +75,36 @@ object Streams {
     import java.nio.file._
     val base = s.conf.get("spark.graft.stream.checkpointDir",
       sys.props("java.io.tmpdir") + "/graft_ckpt")
+    sweepDeadPidRoots(base)
     val p = Paths.get(base, s"p${ProcessHandle.current().pid()}", name)
     dropCkpt(p.toString) // wipe a stale dir from an interrupted prior run
     Files.createDirectories(p)
     p.toString
   }
+
+  /** Reclaim sibling p<pid> roots whose owning process is no longer
+    * alive (a crashed/killed JVM leaves its dirs behind; with per-process
+    * roots no later run's own stale-wipe would ever touch them). Safe by
+    * construction: only dirs of DEAD pids are removed, and a reused pid's
+    * new owner re-creates its dirs after this sweep. Once per (JVM, base). */
+  private val sweptBases = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sweepDeadPidRoots(base: String): Unit =
+    if (sweptBases.add(base)) {
+      import java.nio.file._
+      val b = Paths.get(base)
+      if (Files.isDirectory(b)) {
+        val ls = Files.list(b)
+        try ls.forEach { q =>
+          val n = q.getFileName.toString
+          if (n.startsWith("p") && n.drop(1).forall(_.isDigit) &&
+              n.drop(1).nonEmpty &&
+              n.drop(1).toLongOption.exists(pid =>
+                pid != ProcessHandle.current().pid() &&
+                  !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+            try dropCkpt(q.toString) catch { case _: Exception => () }
+        } finally ls.close()
+      }
+    }
 
   /** Harness opt-in (Bench/Verify/TimeQ/BenchScale): point the replay
     * checkpoints at tmpfs when available and no explicit dir is set. */
